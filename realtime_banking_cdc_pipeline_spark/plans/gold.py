@@ -1,0 +1,68 @@
+"""Gold star-schema models (SURVEY.md §2.7 C2/C3, §2.3 J1/J2).
+
+- ``build_dim`` — SCD2 snapshot → dimension view: rename validity
+  columns, derive ``is_current`` (``dim_customers.sql:3-16``,
+  ``dim_accounts.sql:3-17``).
+- ``build_fact_transactions`` — staged transactions LEFT JOIN accounts
+  to denormalize ``customer_id`` (``fact_transactions.sql:13-15``),
+  merged incrementally on ``transaction_id``.
+
+Scale notes: the dims are small relative to facts → the join is
+broadcast (explicit hint, though Catalyst would pick it under the
+10 MB threshold anyway). The fact merge shuffles on ``transaction_id``
+only for the anti-join; with a Delta target it becomes MERGE INTO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.incremental import incremental_merge
+
+
+def build_dim(snapshot: DataFrame, key_alias: str | None = None) -> DataFrame:
+    """SCD2 snapshot → dim with effective_from/to + is_current (C2/P6)."""
+    out = (
+        snapshot.withColumnRenamed("valid_from", "effective_from")
+        .withColumnRenamed("valid_to", "effective_to")
+        .withColumn(
+            "is_current",
+            F.when(F.col("effective_to").isNull(), F.lit(True)).otherwise(F.lit(False)),
+        )
+    )
+    return out
+
+
+def build_fact_transactions(
+    stg_txns: DataFrame,
+    stg_accts: DataFrame,
+    existing_fact: DataFrame | None = None,
+) -> DataFrame:
+    """fact_transactions.sql:3-15 + incremental merge (C3).
+
+    Output schema per FIXTURES.md §3: transaction_id, account_id,
+    customer_id, amount, related_account_id, status, transaction_type,
+    transaction_time, load_timestamp.
+    """
+    accts = F.broadcast(stg_accts.select("account_id", "customer_id"))
+    fact = stg_txns.join(accts, "account_id", "left").select(
+        "transaction_id",
+        "account_id",
+        "customer_id",
+        "amount",
+        "related_account_id",
+        "status",
+        "transaction_type",
+        "transaction_time",
+        "ts_ms",
+        "lsn",
+        F.current_timestamp().alias("load_timestamp"),
+    )
+    merged = incremental_merge(
+        existing_fact,
+        fact,
+        unique_key="transaction_id",
+        order_by=["transaction_time", "ts_ms", "lsn"],
+    )
+    return merged.drop("ts_ms", "lsn")

@@ -1,0 +1,76 @@
+"""Silver staging models (dbt staging views re-expressed as DataFrame
+functions; SURVEY.md §3.2).
+
+Each mirrors one reference model: typed projection + rename (P1/P2) +
+dedup-latest (W1). The reference casts warehouse-side ids to *strings*
+(``stg_customers.sql:5``, ``v:id::string``) — replicated here so Gold
+schemas match FIXTURES.md §3. A ``load_timestamp`` audit column (P5) is
+added like ``stg_*.sql``.
+
+These are logical-plan aliases (dbt ``materialized='view'``): Catalyst
+inlines them and prunes columns/predicates straight down to the Bronze
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_latest
+
+# Bronze rows carry the wire types from sources/cdc.py: decimals as
+# double, timestamps as epoch-micros longs (Debezium defaults).
+_TS = lambda c: F.timestamp_micros(F.col(c))  # noqa: E731
+
+
+def _deduped(bronze: DataFrame) -> DataFrame:
+    # W1 with deterministic tiebreak: created_at DESC, ts_ms DESC, lsn DESC
+    # (stg_customers.sql:11-14 orders by created_at only — under-determined;
+    # see SURVEY.md §2.5 ordering note).
+    return dedup_latest(bronze, ["id"], ["created_at", "ts_ms", "lsn"])
+
+
+def stg_customers(bronze_customers: DataFrame) -> DataFrame:
+    """stg_customers.sql:5-26 — cast, rename, dedup-latest."""
+    d = _deduped(bronze_customers)
+    return d.select(
+        F.col("id").cast("string").alias("customer_id"),
+        F.col("first_name"),
+        F.col("last_name"),
+        F.col("email"),
+        _TS("created_at").alias("created_at"),
+        F.current_timestamp().alias("load_timestamp"),
+    )
+
+
+def stg_accounts(bronze_accounts: DataFrame) -> DataFrame:
+    """stg_accounts.sql:5-28."""
+    d = _deduped(bronze_accounts)
+    return d.select(
+        F.col("id").cast("string").alias("account_id"),
+        F.col("customer_id").cast("string").alias("customer_id"),
+        F.col("account_type"),
+        F.col("balance").cast("double").alias("balance"),
+        F.col("currency"),
+        _TS("created_at").alias("created_at"),
+        F.current_timestamp().alias("load_timestamp"),
+    )
+
+
+def stg_transactions(bronze_transactions: DataFrame) -> DataFrame:
+    """stg_transactions.sql:4-11 — projection/rename, NO dedup in the
+    reference (facts are append-only; duplicates handled by the
+    incremental merge's unique_key)."""
+    return bronze_transactions.select(
+        F.col("id").cast("string").alias("transaction_id"),
+        F.col("account_id").cast("string").alias("account_id"),
+        F.col("txn_type").alias("transaction_type"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("related_account_id").cast("string").alias("related_account_id"),
+        F.col("status"),
+        _TS("created_at").alias("transaction_time"),
+        F.col("ts_ms"),
+        F.col("lsn"),
+        F.current_timestamp().alias("load_timestamp"),
+    )

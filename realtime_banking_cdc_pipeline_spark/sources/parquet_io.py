@@ -1,0 +1,58 @@
+"""Columnar parquet IO.
+
+The reference stages Bronze as hive-partitioned parquet on object
+storage (``consumer/kafka_to_minio.py:41-51``) and bulk-loads with
+``COPY INTO ... ON_ERROR='CONTINUE'``
+(``docker/dags/minio_to_snowflake_dag.py:73-84``). Spark reads the same
+layout natively with partition discovery, predicate pushdown and
+vectorized decoding; error-tolerant load maps to PERMISSIVE mode with a
+corrupt-record quarantine column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet sink (reference S5: ``{table}/date=.../*.parquet``).
+
+    ``maxRecordsPerFile`` bounds file size so a 100 TB table does not
+    produce multi-GB row groups; partition columns drive pruning at read
+    time exactly like the reference's Snowflake clustering keys
+    (readme.md:134-140).
+    """
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def read_json_tolerant(spark: SparkSession, path: str, schema) -> DataFrame:
+    """PERMISSIVE JSON read with corrupt-record quarantine — the Spark
+    equivalent of ``ON_ERROR='CONTINUE'`` (minio_to_snowflake_dag.py:81)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
