@@ -1,0 +1,215 @@
+"""Similarity & near-duplicate detection primitives (SURVEY.md §7
+phase 4): shingling, MinHash, SimHash, n-gram Jaccard, embedding
+cosine — designed partition-parallel for 100 TB (explode → hash-agg;
+no driver-side state, no global sorts).
+
+Cross-engine determinism: every hash routes through md5 (identical in
+Spark and DuckDB) — Spark converts hex→int with ``conv``, the DuckDB
+oracles with ``CAST('0x'||… AS BIGINT)`` (see queries/llmdata.py).
+Engine-native hashes (xxhash64, DuckDB ``hash``) are deliberately NOT
+used anywhere an oracle sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+
+# MinHash parameters — shared with the oracle SQL generator.
+# 31-bit universe: h < P, a,b < P, so a*h+b < 2^62 (no int64 overflow)
+# and (a*h + b) % P genuinely permutes (wraps) the hash space.
+MINHASH_PERMS = 16
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+MINHASH_HEX_DIGITS = 7  # 28-bit base hash, < P
+
+
+def minhash_coeffs(num_perm: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients from a fixed LCG —
+    reproducible in any engine, no RNG dependency."""
+    x, out = 42, []
+    for _ in range(num_perm):
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        a = x or 1
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        out.append((a, x))
+    return out
+
+
+def md5_long(c: Column, n_hex: int = MINHASH_HEX_DIGITS) -> Column:
+    """First ``n_hex`` hex digits of md5 as a non-negative long
+    (≤ 15 digits → fits in 60 bits)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, n_hex), 16, 10).cast("long")
+
+
+def word_shingles(text: str | Column, k: int) -> Column:
+    """Array of word k-grams (space-joined). size<k texts yield their
+    full token string as a single shingle so short docs still compare."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def exploded_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the fan-out stage every
+    sketch shares. At scale this is the only wide row-multiplier; all
+    downstream steps are hash aggregations on id or shingle."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3,
+    num_perm: int = MINHASH_PERMS,
+) -> DataFrame:
+    """One row per doc: ``sig_0..sig_{n-1}`` minhash components.
+
+    min((a_j * h + b_j) mod P) over the doc's shingle set — a plain
+    groupBy with N min-aggregates: partial-aggregated map-side, single
+    shuffle on the doc id.
+    """
+    sh = exploded_shingles(docs, id_col, text_col, k)
+    h = md5_long(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_perm))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    sig: DataFrame, id_col: str, num_perm: int = MINHASH_PERMS, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band (id_a < id_b), with the
+    matching-component count for a Jaccard estimate.
+
+    Banding: signature split into ``bands`` contiguous groups; band key
+    is the concatenated components. Self-join per band on the key —
+    at scale each band join is a hash join on a short string key with
+    skew handled by AQE; no pairwise blowup outside shared buckets.
+    """
+    r = num_perm // bands
+    band_cols = [
+        F.concat_ws("-", *[F.col(f"sig_{b * r + i}") for i in range(r)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *[F.col(f"sig_{j}") for j in range(num_perm)], *band_cols)
+    pairs = None
+    for b in range(bands):
+        left = banded.alias("a")
+        right = banded.alias("b")
+        p = left.join(
+            right,
+            (F.col(f"a.band_{b}") == F.col(f"b.band_{b}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.sig_{j}").alias(f"a_sig_{j}") for j in range(num_perm)],
+            *[F.col(f"b.sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    matches = sum(
+        (F.col(f"a_sig_{j}") == F.col(f"b_sig_{j}")).cast("int") for j in range(num_perm)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        matches.alias("n_matching"),
+        (matches.cast("double") / num_perm).alias("jaccard_est"),
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash fingerprint per doc from the distinct token set.
+
+    Classic sign-of-weighted-bit-sums construction: explode tokens,
+    one groupBy with 32 sum aggregates (±1 per bit), recombine. All
+    JVM-side integer arithmetic.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ws_tokens(text_col))).alias("tok"),
+    )
+    h = md5_long(F.col("tok"), 8)  # 32 bits
+    aggs = [
+        F.sum(((h.bitwiseAND(F.lit(1 << b)) != 0).cast("int") * 2 - 1)).alias(f"s_{b}")
+        for b in range(32)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = sum(
+        F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)
+    )
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.4
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Shingle-inverted-index join: pairs only materialize for docs
+    sharing a shingle. Exact but quadratic in bucket size — the LSH
+    variant is the 100 TB path; this is the precision baseline.
+    """
+    sh = exploded_shingles(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine similarity (fixed-point dot products → deterministic)
+# ---------------------------------------------------------------------------
+
+# Quantize components at 2^-20: x*2^20 is EXACT in binary floating point
+# (pure exponent shift), so floor() yields identical integers in every
+# engine — unlike float→decimal casts, whose rounding is engine-defined.
+FIXED_POINT_SCALE = 1 << 20
+
+
+def fixed_point(x: Column) -> Column:
+    return F.floor(x.cast("double") * FIXED_POINT_SCALE).cast("long")
+
+
+def _fx_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of fixed-point-quantized vectors.
+    |component| < 1 → products < 2^40; 64-dim sums ≪ 2^63."""
+    prods = F.zip_with(a, b, lambda x, y: fixed_point(x) * fixed_point(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine_against(query_vec: Column, vec: Column) -> Column:
+    """cosine(query, vec) with deterministic cross-engine arithmetic:
+    integer dot/norms, then the same double expression order."""
+    dot = _fx_dot(vec, query_vec).cast("double")
+    na = _fx_dot(vec, vec).cast("double")
+    nb = _fx_dot(query_vec, query_vec).cast("double")
+    return dot / F.sqrt(na * nb)

@@ -1,0 +1,85 @@
+"""Text-analysis functions for the LLM-data pipeline (SURVEY.md §7
+phase 4): tokenization, token counting, quality scoring, language ID,
+and document fingerprinting over the ``documents`` table.
+
+All pure ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd,
+no Python in the hot path. Each has an exact SQL twin used by the
+DuckDB oracles (see queries/llmdata.py), so results are deterministic
+across engines: ratios derive from integer counts with a fixed
+operation order, hashes are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared with the oracle SQL generators — keep sorted & lowercase.
+EN_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+)
+
+# BPE-ish unit: letter runs, single digits, or single non-alnum marks.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def ws_tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), " +"), lambda t: t != "")
+
+
+def ws_token_count(text: str | Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Sub-word-ish token count via TOKEN_REGEX (regexp_count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
+
+
+def stopword_hits(text: str | Column) -> Column:
+    """Number of whitespace tokens that are English stopwords."""
+    toks = ws_tokens(text)
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+
+
+def quality_features(text: str | Column) -> dict[str, Column]:
+    """Deterministic quality features: all ratios are (int count) /
+    (int count) in double — same op order as the oracle SQL."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tokens = ws_token_count(c)
+    n_stop = stopword_hits(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": (n_chars - (n_tokens - F.lit(1)))
+        .cast("double")
+        / n_tokens,
+        "stopword_ratio": n_stop.cast("double") / n_tokens,
+        "alpha_ratio": n_alpha.cast("double") / n_chars,
+    }
+
+
+def lang_id_en(text: str | Column, threshold: float = 0.03) -> Column:
+    """N-gram-free heuristic language ID: stopword-hit ratio over
+    whitespace tokens → 'en' when above threshold, else 'unk'.
+    (A tiny, deterministic stand-in for fastText-style LID; the real
+    decode hook would slot into the same column contract.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    ratio = stopword_hits(c).cast("double") / ws_token_count(c)
+    return F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (lowercased). Identical duplicates — including
+    shuffled-word permutations — collide; anything else doesn't."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_sort(F.array_distinct(F.transform(ws_tokens(c), F.lower)))
+    return F.md5(F.array_join(toks, " ").cast("binary"))

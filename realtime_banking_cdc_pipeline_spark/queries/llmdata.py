@@ -1,5 +1,492 @@
-"""LLM-training-data pipeline queries over documents/embeddings
-(BASELINE.json north star; SURVEY.md §7 phase 4): dedup, similarity
-search, text analysis. Filled in by functions/ as operators land."""
+"""LLM-training-data pipeline queries over ``documents``/``embeddings``
+(BASELINE.json north star; SURVEY.md §7 phase 4): text analysis, exact
+and fuzzy dedup (fingerprint, MinHash+LSH, SimHash, n-gram Jaccard),
+embedding similarity search (brute-force cosine + random-hyperplane LSH
+buckets), and multimodal binary plumbing.
+
+Every oracle is *generated* from the same constants the Spark
+implementation uses (stopword list, MinHash coefficients, hyperplane
+signs), so both engines evaluate literally the same math. Hashing is
+md5-only; hex→int is Spark ``conv`` / DuckDB ``CAST('0x'||… AS
+BIGINT)``; all fractional outputs derive from exact integer/decimal
+aggregates (see queries/_det.py for why)."""
 
 from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    cosine_against,
+    lsh_band_pairs,
+    minhash_coeffs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash32,
+    word_shingles,
+)
+from ..functions.text import (
+    EN_STOPWORDS,
+    TOKEN_REGEX,
+    bpe_token_count,
+    fingerprint,
+    lang_id_en,
+    quality_features,
+    ws_token_count,
+    ws_tokens,
+)
+from ..sources.parquet_io import read_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring functions/text.py + similarity.py
+# ---------------------------------------------------------------------------
+
+_DD_TOKS = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+_DD_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+_DD_NSTOP = (
+    f"len(list_filter({_DD_TOKS}, x -> list_contains({_DD_STOPLIST}, lower(x))))"
+)
+_DD_NTOK = f"len({_DD_TOKS})"
+
+
+def _dd_md5_long(expr: str, n_hex: int) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, {n_hex}) AS BIGINT)"
+
+
+def _dd_shingles(k: int) -> str:
+    """DuckDB twin of functions.similarity.word_shingles over `toks`."""
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {k - 1}, 1)), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_XTOK_SQL = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST({_DD_NTOK} AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@query(
+    "x_token_stats",
+    _XTOK_SQL,
+    doc="Token counting: whitespace + BPE-ish regex units (JVM regexp_count, no UDF).",
+    bench=True,
+)
+def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        ws_token_count("text").cast("bigint").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+_XQ_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_DD_NTOK} AS n_tokens,
+         {_DD_NSTOP} AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+  0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+    + 0.5 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality_score
+FROM f
+"""
+
+
+@query(
+    "x_quality_score",
+    _XQ_SQL,
+    doc="Document quality scoring from length/stopword/alpha ratios (all integer-count derived).",
+)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    score = (
+        F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]
+    )
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("bigint").alias("n_chars"),
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_XL_SQL = f"""
+SELECT doc_id, lang,
+  CASE WHEN CAST({_DD_NSTOP} AS DOUBLE) / {_DD_NTOK} > 0.03
+       THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+
+@query(
+    "x_lang_id",
+    _XL_SQL,
+    doc="Heuristic language ID via stopword-hit ratio (fastText-shaped column contract).",
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", lang_id_en("text").alias("lang_pred"))
+
+
+_XFP_SQL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_sort(list_distinct(list_transform({_DD_TOKS}, x -> lower(x)))),
+             ' ')) AS fp
+  FROM documents
+)
+SELECT f.doc_id, f.fp, c.cluster_size
+FROM fp f
+JOIN (SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM fp GROUP BY fp) c
+  USING (fp)
+"""
+
+
+@query(
+    "x_fingerprint",
+    _XFP_SQL,
+    doc="Document fingerprinting: md5 over sorted distinct token set + cluster sizes (bag-of-words dup detector).",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    return d.select(
+        "doc_id", "fp", F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size")
+    )
+
+
+_XDE_SQL = """
+WITH g AS (
+  SELECT text, COUNT(*) AS n, MIN(doc_id) AS canonical_id
+  FROM documents GROUP BY text
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(n - 1) AS BIGINT) AS n_removable,
+       MIN(canonical_id) AS min_canonical_id
+FROM g
+"""
+
+
+@query(
+    "x_dedup_exact",
+    _XDE_SQL,
+    doc="Exact dedup: hash-groupBy on content → corpus dedup stats (canonical = min id; single shuffle).",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canonical_id")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_texts"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_removable"),
+        F.min("canonical_id").alias("min_canonical_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _dd_minhash_cte(k: int = 3) -> str:
+    sig_exprs = ",\n  ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS sig_{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(MINHASH_PERMS))
+    )
+    return f"""
+toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dd_shingles(k)}) AS shingle FROM toks),
+h AS (SELECT doc_id, {_dd_md5_long('shingle', 7)} AS h FROM sh),
+sig AS (SELECT doc_id,
+  {sig_exprs}
+FROM h GROUP BY doc_id)
+"""
+
+
+_XMH_SQL = f"""
+WITH {_dd_minhash_cte()}
+SELECT * FROM sig
+"""
+
+
+@query(
+    "x_minhash_signature",
+    _XMH_SQL,
+    doc="MinHash signatures (16 perms, md5 base hash, 2^31-1 universe): shingle explode + one groupBy of min-aggs.",
+    bench=True,
+)
+def x_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+def _dd_lsh_pairs_sql() -> str:
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH {_dd_minhash_cte()},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({match_sum} AS INTEGER) AS n_matching,
+       CAST({match_sum} AS DOUBLE) / {MINHASH_PERMS} AS jaccard_est
+FROM banded a JOIN banded b
+  ON a.doc_id < b.doc_id AND ({or_cond})
+WHERE {match_sum} >= 4
+"""
+
+
+@query(
+    "x_minhash_lsh_pairs",
+    _dd_lsh_pairs_sql(),
+    doc="LSH candidate pairs (4 bands × 4 rows) with estimated Jaccard ≥ 0.25 — the 100TB-scale near-dup path.",
+)
+def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signature(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+    return pairs.filter(F.col("n_matching") >= 4).select(
+        "id_a", "id_b", F.col("n_matching").cast("int").alias("n_matching"), "jaccard_est"
+    )
+
+
+def _dd_simhash_sql() -> str:
+    s_exprs = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS BIGINT) AS s_{b}"
+        for b in range(32)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks),
+h AS (SELECT doc_id, {_dd_md5_long('tok', 8)} AS h FROM tok),
+s AS (SELECT doc_id, {s_exprs} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM s
+"""
+
+
+@query(
+    "x_simhash",
+    _dd_simhash_sql(),
+    doc="32-bit SimHash fingerprints (sign of per-bit ±1 sums over md5 token hashes).",
+)
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash32(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_XNJ_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dd_shingles(5)}) AS shingle FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+
+@query(
+    "x_ngram_jaccard_pairs",
+    _XNJ_SQL,
+    doc="Exact 5-gram Jaccard near-dup pairs via shingle inverted-index join (precision baseline for LSH).",
+)
+def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=5, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_FXQ = "CAST(FLOOR(CAST({v} AS DOUBLE) * 1048576) AS BIGINT)"
+
+_XCOS_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+dots AS (
+  SELECT vec_id,
+         SUM({_FXQ.format(v='a')} * {_FXQ.format(v='b')}) AS dot,
+         SUM({_FXQ.format(v='a')} * {_FXQ.format(v='a')}) AS na
+  FROM pairs GROUP BY vec_id
+),
+qn AS (
+  SELECT SUM({_FXQ.format(v='x')} * {_FXQ.format(v='x')}) AS nb
+  FROM (SELECT unnest(qv) AS x FROM q)
+)
+SELECT vec_id,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+FROM dots, qn
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query(
+    "x_ann_cosine_topk",
+    _XCOS_SQL,
+    doc="Brute-force cosine top-k (exact decimal dot products → deterministic; TakeOrdered, no global sort).",
+    bench=True,
+)
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_against(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def _hyperplane_signs(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """±1 hyperplane components from md5 — computed in Python, emitted
+    as literals into BOTH engines (no cross-engine hashing needed)."""
+    signs = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"hyperplane-{j}-{i}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def _dd_lsh_bucket_sql() -> str:
+    signs = _hyperplane_signs()
+    values = ",\n  ".join(
+        f"({i + 1}, " + ", ".join(str(signs[j][i]) for j in range(8)) + ")"
+        for i in range(64)
+    )
+    projs = ",\n  ".join(
+        f"SUM(s.s{j} * {_FXQ.format(v='e.v')}) AS p_{j}" for j in range(8)
+    )
+    bucket = " + ".join(f"(CASE WHEN p_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    cols = ", ".join(f"s{j}" for j in range(8))
+    return f"""
+WITH signs(i, {cols}) AS (VALUES
+  {values}
+),
+e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+p AS (SELECT vec_id, {projs}
+      FROM e JOIN signs s USING (i) GROUP BY vec_id)
+SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM p
+"""
+
+
+@query(
+    "x_ann_lsh_buckets",
+    _dd_lsh_bucket_sql(),
+    doc="Random-hyperplane LSH bucketing (8-bit signature) — the scale path for ANN: search only the query's bucket.",
+)
+def x_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import fixed_point
+
+    signs = _hyperplane_signs()
+    emb = _emb(spark, sf_dir)
+    bucket = None
+    out = emb.select("vec_id", "embedding")
+    for j in range(8):
+        sv = F.array(*[F.lit(s).cast("long") for s in signs[j]])
+        prods = F.zip_with(sv, F.col("embedding"), lambda s, v: s * fixed_point(v))
+        proj = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
+        term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return out.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+_XMM_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE CAST(ascii(substr(text, 1, 1)) AS INTEGER) END AS head_byte
+FROM documents
+"""
+
+
+@query(
+    "x_multimodal_features",
+    _XMM_SQL,
+    doc="Multimodal binary-column plumbing: mapInPandas (Arrow-batched) feature extraction over opaque payloads; decode stubbed (functions/multimodal.py).",
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import extract_binary_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_binary_features(media)
