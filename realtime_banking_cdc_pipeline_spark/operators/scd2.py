@@ -103,6 +103,54 @@ def scd2_apply(
     return closed_v.select(*data_cols, *SCD2_COLS).unionByName(old_side).unionByName(new_side)
 
 
+def scd2_merge_images(
+    snapshot: DataFrame | None,
+    images: DataFrame,
+    key: str,
+    check_cols: Sequence[str],
+    as_of_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge a batch that may contain MULTIPLE change images per key,
+    preserving every intermediate version (unlike :func:`scd2_apply`,
+    which folds to the newest image — dbt's snapshot cadence).
+
+    Mechanics: union the open snapshot versions (as images effective at
+    their ``valid_from``, ranked before same-instant batch images) with
+    the batch, replay per key via :func:`scd2_from_change_log`, and
+    reattach the immutable closed history. Redelivered duplicates
+    collapse as no-op images (idempotent); a no-op first batch image
+    keeps the open version's original ``valid_from``.
+
+    Late images older than an already-*closed* version are chained
+    relative to the open version only — rewriting closed history would
+    require a full replay (use scd2_from_change_log over the complete
+    log for backfills).
+    """
+    if snapshot is None:
+        return scd2_from_change_log(images, key, as_of_col, tiebreak_cols, check_cols)
+
+    data_cols = list(images.columns)
+    open_images = (
+        snapshot.filter(F.col("is_current"))
+        .withColumn(as_of_col, F.col("valid_from"))
+        .select(*data_cols)
+        .withColumn("__src", F.lit(0))
+    )
+    closed_v = snapshot.filter(~F.col("is_current")).select(
+        *data_cols, *SCD2_COLS
+    )
+    batch = images.select(*data_cols).withColumn("__src", F.lit(1))
+    replayed = scd2_from_change_log(
+        open_images.unionByName(batch),
+        key,
+        as_of_col,
+        ["__src", *tiebreak_cols],
+        check_cols,
+    ).drop("__src")
+    return closed_v.unionByName(replayed.select(*data_cols, *SCD2_COLS))
+
+
 def scd2_from_change_log(
     log: DataFrame,
     key: str,

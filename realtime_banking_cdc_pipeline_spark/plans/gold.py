@@ -31,7 +31,9 @@ def build_dim(snapshot: DataFrame, key_alias: str | None = None) -> DataFrame:
             F.when(F.col("effective_to").isNull(), F.lit(True)).otherwise(F.lit(False)),
         )
     )
-    return out
+    # audit columns stay internal to the snapshot (dim shape per
+    # dim_customers.sql:3-16 / FIXTURES.md §3)
+    return out.drop("event_ts", "lsn")
 
 
 def build_fact_transactions(

@@ -31,22 +31,40 @@ def _deduped(bronze: DataFrame) -> DataFrame:
     return dedup_latest(bronze, ["id"], ["created_at", "ts_ms", "lsn"])
 
 
-def stg_customers(bronze_customers: DataFrame) -> DataFrame:
-    """stg_customers.sql:5-26 — cast, rename, dedup-latest."""
-    d = _deduped(bronze_customers)
+# CDC event-time audit columns. The reference's staging drops them, but
+# its schema has no updated_at (postgres/schema.sql:4-10): created_at is
+# frozen on UPDATE, so event time is the only usable SCD2 effective time
+# and dedup tiebreak (SURVEY.md §2.5 ordering note). Gold models drop
+# them at the boundary, matching the reference's output shapes.
+_AUDIT = (
+    lambda: (  # noqa: E731
+        F.timestamp_millis(F.col("ts_ms")).alias("event_ts"),
+        F.col("lsn"),
+        F.current_timestamp().alias("load_timestamp"),
+    )
+)
+
+
+def stg_customers(bronze_customers: DataFrame, latest_only: bool = True) -> DataFrame:
+    """stg_customers.sql:5-26 — cast, rename, dedup-latest.
+
+    ``latest_only=False`` keeps every change image (ordered by event
+    time) — the input SCD2 snapshots need to build full version chains.
+    """
+    d = _deduped(bronze_customers) if latest_only else bronze_customers
     return d.select(
         F.col("id").cast("string").alias("customer_id"),
         F.col("first_name"),
         F.col("last_name"),
         F.col("email"),
         _TS("created_at").alias("created_at"),
-        F.current_timestamp().alias("load_timestamp"),
+        *_AUDIT(),
     )
 
 
-def stg_accounts(bronze_accounts: DataFrame) -> DataFrame:
+def stg_accounts(bronze_accounts: DataFrame, latest_only: bool = True) -> DataFrame:
     """stg_accounts.sql:5-28."""
-    d = _deduped(bronze_accounts)
+    d = _deduped(bronze_accounts) if latest_only else bronze_accounts
     return d.select(
         F.col("id").cast("string").alias("account_id"),
         F.col("customer_id").cast("string").alias("customer_id"),
@@ -54,7 +72,7 @@ def stg_accounts(bronze_accounts: DataFrame) -> DataFrame:
         F.col("balance").cast("double").alias("balance"),
         F.col("currency"),
         _TS("created_at").alias("created_at"),
-        F.current_timestamp().alias("load_timestamp"),
+        *_AUDIT(),
     )
 
 

@@ -1,0 +1,121 @@
+"""End-to-end CDC fixture test (SURVEY.md §5 item 2): synthetic Debezium
+envelopes → Bronze → Silver → Gold; SCD2 version chains and fact counts
+asserted against the generator's tracked goldens, including the edge
+cases the reference README names (nulls, duplicates, deletes,
+out-of-order, redelivery, equal-timestamp tiebreaks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_banking_cdc_pipeline_spark.plans.medallion import (
+    MedallionState,
+    bronze_from_kafka_frames,
+    run_pipeline,
+    run_quality_suite,
+)
+
+
+def test_bronze_normalization_modes(spark, fixture_frames):
+    bronze_compat = bronze_from_kafka_frames(fixture_frames, drop_deletes=True)
+    bronze_full = bronze_from_kafka_frames(fixture_frames, drop_deletes=False)
+    # compat mode reproduces the reference consumer: no delete rows at all
+    assert bronze_compat["customers"].filter(F.col("op") == "d").count() == 0
+    # correct mode surfaces deletes with the before-image
+    deletes = bronze_full["customers"].filter(F.col("_deleted"))
+    assert deletes.count() > 0
+    assert deletes.filter(F.col("id").isNull()).count() == 0
+
+
+def test_end_to_end_gold(spark, banking_fixture, fixture_frames):
+    state, gold = run_pipeline(spark, fixture_frames)
+
+    # fact: one row per transaction id (redelivered events folded)
+    fact = gold["fact_transactions"]
+    expected_txns = banking_fixture.expected_current["transactions"]
+    assert fact.count() == len(expected_txns)
+
+    # denormalized customer_id matches the account->customer wiring
+    sample = fact.filter(F.col("customer_id").isNotNull()).limit(20).collect()
+    accounts = banking_fixture.expected_current["accounts"]
+    for r in sample:
+        assert int(r["customer_id"]) == accounts[int(r["account_id"])]["customer_id"]
+
+    # transfers carry counterparties, others don't (related_account_id nulls)
+    assert (
+        fact.filter(
+            (F.col("transaction_type") == "TRANSFER")
+            & F.col("related_account_id").isNull()
+        ).count()
+        == 0
+    )
+    assert (
+        fact.filter(
+            (F.col("transaction_type") != "TRANSFER")
+            & F.col("related_account_id").isNotNull()
+        ).count()
+        == 0
+    )
+
+    # SCD2 version counts per key match the golden check-strategy count
+    dim = gold["dim_customers"]
+    got = {
+        int(r["customer_id"]): r["n"]
+        for r in dim.groupBy("customer_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == banking_fixture.expected_versions["customers"]
+
+    # current dim rows carry the latest images (equal-created_at tiebreak
+    # resolved by ts_ms: the fnNx first_name must win)
+    cur = {
+        int(r["customer_id"]): r["first_name"]
+        for r in dim.filter(F.col("is_current")).collect()
+    }
+    for cid, img in banking_fixture.expected_current["customers"].items():
+        assert cur[cid] == img["first_name"]
+
+    run_quality_suite(gold)
+
+
+def test_scd2_chains_are_contiguous(spark, fixture_frames):
+    _, gold = run_pipeline(spark, fixture_frames)
+    dim = gold["dim_accounts"]
+    rows = dim.orderBy("account_id", "effective_from").collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["account_id"], []).append(r)
+    for chain in by_key.values():
+        assert sum(1 for r in chain if r["is_current"]) == 1
+        for a, b in zip(chain, chain[1:]):
+            assert a["effective_to"] == b["effective_from"]  # gap-free
+        assert chain[-1]["effective_to"] is None
+
+
+def test_incremental_second_batch(spark, banking_fixture, fixture_frames):
+    """Split the event stream in two and run the pipeline twice — the
+    final Gold must match the single-shot run (dbt's snapshot-then-
+    incremental cadence, scd_snapshots.py:16)."""
+    frames = fixture_frames.cache()
+    half = frames.count() // 2
+    # split on lsn embedded in the envelope (stable, not arrival order)
+    lsn = F.get_json_object("value", "$.payload.source.lsn").cast("long")
+    first = frames.filter(lsn <= half)
+    second = frames.filter(lsn > half)
+
+    state, _ = run_pipeline(spark, first)
+    state, gold2 = run_pipeline(spark, second, state=state)
+    _, gold_single = run_pipeline(spark, frames)
+
+    def counts(df, keys):
+        return sorted(tuple(r) for r in df.select(*keys).collect())
+
+    assert counts(gold2["fact_transactions"], ["transaction_id", "amount"]) == counts(
+        gold_single["fact_transactions"], ["transaction_id", "amount"]
+    )
+    # current rows agree with the goldens in both cadences
+    cur2 = {
+        int(r["customer_id"]): r["email"]
+        for r in gold2["dim_customers"].filter(F.col("is_current")).collect()
+    }
+    for cid, img in banking_fixture.expected_current["customers"].items():
+        assert cur2[cid] == img["email"]

@@ -1,0 +1,127 @@
+"""Operator-level tests: dedup tiebreaks, SCD2 edge cases, incremental
+merge idempotency — the FIXTURES.md §2 edge-case list at unit scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_banking_cdc_pipeline_spark.operators.dedup import dedup_latest
+from realtime_banking_cdc_pipeline_spark.operators.incremental import incremental_merge
+from realtime_banking_cdc_pipeline_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_from_change_log,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _rows(spark, data, schema="id long, v string, ts timestamp, seq long"):
+    return spark.createDataFrame(data, schema)
+
+
+def test_dedup_latest_tiebreak_deterministic(spark):
+    # equal ts → seq (lsn analog) must break the tie, not arrival order
+    df = _rows(
+        spark,
+        [
+            (1, "old", T0, 1),
+            (1, "new", T0, 2),  # same ts, later seq wins
+            (2, "only", T0, 1),
+        ],
+    )
+    out = {r["id"]: r["v"] for r in dedup_latest(df, ["id"], ["ts", "seq"]).collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_dedup_latest_redelivery_idempotent(spark):
+    base = [(1, "a", T0, 1), (1, "b", T0 + dt.timedelta(seconds=1), 2)]
+    df = _rows(spark, base + base)  # exact duplicates redelivered
+    out = dedup_latest(df, ["id"], ["ts", "seq"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "b"
+
+
+def test_scd2_replay_collapses_noop_updates(spark):
+    log = _rows(
+        spark,
+        [
+            (1, "x", T0, 1),
+            (1, "x", T0 + dt.timedelta(minutes=1), 2),  # no-op: no new version
+            (1, "y", T0 + dt.timedelta(minutes=2), 3),  # change
+        ],
+    )
+    hist = scd2_from_change_log(
+        log, key="id", as_of_col="ts", tiebreak_cols=["seq"], check_cols=["v"]
+    ).collect()
+    assert len(hist) == 2
+    current = [h for h in hist if h["is_current"]]
+    assert len(current) == 1 and current[0]["v"] == "y"
+    closed = [h for h in hist if not h["is_current"]][0]
+    assert closed["valid_to"] == current[0]["valid_from"]
+
+
+def test_scd2_apply_full_cycle(spark):
+    snap = scd2_apply(
+        None,
+        _rows(spark, [(1, "a", T0, 1), (2, "b", T0, 2)]),
+        key="id",
+        check_cols=["v"],
+        as_of_col="ts",
+        tiebreak_cols=["seq"],
+    )
+    t1 = T0 + dt.timedelta(hours=1)
+    updates = _rows(
+        spark,
+        [
+            (1, "a2", t1, 3),   # changed → close + open
+            (2, "b", t1, 4),    # no-op → keep
+            (3, "c", t1, 5),    # brand new → open
+            (3, "c2", t1, 6),   # intra-batch second change → only latest applies
+        ],
+    )
+    out = scd2_apply(
+        snap, updates, key="id", check_cols=["v"], as_of_col="ts", tiebreak_cols=["seq"]
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["id"], []).append(r)
+    assert {r["v"] for r in by_key[1]} == {"a", "a2"}
+    assert [r for r in by_key[1] if r["is_current"]][0]["v"] == "a2"
+    assert [r for r in by_key[1] if not r["is_current"]][0]["valid_to"] == t1
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+    assert len(by_key[3]) == 1 and by_key[3][0]["v"] == "c2"
+
+
+def test_scd2_apply_redelivered_batch_is_idempotent(spark):
+    snap = scd2_apply(
+        None, _rows(spark, [(1, "a", T0, 1)]),
+        key="id", check_cols=["v"], as_of_col="ts", tiebreak_cols=["seq"],
+    )
+    t1 = T0 + dt.timedelta(hours=1)
+    batch = _rows(spark, [(1, "b", t1, 2)])
+    once = scd2_apply(snap, batch, "id", ["v"], "ts", ["seq"])
+    twice = scd2_apply(once, batch, "id", ["v"], "ts", ["seq"])
+    assert sorted(
+        [(r["id"], r["v"], r["is_current"]) for r in twice.collect()]
+    ) == sorted([(r["id"], r["v"], r["is_current"]) for r in once.collect()])
+
+
+def test_incremental_merge_upsert_and_idempotency(spark):
+    target = _rows(spark, [(1, "a", T0, 1), (2, "b", T0, 2)])
+    t1 = T0 + dt.timedelta(hours=1)
+    batch = _rows(spark, [(2, "b2", t1, 3), (3, "c", t1, 4)])
+    merged = incremental_merge(target, batch, "id", order_by=["ts", "seq"])
+    out = {r["id"]: r["v"] for r in merged.collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+    again = incremental_merge(merged, batch, "id", order_by=["ts", "seq"])
+    assert {r["id"]: r["v"] for r in again.collect()} == out
+
+
+def test_incremental_merge_high_water_mark_filters_stale(spark):
+    target = _rows(spark, [(1, "new", T0 + dt.timedelta(hours=2), 5)])
+    stale_batch = _rows(spark, [(9, "stale", T0, 1)])
+    merged = incremental_merge(
+        target, stale_batch, "id", order_by=["ts", "seq"], hwm_col="ts"
+    )
+    assert {r["id"] for r in merged.collect()} == {1}

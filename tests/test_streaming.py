@@ -1,0 +1,104 @@
+"""Structured Streaming tests: fixture file-source → medallion pipeline
+via foreachBatch (exactly-once per checkpoint), in-stream dedup, and
+event-time windowed aggregates vs their batch twins."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_banking_cdc_pipeline_spark.plans.medallion import (
+    MedallionState,
+    run_pipeline,
+)
+from realtime_banking_cdc_pipeline_spark.sources import fixtures
+from realtime_banking_cdc_pipeline_spark.streaming.analytics import (
+    session_aggregates,
+    sliding_velocity,
+    tumbling_counts,
+)
+from realtime_banking_cdc_pipeline_spark.streaming.ingest import (
+    read_fixture_stream,
+    start_pipeline_stream,
+    with_stream_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(banking_fixture):
+    d = tempfile.mkdtemp(prefix="cdc_fixture_")
+    fixtures.write_fixture_json(banking_fixture, d)
+    return d
+
+
+def test_streaming_pipeline_matches_batch(spark, banking_fixture, fixture_dir,
+                                          fixture_frames):
+    stream = with_stream_dedup(read_fixture_stream(spark, fixture_dir))
+    state = MedallionState.empty()
+    results = {}
+
+    def on_batch(batch_df, epoch_id):
+        nonlocal state
+        batch = batch_df.select("topic", "key", "value", "ts").cache()
+        new_state, gold = run_pipeline(spark, batch, state=state)
+        state = new_state
+        # materialize per-batch (checkpointed sinks would persist here)
+        results["fact_count"] = gold["fact_transactions"].count()
+        results["dim_current"] = {
+            int(r["customer_id"]): r["email"]
+            for r in gold["dim_customers"].filter(F.col("is_current")).collect()
+        }
+
+    q = start_pipeline_stream(
+        spark, stream, on_batch, tempfile.mkdtemp(prefix="ckpt_")
+    )
+    q.awaitTermination(120)
+
+    assert results["fact_count"] == len(
+        banking_fixture.expected_current["transactions"]
+    )
+    for cid, img in banking_fixture.expected_current["customers"].items():
+        assert results["dim_current"][cid] == img["email"]
+
+
+def test_windowed_aggregates_stream_vs_batch(spark, fixture_dir):
+    """Streaming tumbling counts (availableNow, complete mode via memory
+    sink) equal the batch computation on the same frames."""
+    stream = read_fixture_stream(spark, fixture_dir)
+    agg = tumbling_counts(stream, "ts", ["topic"], window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"], r["topic"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+
+    batch = spark.read.json(fixture_dir).select(
+        "topic", F.timestamp_millis(F.col("ts").cast("long")).alias("ts")
+    )
+    want = {
+        (r["w"]["start"], r["topic"]): r["n_events"]
+        for r in tumbling_counts(batch, "ts", ["topic"], window="1 hour").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_and_session_windows_batch_semantics(spark, fixture_frames):
+    frames = fixture_frames
+    slid = sliding_velocity(frames, "ts", "topic", window="1 hour", slide="30 minutes")
+    assert slid.filter(F.col("n_events") <= 0).count() == 0
+    # every event lands in exactly window/slide = 2 sliding windows
+    total = frames.count()
+    assert (
+        slid.agg(F.sum("n_events").alias("s")).collect()[0]["s"] == 2 * total
+    )
+    sess = session_aggregates(frames, "ts", "topic", gap="30 minutes")
+    assert sess.agg(F.sum("n_events").alias("s")).collect()[0]["s"] == total
