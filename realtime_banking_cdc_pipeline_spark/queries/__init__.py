@@ -22,6 +22,7 @@ from __future__ import annotations
 from .registry import QUERIES, QuerySpec, query  # noqa: F401
 from . import core  # noqa: F401,E402  (registers core operator queries)
 from . import cdc  # noqa: F401,E402  (SCD2 / incremental / sessionization)
+from . import extra  # noqa: F401,E402  (set ops, pivot, JSON, as-of join)
 from . import llmdata  # noqa: F401,E402  (dedup/similarity/text extensions)
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

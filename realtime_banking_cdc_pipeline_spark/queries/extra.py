@@ -1,0 +1,256 @@
+"""Second-wave operator coverage: remaining SURVEY.md §2 aggregates
+(A2 counts, A4 reconciliation), set operations, pivot, JSON field
+extraction (the VARIANT-access analog), exact distinct counts, and the
+as-of join extension."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..sources.parquet_io import read_table
+from ._det import dec, dsum, events_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# A2 — COUNT(*) sanity surface (readme.md:689)
+# ---------------------------------------------------------------------------
+
+_A2_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+  (SELECT COUNT(*) FROM customer) AS n_customers,
+  (SELECT COUNT(*) FROM events) AS n_events
+"""
+
+
+@query(
+    "a2_table_counts",
+    _A2_SQL,
+    doc="A2 COUNT(*) sanity queries across the star schema.",
+)
+def a2_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cnt(name, alias):
+        return read_table(spark, sf_dir, name).agg(F.count(F.lit(1)).alias(alias))
+
+    return (
+        cnt("orders", "n_orders")
+        .crossJoin(cnt("lineitem", "n_lineitems"))
+        .crossJoin(cnt("customer", "n_customers"))
+        .crossJoin(events_table(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_events")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — aggregate reconciliation (readme.md:251): fact totals vs dim sums
+# ---------------------------------------------------------------------------
+
+_A4_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS cust_rev
+  FROM orders GROUP BY o_custkey
+),
+direct AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_direct,
+         COUNT(*) AS n_orders
+  FROM orders
+),
+rolled AS (
+  SELECT CAST(SUM(cust_rev) AS DOUBLE) AS total_rolled,
+         COUNT(*) AS n_custs
+  FROM per_cust
+)
+SELECT total_direct, total_rolled,
+       (total_direct = total_rolled) AS reconciled,
+       n_orders, n_custs
+FROM direct, rolled
+"""
+
+
+@query(
+    "a4_reconciliation",
+    _A4_SQL,
+    doc="A4 aggregate reconciliation: per-key rollup re-aggregated equals the direct total (exact decimal).",
+)
+def a4_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    price = dec("o_totalprice", 12, 2)
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(price).alias("cust_rev"))
+    direct = orders.agg(
+        F.sum(price).cast("double").alias("total_direct"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rolled = per_cust.agg(
+        F.sum("cust_rev").cast("double").alias("total_rolled"),
+        F.count(F.lit(1)).alias("n_custs"),
+    )
+    return direct.crossJoin(rolled).select(
+        "total_direct",
+        "total_rolled",
+        (F.col("total_direct") == F.col("total_rolled")).alias("reconciled"),
+        "n_orders",
+        "n_custs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT — SURVEY §2.6 gap, built-ins)
+# ---------------------------------------------------------------------------
+
+_SETOPS_SQL = """
+SELECT 'error_no_purchase' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT 'error_and_signup' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+)
+"""
+
+
+@query(
+    "set_ops_cohorts",
+    _SETOPS_SQL,
+    doc="EXCEPT / INTERSECT / UNION ALL cohort analysis (set-op surface).",
+)
+def set_ops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    no_purchase = users("error").exceptAll(users("purchase")).distinct()
+    and_signup = users("error").intersect(users("signup"))
+    return no_purchase.select(
+        F.lit("error_no_purchase").alias("cohort"), "user_id"
+    ).unionByName(and_signup.select(F.lit("error_and_signup").alias("cohort"), "user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation; portable oracle via conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "agg_pivot_event_types",
+    _PIVOT_SQL,
+    doc="Pivot: per-user event-type count matrix (fixed value list → no extra pass).",
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 analog — JSON field extraction (VARIANT access; stg_*.sql `v:field::type`)
+# ---------------------------------------------------------------------------
+
+_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50) AS k_high
+FROM events
+"""
+
+
+@query(
+    "p1_json_extract",
+    _JSON_SQL,
+    doc="P1 semi-structured field extraction + cast (the stg `v:field::type` VARIANT pattern).",
+)
+def p1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id", k.alias("k_value"), (k >= 50).alias("k_high")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts (approx_count_distinct's oracle-able twin)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query(
+    "a_distinct_users",
+    _DISTINCT_SQL,
+    doc="Exact COUNT(DISTINCT) per group (approx_count_distinct exposed engine-side; HLL sketches differ per engine so the oracle checks the exact twin).",
+)
+def a_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py) vs DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+       v.value AS view_value, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+"""
+
+
+@query(
+    "asof_last_view_before_purchase",
+    _ASOF_SQL,
+    doc="As-of (nearest-earlier) join via union-tag + window carry — single-shuffle composition of an operator Spark lacks; oracle uses DuckDB's native ASOF JOIN.",
+    bench=True,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join_backward(
+        purchases,
+        views,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["view_value", "view_event_id"],
+        tiebreak_col="view_event_id",
+    )

