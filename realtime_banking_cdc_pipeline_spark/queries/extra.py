@@ -254,3 +254,80 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         payload_cols=["view_value", "view_event_id"],
         tiebreak_col="view_event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frame specs: running totals, lag/lead deltas, rank (O2/W surface)
+# ---------------------------------------------------------------------------
+
+_RUN_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  epoch_us(CAST(ts AS TIMESTAMP))
+    - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS us_since_prev,
+  LEAD(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_event_type,
+  CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT)
+    AS value_rank
+FROM events
+"""
+
+
+@query(
+    "w_running_totals",
+    _RUN_SQL,
+    doc="Window frame specs: cumulative decimal sum, lag time-delta, lead, rank — the SCD2/sessionization building blocks exposed directly.",
+)
+def w_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 18, 2)).over(wcum).cast("double").alias("running_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "us_since_prev"
+        ),
+        F.lead("event_type").over(w).alias("next_event_type"),
+        F.rank().over(wrank).cast("bigint").alias("value_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (approx_percentile's oracle-able twin)
+# ---------------------------------------------------------------------------
+
+_PCT_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM events GROUP BY event_type
+"""
+
+
+@query(
+    "a_percentiles",
+    _PCT_SQL,
+    doc="Exact linear-interpolated percentiles per group (p95-analyst-query ops surface, readme.md:153; approx_percentile is the at-scale variant, sketch differs per engine).",
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
