@@ -231,3 +231,84 @@ def cosine_against(query_vec: Column, vec: Column) -> Column:
     na = _fx_dot(vec, vec).cast("double")
     nb = _fx_dot(query_vec, query_vec).cast("double")
     return dot / F.sqrt(na * nb)
+
+
+def random_hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane components from md5 — computed driver-side in
+    Python and emitted as literals into the plan (and into oracle SQL),
+    so no cross-engine hashing is involved."""
+    import hashlib
+
+    signs = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"hyperplane-{j}-{i}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def hyperplane_projections(vec: Column, signs: list[list[int]]) -> list[Column]:
+    """Exact fixed-point projection of ``vec`` onto each sign vector."""
+    projs = []
+    for row in signs:
+        sv = F.array(*[F.lit(s).cast("long") for s in row])
+        prods = F.zip_with(sv, vec, lambda s, v: s * fixed_point(v))
+        projs.append(F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x))
+    return projs
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 4,
+    planes_per_table: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Approximate near-dup pairs: multi-table random-hyperplane LSH for
+    candidate generation, exact fixed-point cosine refine.
+
+    Few planes per table keeps recall up (collision prob (1-θ/π)^p per
+    table), multiple tables union candidates; the exact refine keeps
+    precision at 1. All stages are joins/aggregations on small keys —
+    the 100 TB pattern where brute-force O(n²) cosine is impossible.
+    """
+    signs = random_hyperplane_signs(n_tables * planes_per_table, dim)
+    projs = hyperplane_projections(F.col(vec_col), signs)
+    bucket_cols = []
+    for t in range(n_tables):
+        bits = [
+            F.when(projs[t * planes_per_table + p] > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(planes_per_table)
+        ]
+        bucket_cols.append(sum(bits).cast("int").alias(f"bucket_{t}"))
+    bucketed = emb.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+
+    pairs = None
+    for t in range(n_tables):
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.bucket_{t}") == F.col(f"b.bucket_{t}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+
+    dot = _fx_dot(F.col("va"), F.col("vb")).cast("double")
+    na = _fx_dot(F.col("va"), F.col("va")).cast("double")
+    nb = _fx_dot(F.col("vb"), F.col("vb")).cast("double")
+    cos = dot / F.sqrt(na * nb)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

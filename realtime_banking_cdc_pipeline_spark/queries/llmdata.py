@@ -407,16 +407,11 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplane_signs(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
-    """±1 hyperplane components from md5 — computed in Python, emitted
-    as literals into BOTH engines (no cross-engine hashing needed)."""
-    signs = []
-    for j in range(n_planes):
-        row = []
-        for i in range(dim):
-            h = hashlib.md5(f"hyperplane-{j}-{i}".encode()).digest()[0]
-            row.append(1 if h % 2 == 0 else -1)
-        signs.append(row)
-    return signs
+    """±1 hyperplane components — literals emitted into BOTH engines
+    (see functions.similarity.random_hyperplane_signs)."""
+    from ..functions.similarity import random_hyperplane_signs
+
+    return random_hyperplane_signs(n_planes, dim)
 
 
 def _dd_lsh_bucket_sql() -> str:
@@ -490,3 +485,76 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return extract_binary_features(media)
+
+
+def _dd_lsh_cosine_pairs_sql(n_tables: int = 4, planes: int = 3,
+                             threshold: float = 0.35) -> str:
+    signs = _hyperplane_signs(n_tables * planes)
+    np = n_tables * planes
+    cols = ", ".join(f"s{j}" for j in range(np))
+    values = ",\n  ".join(
+        f"({i + 1}, " + ", ".join(str(signs[j][i]) for j in range(np)) + ")"
+        for i in range(64)
+    )
+    projs = ",\n  ".join(
+        f"SUM(s.s{j} * {_FXQ.format(v='e.v')}) AS p_{j}" for j in range(np)
+    )
+    buckets = ",\n  ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN p_{t * planes + p} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        + f") AS b_{t}"
+        for t in range(n_tables)
+    )
+    or_cond = " OR ".join(f"x.b_{t} = y.b_{t}" for t in range(n_tables))
+    cosine = (
+        "CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))"
+    )
+    return f"""
+WITH signs(i, {cols}) AS (VALUES
+  {values}
+),
+e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+p AS (SELECT vec_id, {projs}
+      FROM e JOIN signs s USING (i) GROUP BY vec_id),
+b AS (SELECT vec_id, {buckets} FROM p),
+cand AS (
+  SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+  FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({or_cond})
+),
+norms AS (SELECT vec_id, SUM({_FXQ.format(v='v')} * {_FXQ.format(v='v')}) AS nn
+          FROM e GROUP BY vec_id),
+dots AS (
+  SELECT c.ia, c.ib, SUM({_FXQ.format(v='ea.v')} * {_FXQ.format(v='eb.v')}) AS dot
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.ia
+  JOIN e eb ON eb.vec_id = c.ib AND ea.i = eb.i
+  GROUP BY c.ia, c.ib
+)
+SELECT d.ia AS id_a, d.ib AS id_b, {cosine} AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.ia
+JOIN norms nb ON nb.vec_id = d.ib
+WHERE {cosine} >= {threshold}
+"""
+
+
+@query(
+    "x_ann_lsh_cosine_pairs",
+    _dd_lsh_cosine_pairs_sql(),
+    doc=(
+        "Embedding near-dup pairs at scale: 4-table × 3-plane hyperplane LSH "
+        "candidate generation + exact fixed-point cosine refine ≥ 0.35 — the "
+        "O(n²)-free ANN dedup path."
+    ),
+)
+def x_ann_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding", dim=64,
+        n_tables=4, planes_per_table=3, threshold=0.35,
+    )

@@ -1,0 +1,115 @@
+"""Property-based invariants (hypothesis) for the CDC core operators,
+checked against pure-Python reference folds on arbitrary tiny change
+logs — the regime where off-by-one tiebreaks and empty-group edge cases
+live. Example counts are kept small (each example runs Spark jobs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_banking_cdc_pipeline_spark.operators.dedup import dedup_latest
+from realtime_banking_cdc_pipeline_spark.operators.incremental import incremental_merge
+from realtime_banking_cdc_pipeline_spark.operators.scd2 import scd2_from_change_log
+
+T0 = dt.datetime(2024, 1, 1)
+
+# (key, value, ts_offset_seconds) — seq is assigned by position (lsn analog)
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _df(spark, log):
+    rows = [
+        (k, v, T0 + dt.timedelta(seconds=ts), seq)
+        for seq, (k, v, ts) in enumerate(log)
+    ]
+    return spark.createDataFrame(rows, "id long, v string, ts timestamp, seq long")
+
+
+def _ordered(log):
+    """Reference ordering: (ts, seq) ascending per key."""
+    rows = [
+        {"id": k, "v": v, "ts": T0 + dt.timedelta(seconds=ts), "seq": seq}
+        for seq, (k, v, ts) in enumerate(log)
+    ]
+    by_key: dict[int, list[dict]] = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["seq"])):
+        by_key.setdefault(r["id"], []).append(r)
+    return by_key
+
+
+@given(events_strategy)
+@_SETTINGS
+def test_dedup_latest_matches_reference(spark, log):
+    got = {
+        r["id"]: (r["v"], r["seq"])
+        for r in dedup_latest(_df(spark, log), ["id"], ["ts", "seq"]).collect()
+    }
+    want = {k: (rs[-1]["v"], rs[-1]["seq"]) for k, rs in _ordered(log).items()}
+    assert got == want
+
+
+@given(events_strategy)
+@_SETTINGS
+def test_scd2_replay_invariants(spark, log):
+    hist = scd2_from_change_log(
+        _df(spark, log), "id", "ts", ["seq"], check_cols=["v"]
+    ).collect()
+
+    # reference fold: collapse consecutive equal values per key
+    want_chains = {}
+    for k, rs in _ordered(log).items():
+        chain = []
+        for r in rs:
+            if not chain or chain[-1] != r["v"]:
+                chain.append(r["v"])
+        want_chains[k] = chain
+
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(r)
+    assert set(by_key) == set(want_chains)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: (r["valid_from"], r["seq"]))
+        # version values match the reference collapse
+        assert [r["v"] for r in rows] == want_chains[k]
+        # exactly one open version, and it is the last
+        assert [r["is_current"] for r in rows] == [False] * (len(rows) - 1) + [True]
+        # gap-free half-open chains
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert rows[-1]["valid_to"] is None
+
+
+@given(events_strategy, events_strategy)
+@_SETTINGS
+def test_incremental_merge_idempotent_and_complete(spark, log_a, log_b):
+    target = dedup_latest(_df(spark, log_a), ["id"], ["ts", "seq"])
+    batch = _df(spark, log_b)
+    m1 = incremental_merge(target, batch, "id", order_by=["ts", "seq"])
+    m2 = incremental_merge(m1, batch, "id", order_by=["ts", "seq"])
+    got1 = sorted((r["id"], r["v"], r["seq"]) for r in m1.collect())
+    got2 = sorted((r["id"], r["v"], r["seq"]) for r in m2.collect())
+    assert got1 == got2  # idempotent under redelivery
+    # batch keys come from the batch's latest image; others from target
+    batch_latest = {k: rs[-1] for k, rs in _ordered(log_b).items()}
+    target_latest = {k: rs[-1] for k, rs in _ordered(log_a).items()}
+    want = dict(target_latest)
+    want.update(batch_latest)
+    assert {k: (v["v"], v["seq"]) for k, v in want.items()} == {
+        r[0]: (r[1], r[2]) for r in got1
+    }
