@@ -76,6 +76,19 @@ def lang_id_en(text: str | Column, threshold: float = 0.03) -> Column:
     return F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unk"))
 
 
+def clean_text(text: str | Column) -> Column:
+    """Training-corpus text normalization chain (all JVM regexps):
+    strip HTML-ish tags → drop non [a-z0-9 .,!?'-] chars → lowercase →
+    collapse whitespace → trim. The SQL twin lives in the oracle for
+    ``x_clean_normalize`` (DuckDB needs the 'g' flag)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 .,!?'-]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
 def fingerprint(text: str | Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (lowercased). Identical duplicates — including

@@ -232,13 +232,13 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _dd_minhash_cte(k: int = 3) -> str:
+def _dd_minhash_cte(k: int = 3, src: str = "documents") -> str:
     sig_exprs = ",\n  ".join(
         f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS sig_{j}"
         for j, (a, b) in enumerate(minhash_coeffs(MINHASH_PERMS))
     )
     return f"""
-toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM {src}),
 sh AS (SELECT doc_id, unnest({_dd_shingles(k)}) AS shingle FROM toks),
 h AS (SELECT doc_id, {_dd_md5_long('shingle', 7)} AS h FROM sh),
 sig AS (SELECT doc_id,
@@ -557,4 +557,157 @@ def x_ann_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(
         _emb(spark, sf_dir), "vec_id", "embedding", dim=64,
         n_tables=4, planes_per_table=3, threshold=0.35,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning / normalization
+# ---------------------------------------------------------------------------
+
+_DD_CLEAN = (
+    "trim(regexp_replace(regexp_replace(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')),"
+    " '[^a-z0-9 .,!?''-]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+_XCL_SQL = f"""
+SELECT doc_id,
+       {_DD_CLEAN} AS clean_text,
+       CAST(length({_DD_CLEAN}) AS BIGINT) AS clean_chars,
+       CAST(length(text) AS BIGINT) AS raw_chars
+FROM documents
+"""
+
+
+@query(
+    "x_clean_normalize",
+    _XCL_SQL,
+    doc="Text cleaning chain: tag strip -> charset filter -> lowercase -> whitespace collapse (JVM regexp, no UDF).",
+)
+def x_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_text
+
+    d = _docs(spark, sf_dir)
+    c = clean_text("text")
+    return d.select(
+        "doc_id",
+        c.alias("clean_text"),
+        F.length(c).cast("bigint").alias("clean_chars"),
+        F.length("text").cast("bigint").alias("raw_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data prep: quality filter -> exact dedup -> near-dup
+# ---------------------------------------------------------------------------
+
+_PREP_QUALITY_MIN = 0.43
+_PREP_TOKENS_MIN = 30
+_PREP_MATCH_MIN = 8  # minhash components (of 16) => est. jaccard >= 0.5
+
+
+def _dd_prep_sql() -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         {_DD_NTOK} AS n_tokens,
+         0.5 * (CAST({_DD_NSTOP} AS DOUBLE) / {_DD_NTOK})
+           + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text)) AS quality_score
+  FROM documents
+),
+qual AS (
+  SELECT doc_id, text FROM feats
+  WHERE quality_score >= {_PREP_QUALITY_MIN} AND n_tokens >= {_PREP_TOKENS_MIN}
+),
+canon AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id FROM qual
+),
+surv AS (SELECT doc_id FROM canon WHERE doc_id = canonical_id),
+surv_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)),
+{_dd_minhash_cte(src="surv_docs")},
+near_removed AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {match_sum} >= {_PREP_MATCH_MIN}
+)
+SELECT f.doc_id,
+       CASE
+         WHEN q.doc_id IS NULL THEN 'low_quality'
+         WHEN s.doc_id IS NULL THEN 'exact_dup'
+         WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         ELSE 'kept'
+       END AS status
+FROM feats f
+LEFT JOIN qual q ON q.doc_id = f.doc_id
+LEFT JOIN surv s ON s.doc_id = f.doc_id
+LEFT JOIN near_removed nr ON nr.doc_id = f.doc_id
+"""
+
+
+@query(
+    "x_training_data_prep",
+    _dd_prep_sql(),
+    doc=(
+        "End-to-end corpus prep pipeline: quality filter -> exact dedup "
+        "(min-id canonical) -> MinHash-LSH near-dup removal (greedy keep-"
+        "smaller-id) -> per-doc disposition. The composition a 100TB "
+        "training-data run executes; every stage is a hash shuffle."
+    ),
+    bench=True,
+)
+def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_features
+
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        (F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]).alias(
+            "quality_score"
+        ),
+    )
+    qual = scored.filter(
+        (F.col("quality_score") >= _PREP_QUALITY_MIN)
+        & (F.col("n_tokens") >= _PREP_TOKENS_MIN)
+    ).select("doc_id", "text")
+    canon = qual.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    surv = canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    surv_docs = d.join(surv, "doc_id").select("doc_id", "text")
+
+    sig = minhash_signature(surv_docs, "doc_id", "text", k=3)
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        (F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}")).cast("int")
+        for j in range(MINHASH_PERMS)
+    )
+    near_removed = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(matches >= _PREP_MATCH_MIN)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        scored.select("doc_id")
+        .join(qual.select("doc_id", F.lit(True).alias("__q")), "doc_id", "left")
+        .join(surv.select("doc_id", F.lit(True).alias("__s")), "doc_id", "left")
+        .join(near_removed.select("doc_id", F.lit(True).alias("__n")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__q").isNull(), "low_quality")
+            .when(F.col("__s").isNull(), "exact_dup")
+            .when(F.col("__n").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
     )
