@@ -102,40 +102,58 @@ def minhash_signature(
 
 
 def lsh_band_pairs(
-    sig: DataFrame, id_col: str, num_perm: int = MINHASH_PERMS, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band (id_a < id_b), with the
     matching-component count for a Jaccard estimate.
 
     Banding: signature split into ``bands`` contiguous groups; band key
-    is the concatenated components. Self-join per band on the key —
-    at scale each band join is a hash join on a short string key with
-    skew handled by AQE; no pairwise blowup outside shared buckets.
+    is the concatenated components. Bands explode into rows so ONE
+    self-equi-join on (band_idx, band_key) covers all bands — a plan
+    with per-band joins re-evaluates the whole signature pipeline per
+    band per side. Signatures are persisted (they're tiny relative to
+    the corpus; at 100 TB you'd checkpoint them to a table anyway).
+    Bucket skew is handled by AQE's skew-join splitting.
     """
     r = num_perm // bands
-    band_cols = [
-        F.concat_ws("-", *[F.col(f"sig_{b * r + i}") for i in range(r)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *[F.col(f"sig_{j}") for j in range(num_perm)], *band_cols)
-    pairs = None
-    for b in range(bands):
-        left = banded.alias("a")
-        right = banded.alias("b")
-        p = left.join(
-            right,
-            (F.col(f"a.band_{b}") == F.col(f"b.band_{b}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
+    if cache:
+        sig = sig.persist()
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "-", *[F.col(f"sig_{b * r + i}") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    sig_cols = [f"sig_{j}" for j in range(num_perm)]
+    banded = sig.select(
+        F.col(id_col), *sig_cols, F.explode(band_entries).alias("band")
+    ).select(
+        F.col(id_col),
+        *sig_cols,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             *[F.col(f"a.sig_{j}").alias(f"a_sig_{j}") for j in range(num_perm)],
             *[F.col(f"b.sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
     matches = sum(
         (F.col(f"a_sig_{j}") == F.col(f"b_sig_{j}")).cast("int") for j in range(num_perm)
     )

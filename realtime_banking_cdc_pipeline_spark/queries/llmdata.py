@@ -610,6 +610,15 @@ def _dd_prep_sql() -> str:
         f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
         for j in range(MINHASH_PERMS)
     )
+    bands, r = 4, MINHASH_PERMS // 4
+    sig_cols = ", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
     return f"""
 WITH feats AS (
   SELECT doc_id, text,
@@ -629,9 +638,13 @@ canon AS (
 surv AS (SELECT doc_id FROM canon WHERE doc_id = canonical_id),
 surv_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)),
 {_dd_minhash_cte(src="surv_docs")},
+banded AS (SELECT doc_id, {sig_cols},
+  {band_defs}
+FROM sig),
 near_removed AS (
   SELECT DISTINCT b.doc_id AS doc_id
-  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({or_cond})
   WHERE {match_sum} >= {_PREP_MATCH_MIN}
 )
 SELECT f.doc_id,
@@ -666,6 +679,9 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     feats = quality_features("text")
+    # persisted: the regex-heavy feature subtree feeds four join branches
+    # below (qual/surv/near_removed/final) — without it Catalyst re-runs
+    # the scoring once per branch
     scored = d.select(
         "doc_id",
         "text",
@@ -673,27 +689,23 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]).alias(
             "quality_score"
         ),
-    )
+    ).persist()
     qual = scored.filter(
         (F.col("quality_score") >= _PREP_QUALITY_MIN)
         & (F.col("n_tokens") >= _PREP_TOKENS_MIN)
     ).select("doc_id", "text")
-    canon = qual.withColumn(
-        "canonical_id", F.min("doc_id").over(Window.partitionBy("text"))
-    )
-    surv = canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    # canonical survivor per text = min doc_id (groupBy beats a window
+    # here: partial min map-side, no per-group sort on long text keys)
+    surv = qual.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     surv_docs = d.join(surv, "doc_id").select("doc_id", "text")
 
     sig = minhash_signature(surv_docs, "doc_id", "text", k=3)
-    a, b = sig.alias("a"), sig.alias("b")
-    matches = sum(
-        (F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}")).cast("int")
-        for j in range(MINHASH_PERMS)
-    )
+    # band-bucket candidate generation (no O(n^2) cartesian): standard
+    # LSH semantics — a pair must share >= 1 full band to be considered
     near_removed = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(matches >= _PREP_MATCH_MIN)
-        .select(F.col("b.doc_id").alias("doc_id"))
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _PREP_MATCH_MIN)
+        .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
 
