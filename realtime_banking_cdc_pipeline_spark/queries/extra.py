@@ -331,3 +331,26 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (at-scale variants; engine-specific sketches can't
+# hash-match a DuckDB oracle, so this is a rows-only check by design)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a_approx_sketches",
+    None,  # rows-only: HLL/KLL sketch internals differ per engine
+    doc=(
+        "approx_count_distinct (HLL) + approx_percentile (KLL-ish) per "
+        "event_type — the 100TB forms of a_distinct_users/a_percentiles "
+        "(exact twins carry the oracle check)."
+    ),
+)
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
