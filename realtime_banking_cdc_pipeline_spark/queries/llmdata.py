@@ -723,3 +723,97 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer cells + within-cell exact search
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROIDS = 16  # training-free fixture quantizer: vec_id < 16
+                     # (a real deployment k-means these; the plumbing —
+                     # assign/probe/refine — is identical)
+
+
+def _dd_ivf_sql(k: int = 10) -> str:
+    fx = _FXQ.format
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {_IVF_CENTROIDS}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+          FROM e, c),
+dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+         FROM pairs GROUP BY 1, 2),
+norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
+scored AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
+),
+cells AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+cand AS (
+  SELECT vec_id FROM cells
+  WHERE cid = (SELECT cid FROM cells WHERE vec_id = 0) AND vec_id <> 0
+),
+qp AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+       FROM e JOIN cand USING (vec_id),
+            (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q),
+qd AS (SELECT vec_id, SUM({fx(v='a')} * {fx(v='b')}) AS dot FROM qp GROUP BY 1),
+qn AS (SELECT SUM({fx(v='x')} * {fx(v='x')}) AS nn
+       FROM (SELECT unnest(embedding) AS x FROM embeddings WHERE vec_id = 0))
+SELECT qd.vec_id,
+       cells.cid AS cell,
+       CAST(qd.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(qn.nn AS DOUBLE)) AS cosine
+FROM qd JOIN norms n USING (vec_id) JOIN cells USING (vec_id), qn
+ORDER BY cosine DESC, qd.vec_id ASC
+LIMIT {k}
+"""
+
+
+@query(
+    "x_ann_ivf_topk",
+    _dd_ivf_sql(),
+    doc=(
+        "IVF ANN: assign every vector to its nearest coarse centroid "
+        "(exact fixed-point cosine, deterministic tiebreak), then search "
+        "only the query's cell — the inverted-file scale path; centroids "
+        "broadcast, assignment is one narrow pass."
+    ),
+)
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qcell = cells.filter(F.col("vec_id") == 0).select("cid")
+    cand = cells.join(F.broadcast(qcell), "cid").filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            cosine_against(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

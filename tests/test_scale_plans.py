@@ -121,3 +121,31 @@ def test_scd2_merge_accepts_late_images(spark):
     ).orderBy("valid_from").collect()
     assert [(r["v"], r["is_current"]) for r in out] == [("v0", False), ("v1", True)]
     assert out[0]["valid_to"] == out[1]["valid_from"]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing for co-located joins: two tables bucketed on the join
+    key join with zero exchanges — the 100TB fact-fact pattern."""
+    from realtime_banking_cdc_pipeline_spark.plans.plan_checks import shuffle_count
+
+    # (warehouse dir is a static conf; managed tables land in the
+    # session default and are dropped below)
+    spark.sql("DROP TABLE IF EXISTS bk_left")
+    spark.sql("DROP TABLE IF EXISTS bk_right")
+    left = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("a")
+    )
+    right = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 2).alias("b")
+    )
+    left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_left")
+    right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_right")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        j = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        assert shuffle_count(j) == 0
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
