@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
 from ..sources.parquet_io import read_table
-from ._det import dec, dsum, events_table
+from ._det import dec, events_table
 from .registry import query
 
 # ---------------------------------------------------------------------------

@@ -13,8 +13,6 @@ aggregates (see queries/_det.py for why)."""
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import KAFKA_FIXTURE_SCHEMA
 
 # File-fixture framing carries ts as epoch-ms (fixtures.write_fixture_json)
 _FIXTURE_JSON_SCHEMA = T.StructType(

@@ -9,9 +9,6 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import functions as F
-
-from realtime_banking_cdc_pipeline_spark.sources import fixtures
 from realtime_banking_cdc_pipeline_spark.streaming.ingest import read_fixture_stream
 
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realtime_banking_cdc_pipeline_spark.plans.medallion import (
-    MedallionState,
     bronze_from_kafka_frames,
     run_pipeline,
     run_quality_suite,
