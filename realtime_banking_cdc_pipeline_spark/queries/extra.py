@@ -391,3 +391,35 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# O1b — ops query: top spenders within the trailing 24h (readme.md:388-394
+# shape: DATEADD(hour,-24) filter + ORDER BY ... LIMIT)
+# ---------------------------------------------------------------------------
+
+_O1B_SQL = """
+SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >=
+      (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 24 HOUR
+ORDER BY value DESC, event_id ASC
+LIMIT 10
+"""
+
+
+@query(
+    "o1b_trailing_window_top",
+    _O1B_SQL,
+    doc="O1 ops query: trailing-24h window (DATEADD analog) + top-K — high-water-mark-relative filter, TakeOrdered.",
+)
+def o1b_trailing_window_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    hwm = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(hwm))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(10)
+    )
