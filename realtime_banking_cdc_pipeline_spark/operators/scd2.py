@@ -110,6 +110,7 @@ def scd2_merge_images(
     check_cols: Sequence[str],
     as_of_col: str,
     tiebreak_cols: Sequence[str] = (),
+    deleted_col: str | None = None,
 ) -> DataFrame:
     """Merge a batch that may contain MULTIPLE change images per key,
     preserving every intermediate version (unlike :func:`scd2_apply`,
@@ -128,17 +129,24 @@ def scd2_merge_images(
     log for backfills).
     """
     if snapshot is None:
-        return scd2_from_change_log(images, key, as_of_col, tiebreak_cols, check_cols)
+        first = scd2_from_change_log(
+            images, key, as_of_col, tiebreak_cols, check_cols, deleted_col
+        )
+        # keep the snapshot schema tombstone-free in both cadences
+        return first.drop(deleted_col) if deleted_col else first
 
     data_cols = list(images.columns)
     open_images = (
         snapshot.filter(F.col("is_current"))
         .withColumn(as_of_col, F.col("valid_from"))
-        .select(*data_cols)
-        .withColumn("__src", F.lit(0))
+        .select(*[c for c in data_cols if c != deleted_col])
     )
+    if deleted_col:
+        # snapshot holds live versions only; re-enter them as not-deleted
+        open_images = open_images.withColumn(deleted_col, F.lit(False))
+    open_images = open_images.select(*data_cols).withColumn("__src", F.lit(0))
     closed_v = snapshot.filter(~F.col("is_current")).select(
-        *data_cols, *SCD2_COLS
+        *[c for c in data_cols if c != deleted_col], *SCD2_COLS
     )
     batch = images.select(*data_cols).withColumn("__src", F.lit(1))
     replayed = scd2_from_change_log(
@@ -147,8 +155,14 @@ def scd2_merge_images(
         as_of_col,
         ["__src", *tiebreak_cols],
         check_cols,
+        deleted_col,
     ).drop("__src")
-    return closed_v.unionByName(replayed.select(*data_cols, *SCD2_COLS))
+    if deleted_col:
+        replayed = replayed.drop(deleted_col)
+        out_cols = [c for c in data_cols if c != deleted_col]
+    else:
+        out_cols = data_cols
+    return closed_v.unionByName(replayed.select(*out_cols, *SCD2_COLS))
 
 
 def scd2_from_change_log(
@@ -157,6 +171,7 @@ def scd2_from_change_log(
     as_of_col: str,
     tiebreak_cols: Sequence[str] = (),
     check_cols: Sequence[str] | None = None,
+    deleted_col: str | None = None,
 ) -> DataFrame:
     """Replay an ordered change log into the full SCD2 history.
 
@@ -165,23 +180,37 @@ def scd2_from_change_log(
     open no version, matching dbt's ``check`` strategy). ``valid_to`` is
     the next version's ``valid_from`` (half-open intervals), null for
     the open version. One window shuffle on the key; no iteration.
+
+    ``deleted_col`` (boolean) enables delete propagation — the
+    capability the reference silently lacks (its consumer drops op=d,
+    kafka_to_minio.py:69): a delete image closes the preceding version
+    at its timestamp and opens nothing; a later insert re-opens a new
+    chain. Delete images never collapse with the identical before-image
+    (the deleted flag participates in the change hash).
     """
     order = [F.col(as_of_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     w = Window.partitionBy(key).orderBy(*order)
     df = log
     if check_cols:
-        chash = F.xxhash64(
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in check_cols]
-        )
+        hash_inputs = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in check_cols
+        ]
+        if deleted_col:
+            hash_inputs.append(F.col(deleted_col).cast("string"))
         df = (
-            df.withColumn("__chash", chash)
+            df.withColumn("__chash", F.xxhash64(*hash_inputs))
             .withColumn("__prev", F.lag("__chash").over(w))
             .filter(F.col("__prev").isNull() | (F.col("__chash") != F.col("__prev")))
             .drop("__chash", "__prev")
         )
     w2 = Window.partitionBy(key).orderBy(*order)
-    return (
+    out = (
         df.withColumn("valid_from", F.col(as_of_col))
         .withColumn("valid_to", F.lead(as_of_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+    if deleted_col:
+        # the delete image's timestamp has already closed the previous
+        # version via lead(); the tombstone itself is not a version
+        out = out.filter(~F.col(deleted_col))
+    return out

@@ -85,6 +85,10 @@ def run_snapshots(
             check_cols=SCD2_CHECK_COLS[table],
             as_of_col="event_ts",
             tiebreak_cols=["lsn"],
+            # delete propagation: a tombstone closes the open version and
+            # opens nothing (in compat mode every _deleted is False and
+            # this is a no-op) — the reference's known gap, SURVEY §2.1
+            deleted_col="_deleted",
         )
     return state
 

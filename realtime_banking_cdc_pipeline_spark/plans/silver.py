@@ -58,6 +58,7 @@ def stg_customers(bronze_customers: DataFrame, latest_only: bool = True) -> Data
         F.col("last_name"),
         F.col("email"),
         _TS("created_at").alias("created_at"),
+        F.col("_deleted"),
         *_AUDIT(),
     )
 
@@ -72,6 +73,7 @@ def stg_accounts(bronze_accounts: DataFrame, latest_only: bool = True) -> DataFr
         F.col("balance").cast("double").alias("balance"),
         F.col("currency"),
         _TS("created_at").alias("created_at"),
+        F.col("_deleted"),
         *_AUDIT(),
     )
 

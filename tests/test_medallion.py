@@ -118,3 +118,43 @@ def test_incremental_second_batch(spark, banking_fixture, fixture_frames):
     }
     for cid, img in banking_fixture.expected_current["customers"].items():
         assert cur2[cid] == img["email"]
+
+
+def test_delete_propagation_full_mode(spark, banking_fixture, fixture_frames):
+    """drop_deletes=False: a CDC tombstone closes the customer's open
+    SCD2 version at the delete event time and leaves no current row —
+    the capability the reference's consumer silently lacks
+    (kafka_to_minio.py:69)."""
+    import datetime as dt
+
+    from realtime_banking_cdc_pipeline_spark.sources.fixtures import BASE_MS
+
+    _, gold = run_pipeline(spark, fixture_frames, drop_deletes=False)
+    dim = gold["dim_customers"]
+
+    deleted_cids = [
+        cid
+        for cid in banking_fixture.expected_versions["customers"]
+        if cid % 10 == 0
+    ]
+    assert deleted_cids
+    rows = dim.filter(F.col("customer_id").isin([str(c) for c in deleted_cids])).collect()
+    by_cid: dict[str, list] = {}
+    for r in rows:
+        by_cid.setdefault(r["customer_id"], []).append(r)
+    for cid in deleted_cids:
+        chain = by_cid[str(cid)]
+        # every version closed, none current
+        assert all(not r["is_current"] for r in chain), chain
+        # the final close time is the delete event time (created + 9s)
+        delete_ts = dt.datetime.utcfromtimestamp((BASE_MS + cid * 1000 + 9000) / 1000)
+        assert max(r["effective_to"] for r in chain) == delete_ts
+        # version count matches the golden (delete closes, adds none)
+        assert len(chain) == banking_fixture.expected_versions["customers"][cid]
+
+    # compat mode still keeps deleted customers current (reference parity)
+    _, gold_compat = run_pipeline(spark, fixture_frames, drop_deletes=True)
+    cur = gold_compat["dim_customers"].filter(
+        F.col("is_current") & F.col("customer_id").isin([str(c) for c in deleted_cids])
+    )
+    assert cur.count() == len(deleted_cids)
