@@ -33,9 +33,19 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+STATE_TTL_MS = 24 * 3600 * 1000  # evict accounts idle for a day
+
+
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # TTL eviction (SURVEY §7 streaming-state-growth mitigation): an
+    # account silent past the timeout drops its state; a later txn
+    # restarts the balance from a clean slate (the durable store holds
+    # the authoritative history).
+    if state.hasTimedOut:
+        state.remove()
+        return
     balance, n = state.get if state.exists else (0.0, 0)
     delta = 0.0
     rows = 0
@@ -49,6 +59,7 @@ def _update(
     balance += delta
     n += rows
     state.update((balance, n))
+    state.setTimeoutDuration(STATE_TTL_MS)
     yield pd.DataFrame(
         {
             "account_id": [key[0]],
@@ -60,12 +71,13 @@ def _update(
 
 
 def running_balances(txns: DataFrame) -> DataFrame:
-    """Per-micro-batch running balance per account. Input columns:
-    account_id long, txn_type string, amount double."""
+    """Per-micro-batch running balance per account with processing-time
+    state TTL. Input columns: account_id long, txn_type string,
+    amount double."""
     return txns.groupBy("account_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

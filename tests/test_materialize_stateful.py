@@ -81,3 +81,48 @@ def test_stateful_running_balances(spark):
         for r in spark.sql("SELECT * FROM balances_out").collect()
     }
     assert got == {1: (70.0, 2), 2: (50.0, 1)}
+
+
+def test_stateful_balances_accumulate_across_restarts(spark):
+    """Checkpointed applyInPandasWithState: state survives a stream
+    restart, so balances accumulate over batches arriving while down."""
+    import tempfile as tf
+
+    from realtime_banking_cdc_pipeline_spark.streaming.stateful import running_balances
+
+    src = tf.mkdtemp(prefix="txns2_")
+    ckpt = tf.mkdtemp(prefix="txns2_ckpt_")
+    emitted: list[tuple] = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "account_id long, txn_type string, amount double"
+        ).parquet(src)
+
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def sink(df, epoch):
+            emitted.extend(
+                (r["account_id"], r["running_balance"], r["n_txns"])
+                for r in df.collect()
+            )
+
+        q = (
+            running_balances(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    spark.createDataFrame(
+        [(1, "DEPOSIT", 100.0)], "account_id long, txn_type string, amount double"
+    ).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        [(1, "WITHDRAWAL", 25.0)], "account_id long, txn_type string, amount double"
+    ).write.mode("append").parquet(src)
+    run()
+    assert (1, 100.0, 1) in emitted  # first run's state
+    assert (1, 75.0, 2) in emitted  # resumed state accumulated, not reset

@@ -158,3 +158,37 @@ def test_delete_propagation_full_mode(spark, banking_fixture, fixture_frames):
         F.col("is_current") & F.col("customer_id").isin([str(c) for c in deleted_cids])
     )
     assert cur.count() == len(deleted_cids)
+
+
+def test_pipeline_at_10x_fixture_scale(spark):
+    """Medallion pipeline on a 500-customer fixture (~26k events): the
+    SCD2 merge and fact build stay shuffle-shaped (no quadratic
+    behavior) and all invariants hold at 10x the default fixture."""
+    import datetime as dt
+    import time
+
+    from realtime_banking_cdc_pipeline_spark.schemas import KAFKA_FIXTURE_SCHEMA
+    from realtime_banking_cdc_pipeline_spark.sources import fixtures
+
+    fx = fixtures.generate(n_customers=500)
+    rows = [
+        (t, k, v, dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(tzinfo=None))
+        for t, k, v, ms in fixtures.to_kafka_rows(fx)
+    ]
+    frames = spark.createDataFrame(rows, schema=KAFKA_FIXTURE_SCHEMA)
+    t0 = time.perf_counter()
+    _, gold = run_pipeline(spark, frames)
+    assert gold["fact_transactions"].count() == len(
+        fx.expected_current["transactions"]
+    )
+    got = {
+        int(r["customer_id"]): r["n"]
+        for r in gold["dim_customers"]
+        .groupBy("customer_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == fx.expected_versions["customers"]
+    run_quality_suite(gold)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, f"pipeline took {elapsed:.1f}s at 10x fixture scale"
