@@ -27,7 +27,7 @@ def _run_counting_stream(spark, src, ckpt, sink: list):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(90)
+    q.awaitTermination(300)
 
 
 def test_checkpoint_resume_processes_each_file_once(spark, banking_fixture):

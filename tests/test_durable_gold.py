@@ -64,7 +64,7 @@ def test_streaming_to_durable_gold_across_restart(spark, banking_fixture):
         q = start_pipeline_stream(
             spark, read_fixture_stream(spark, src), on_batch, ckpt
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     write_shard(fx.events[:half], "part-0000.jsonl")
     run_once()

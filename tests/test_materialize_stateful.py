@@ -75,7 +75,7 @@ def test_stateful_running_balances(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination(300)
     got = {
         r["account_id"]: (r["running_balance"], r["n_txns"])
         for r in spark.sql("SELECT * FROM balances_out").collect()
@@ -114,7 +114,7 @@ def test_stateful_balances_accumulate_across_restarts(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        q.awaitTermination(300)
 
     spark.createDataFrame(
         [(1, "DEPOSIT", 100.0)], "account_id long, txn_type string, amount double"

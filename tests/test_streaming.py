@@ -54,7 +54,7 @@ def test_streaming_pipeline_matches_batch(spark, banking_fixture, fixture_dir,
     q = start_pipeline_stream(
         spark, stream, on_batch, tempfile.mkdtemp(prefix="ckpt_")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     assert results["fact_count"] == len(
         banking_fixture.expected_current["transactions"]
@@ -75,7 +75,7 @@ def test_windowed_aggregates_stream_vs_batch(spark, fixture_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     got = {
         (r["w"]["start"], r["topic"]): r["n_events"]
         for r in spark.sql("SELECT * FROM tumbling_out").collect()
@@ -122,7 +122,7 @@ def test_pipeline_monitor_freshness(spark, fixture_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         # listener callbacks are async — wait briefly for delivery
         deadline = dt.datetime.utcnow() + dt.timedelta(seconds=10)
         while not m.metrics and dt.datetime.utcnow() < deadline:
