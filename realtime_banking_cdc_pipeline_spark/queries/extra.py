@@ -349,9 +349,14 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
+    # Scalar columns only: the driver canonicalizer sorts every column with
+    # pandas, which cannot hash list cells (array<double> broke round 1).
+    pcts = F.percentile_approx("value", F.lit([0.5, 0.9, 0.99]), F.lit(10000))
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.element_at(pcts, 1).alias("approx_p50"),
+        F.element_at(pcts, 2).alias("approx_p90"),
+        F.element_at(pcts, 3).alias("approx_p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
