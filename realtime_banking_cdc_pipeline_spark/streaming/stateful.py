@@ -36,48 +36,61 @@ STATE_SCHEMA = T.StructType(
 STATE_TTL_MS = 24 * 3600 * 1000  # evict accounts idle for a day
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    # TTL eviction (SURVEY §7 streaming-state-growth mitigation): an
-    # account silent past the timeout drops its state; a later txn
-    # restarts the balance from a clean slate (the durable store holds
-    # the authoritative history).
-    if state.hasTimedOut:
-        state.remove()
-        return
-    balance, n = state.get if state.exists else (0.0, 0)
-    delta = 0.0
-    rows = 0
-    for pdf in pdfs:
-        signed = pdf.apply(
-            lambda r: r["amount"] if r["txn_type"] == "DEPOSIT" else -r["amount"],
-            axis=1,
-        ) if len(pdf) else pd.Series(dtype="float64")
-        delta += float(signed.sum())
-        rows += len(pdf)
-    balance += delta
-    n += rows
-    state.update((balance, n))
-    state.setTimeoutDuration(STATE_TTL_MS)
-    yield pd.DataFrame(
-        {
-            "account_id": [key[0]],
-            "balance_delta": [delta],
-            "running_balance": [balance],
-            "n_txns": [n],
-        }
-    )
+def _make_update(ttl_ms):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # TTL eviction (SURVEY §7 streaming-state-growth mitigation): an
+        # account silent past the timeout drops its state; a later txn
+        # restarts the balance from a clean slate (the durable store holds
+        # the authoritative history).
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        balance, n = state.get if state.exists else (0.0, 0)
+        delta = 0.0
+        rows = 0
+        for pdf in pdfs:
+            if len(pdf):
+                sign = (pdf["txn_type"] == "DEPOSIT").map({True: 1.0, False: -1.0})
+                delta += float((sign * pdf["amount"]).sum())
+                rows += len(pdf)
+        balance += delta
+        n += rows
+        state.update((balance, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "account_id": [key[0]],
+                "balance_delta": [delta],
+                "running_balance": [balance],
+                "n_txns": [n],
+            }
+        )
+
+    return _update
 
 
-def running_balances(txns: DataFrame) -> DataFrame:
+def running_balances(txns: DataFrame, ttl_ms: int | None = STATE_TTL_MS) -> DataFrame:
     """Per-micro-batch running balance per account with processing-time
     state TTL. Input columns: account_id long, txn_type string,
-    amount double."""
+    amount double.
+
+    ``ttl_ms=None`` disables eviction (``NoTimeout``). Production keeps
+    the TTL; a ProcessingTimeTimeout query does NOT self-terminate under
+    ``trigger(availableNow=True)`` — it stays up waiting to fire
+    timeouts — so bounded runs (tests, backfills) pass ``ttl_ms=None``
+    or poll-then-``stop()`` the query."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return txns.groupBy("account_id").applyInPandasWithState(
-        _update,
+        _make_update(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )

@@ -53,6 +53,25 @@ def test_register_sources_catalog(spark):
     assert joined.count() == 5
 
 
+def _drain(q, done, timeout=120):
+    """Wait until the query self-terminates or ``done()`` sees the
+    expected sink rows, then stop it. A ProcessingTimeTimeout stateful
+    query never self-terminates under availableNow — poll-then-stop is
+    the bounded way to run it."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if q.awaitTermination(2):
+            return
+        if done():
+            q.stop()
+            q.awaitTermination(60)
+            return
+    q.stop()
+    raise AssertionError(f"stream produced no expected rows within {timeout}s")
+
+
 def test_stateful_running_balances(spark):
     import tempfile as tf
 
@@ -67,20 +86,54 @@ def test_stateful_running_balances(spark):
     stream = spark.readStream.schema(
         "account_id long, txn_type string, amount double"
     ).parquet(src)
+    # ttl_ms=None → NoTimeout → the availableNow run self-terminates.
     q = (
-        running_balances(stream)
+        running_balances(stream, ttl_ms=None)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName("balances_out")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(120), "NoTimeout availableNow run should self-terminate"
     got = {
         r["account_id"]: (r["running_balance"], r["n_txns"])
         for r in spark.sql("SELECT * FROM balances_out").collect()
     }
     assert got == {1: (70.0, 2), 2: (50.0, 1)}
+
+
+def test_stateful_ttl_mode_poll_stop(spark):
+    """Production TTL mode (ProcessingTimeTimeout). Such a query stays up
+    under availableNow waiting to fire timeouts; poll the sink for the
+    expected rows and stop() — bounded in seconds, not awaitTermination(300)."""
+    import tempfile as tf
+
+    from realtime_banking_cdc_pipeline_spark.streaming.stateful import running_balances
+
+    src = tf.mkdtemp(prefix="txns_ttl_")
+    spark.createDataFrame(
+        [(1, "DEPOSIT", 10.0), (2, "WITHDRAWAL", 4.0)],
+        "account_id long, txn_type string, amount double",
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "account_id long, txn_type string, amount double"
+    ).parquet(src)
+    q = (
+        running_balances(stream)  # default TTL → ProcessingTimeTimeout
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("balances_ttl_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, lambda: spark.sql("SELECT * FROM balances_ttl_out").count() >= 2)
+    got = {
+        r["account_id"]: r["running_balance"]
+        for r in spark.sql("SELECT * FROM balances_ttl_out").collect()
+    }
+    assert got == {1: 10.0, 2: -4.0}
 
 
 def test_stateful_balances_accumulate_across_restarts(spark):
@@ -107,14 +160,14 @@ def test_stateful_balances_accumulate_across_restarts(spark):
             )
 
         q = (
-            running_balances(stream)
+            running_balances(stream, ttl_ms=None)
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckpt)
             .foreachBatch(sink)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(120), "NoTimeout availableNow run should self-terminate"
 
     spark.createDataFrame(
         [(1, "DEPOSIT", 100.0)], "account_id long, txn_type string, amount double"
