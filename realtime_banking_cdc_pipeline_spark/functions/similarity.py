@@ -133,12 +133,11 @@ def lsh_band_pairs(
             for b in range(bands)
         ]
     )
-    sig_cols = [f"sig_{j}" for j in range(num_perm)]
-    banded = sig.select(
-        F.col(id_col), *sig_cols, F.explode(band_entries).alias("band")
-    ).select(
+    # The band join carries ONLY (id, band_idx, band_key) — the 2×num_perm
+    # signature columns rejoin AFTER pair dedup, so the wide rows never
+    # ride the (potentially skewed) bucket-join shuffle.
+    banded = sig.select(F.col(id_col), F.explode(band_entries).alias("band")).select(
         F.col(id_col),
-        *sig_cols,
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
     )
@@ -149,19 +148,29 @@ def lsh_band_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.sig_{j}").alias(f"a_sig_{j}") for j in range(num_perm)],
-            *[F.col(f"b.sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{j}").alias(f"a_sig_{j}") for j in range(num_perm)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
     )
     matches = sum(
         (F.col(f"a_sig_{j}") == F.col(f"b_sig_{j}")).cast("int") for j in range(num_perm)
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        matches.alias("n_matching"),
-        (matches.cast("double") / num_perm).alias("jaccard_est"),
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.alias("n_matching"),
+            (matches.cast("double") / num_perm).alias("jaccard_est"),
+        )
     )
 
 
@@ -303,23 +312,42 @@ def lsh_cosine_pairs(
             for p in range(planes_per_table)
         ]
         bucket_cols.append(sum(bits).cast("int").alias(f"bucket_{t}"))
-    bucketed = emb.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+    # Persisted once; read three times (bucket explode + two vector
+    # rejoins). Buckets are computed in this single narrow pass — the
+    # old per-table join loop re-evaluated this subtree 8× (2 sides ×
+    # 4 tables).
+    bucketed = emb.select(F.col(id_col), F.col(vec_col), *bucket_cols).persist()
 
-    pairs = None
-    for t in range(n_tables):
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.bucket_{t}") == F.col(f"b.bucket_{t}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
+    # All tables in ONE self-equi-join: explode (table_idx, bucket)
+    # entries into rows, join on the composite key carrying only ids —
+    # vectors rejoin after pair dedup so dim floats never ride the
+    # bucket shuffle.
+    table_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"), F.col(f"bucket_{t}").alias("bucket")
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tabled = bucketed.select(F.col(id_col), F.explode(table_entries).alias("e")).select(
+        F.col(id_col),
+        F.col("e.table_idx").alias("table_idx"),
+        F.col("e.bucket").alias("bucket"),
+    )
+    a, b = tabled.alias("a"), tabled.alias("b")
+    pairs = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = pairs.join(va, "id_a").join(vb, "id_b")
 
     dot = _fx_dot(F.col("va"), F.col("vb")).cast("double")
     na = _fx_dot(F.col("va"), F.col("va")).cast("double")

@@ -52,6 +52,21 @@ def assert_pruned_scan(df: DataFrame, table_cols: int, max_read_cols: int) -> No
                 )
 
 
+def join_count(df: DataFrame) -> int:
+    """Number of physical join operators — catches accidental per-band /
+    per-table join loops that re-evaluate shared subtrees."""
+    import re
+
+    plan = _formatted_plan(df)
+    return len(
+        re.findall(
+            r"^\(\d+\)\s+\w*(?:HashJoin|SortMergeJoin|NestedLoopJoin)",
+            plan,
+            re.MULTILINE,
+        )
+    )
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the physical plan — the metric to minimize."""
     plan = _formatted_plan(df)

@@ -11,9 +11,11 @@ from realtime_banking_cdc_pipeline_spark.operators.skew import (
     skewproof_distinct_count,
 )
 from realtime_banking_cdc_pipeline_spark.plans.plan_checks import (
+    _formatted_plan,
     assert_broadcast_join,
     assert_pruned_scan,
     assert_pushed_filter,
+    join_count,
     shuffle_count,
 )
 from realtime_banking_cdc_pipeline_spark.queries import QUERIES
@@ -38,6 +40,18 @@ def test_single_shuffle_operators(spark):
     # dedup-latest and minhash signatures are one-exchange plans
     assert shuffle_count(QUERIES["w1_dedup_latest"].spark(spark, SF)) == 1
     assert shuffle_count(QUERIES["x_minhash_signature"].spark(spark, SF)) == 1
+
+
+def test_lsh_pair_plans_are_single_join_shaped(spark):
+    """Both LSH pair generators must be ONE exploded self-equi-join plus
+    two narrow rejoins (3 joins total) over a persisted frame — never a
+    per-band/per-table join loop re-evaluating the signature pipeline."""
+    for name in ("x_ann_lsh_cosine_pairs", "x_minhash_lsh_pairs"):
+        df = QUERIES[name].spark(spark, SF)
+        assert join_count(df) == 3, f"{name}: expected 3 physical joins"
+        assert "InMemoryTableScan" in _formatted_plan(df), (
+            f"{name}: shared frame not persisted"
+        )
 
 
 def test_salted_join_matches_plain_join(spark):
