@@ -43,6 +43,11 @@ def incremental_merge(
 
     - ``order_by``: recency priority for folding multi-image batches
       (at-least-once redelivery safe — idempotent by construction).
+      When every order column also exists in the target, the merge is
+      recency-aware ACROSS batches too: a stale image redelivered in a
+      later batch (past any watermark-dedup TTL) cannot overwrite a
+      newer target row. Ties prefer the batch row (idempotent
+      re-application of the same batch).
     - ``hwm_col``: optionally pre-filter the batch to rows newer than
       the target's high-water mark, mirroring the reference's
       ``updated_at > (SELECT MAX(updated_at) FROM {{ this }})``.
@@ -57,5 +62,18 @@ def incremental_merge(
         hwm = high_water_mark(target, hwm_col)
         if hwm is not None:
             batch = batch.filter(F.col(hwm_col) > F.lit(hwm))
+    str_order = [c for c in order_by if isinstance(c, str)]
+    if order_by and len(str_order) == len(list(order_by)) and all(
+        c in target.columns for c in str_order
+    ):
+        # union ⊎ dedup-latest: same single key-shuffle as the anti-join
+        # shape, but matched rows resolve by recency instead of blind
+        # batch-wins replacement. `_src` breaks exact-recency ties in the
+        # batch's favor.
+        tagged = (
+            target.withColumn("_src", F.lit(0))
+            .unionByName(batch.select(*target.columns).withColumn("_src", F.lit(1)))
+        )
+        return dedup_latest(tagged, [unique_key], [*str_order, "_src"]).drop("_src")
     kept = target.join(batch.select(unique_key), unique_key, "left_anti")
     return kept.unionByName(batch.select(*target.columns))

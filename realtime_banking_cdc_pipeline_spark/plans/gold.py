@@ -38,16 +38,26 @@ def build_dim(snapshot: DataFrame, key_alias: str | None = None) -> DataFrame:
 
 def build_fact_transactions(
     stg_txns: DataFrame,
-    stg_accts: DataFrame,
+    accounts_dim: DataFrame,
     existing_fact: DataFrame | None = None,
+    keep_audit: bool = False,
 ) -> DataFrame:
     """fact_transactions.sql:3-15 + incremental merge (C3).
 
+    ``accounts_dim`` must be the CUMULATIVE account→customer mapping
+    (current SCD2 rows), not just this batch's staged accounts —
+    fact_transactions.sql joins the full staging table, so a transaction
+    whose account image arrived in an earlier batch still resolves
+    customer_id.
+
     Output schema per FIXTURES.md §3: transaction_id, account_id,
     customer_id, amount, related_account_id, status, transaction_type,
-    transaction_time, load_timestamp.
+    transaction_time, load_timestamp. ``keep_audit=True`` additionally
+    keeps (ts_ms, lsn) so later batches can recency-compare on merge —
+    the durable/state copy wants them, the presented gold view drops
+    them.
     """
-    accts = F.broadcast(stg_accts.select("account_id", "customer_id"))
+    accts = F.broadcast(accounts_dim.select("account_id", "customer_id"))
     fact = stg_txns.join(accts, "account_id", "left").select(
         "transaction_id",
         "account_id",
@@ -67,4 +77,4 @@ def build_fact_transactions(
         unique_key="transaction_id",
         order_by=["transaction_time", "ts_ms", "lsn"],
     )
-    return merged.drop("ts_ms", "lsn")
+    return merged if keep_audit else merged.drop("ts_ms", "lsn")

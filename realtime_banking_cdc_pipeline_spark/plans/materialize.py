@@ -25,9 +25,46 @@ def materialize_view(df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check — works for any scheme (file/hdfs/s3a),
+    unlike os.path.exists."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def materialize_table(
-    df: DataFrame, path: str, partition_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    via_staging: bool = False,
 ) -> None:
+    """``via_staging=True`` double-writes (staging → read back → final)
+    so a DataFrame whose lineage READS ``path`` can be rewritten to it —
+    plain overwrite of a path you're scanning corrupts it. The staging
+    dir is removed afterwards. The crash window between the two writes
+    leaves the target truncated with the data recoverable only from the
+    leftover staging copy; a transactional table format (Delta/Iceberg)
+    closes this window — that's the connector-mode path."""
+    if via_staging:
+        spark = df.sparkSession
+        tmp = path.rstrip("/") + "__staging"
+        df.write.mode("overwrite").parquet(tmp)
+        back = spark.read.parquet(tmp)
+        w = back.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+        fs_delete(spark, tmp)
+        return
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -42,15 +79,17 @@ def materialize_incremental(
     order_by: list[str] | None = None,
 ) -> DataFrame:
     """First run CTAS, then merge-on-unique-key — dbt incremental
-    semantics on plain parquet (idempotent under redelivery)."""
+    semantics on plain parquet (idempotent under redelivery). Same
+    staging double-write (and crash window) as ``materialize_table``."""
     target = None
-    if os.path.exists(path):
+    if fs_exists(spark, path):
         target = spark.read.parquet(path)
     merged = incremental_merge(target, batch, unique_key, order_by=order_by or [])
     tmp = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(tmp)
     out = spark.read.parquet(tmp)
     out.write.mode("overwrite").parquet(path)
+    fs_delete(spark, tmp)
     return spark.read.parquet(path)
 
 

@@ -30,8 +30,11 @@ from .silver import stg_accounts, stg_customers, stg_transactions
 
 @dataclass
 class MedallionState:
-    """Persisted-between-runs tables (in connector mode these live as
-    Delta/parquet paths; tests hold them as DataFrames)."""
+    """Persisted-between-runs tables. ``save``/``load`` round-trip the
+    SCD2 snapshots and the audit-bearing fact through parquet so a
+    restarted job resumes with full version history — without this,
+    rebuilding from ``empty()`` silently drops all pre-restart dim
+    versions."""
 
     snapshots: dict[str, DataFrame | None]
     fact: DataFrame | None
@@ -39,6 +42,35 @@ class MedallionState:
     @classmethod
     def empty(cls) -> "MedallionState":
         return cls(snapshots={"customers": None, "accounts": None}, fact=None)
+
+    def save(self, base_dir: str) -> None:
+        """Persist fact + snapshots (staging double-write: the loaded
+        DataFrames' lineage reads these same paths). The fact saves
+        FIRST — its lineage joins the accounts snapshot, whose cached
+        file listing dies the moment snapshot_accounts is overwritten."""
+        from .materialize import materialize_table
+
+        if self.fact is not None:
+            materialize_table(self.fact, f"{base_dir}/fact_state", via_staging=True)
+        for table, snap in self.snapshots.items():
+            if snap is not None:
+                materialize_table(
+                    snap, f"{base_dir}/snapshot_{table}", via_staging=True
+                )
+
+    @classmethod
+    def load(cls, spark: SparkSession, base_dir: str) -> "MedallionState":
+        from .materialize import fs_exists
+
+        state = cls.empty()
+        for table in state.snapshots:
+            p = f"{base_dir}/snapshot_{table}"
+            if fs_exists(spark, p):
+                state.snapshots[table] = spark.read.parquet(p)
+        p = f"{base_dir}/fact_state"
+        if fs_exists(spark, p):
+            state.fact = spark.read.parquet(p)
+        return state
 
 
 def bronze_from_kafka_frames(
@@ -56,15 +88,21 @@ def bronze_from_kafka_frames(
     return out
 
 
-def run_silver(bronze: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def run_silver(
+    bronze: dict[str, DataFrame], decimal_money: bool = False
+) -> dict[str, DataFrame]:
     """Current-row staging views (W1-deduped) plus full change-image
-    variants for the SCD2 snapshots."""
+    variants for the SCD2 snapshots. ``decimal_money=True`` carries
+    DecimalType(18,2) money end-to-end (exact aggregation) instead of
+    the reference's double laundering."""
     return {
         "customers": stg_customers(bronze["customers"]),
-        "accounts": stg_accounts(bronze["accounts"]),
-        "transactions": stg_transactions(bronze["transactions"]),
+        "accounts": stg_accounts(bronze["accounts"], decimal=decimal_money),
+        "transactions": stg_transactions(bronze["transactions"], decimal=decimal_money),
         "customers_images": stg_customers(bronze["customers"], latest_only=False),
-        "accounts_images": stg_accounts(bronze["accounts"], latest_only=False),
+        "accounts_images": stg_accounts(
+            bronze["accounts"], latest_only=False, decimal=decimal_money
+        ),
     }
 
 
@@ -100,12 +138,25 @@ def run_gold(
         "dim_customers": build_dim(state.snapshots["customers"]),
         "dim_accounts": build_dim(state.snapshots["accounts"]),
     }
+    # Denormalize against the CUMULATIVE account dimension (the open
+    # SCD2 rows), not this batch's staged accounts: a transaction whose
+    # account CDC image arrived in an earlier batch must still resolve
+    # customer_id (fact_transactions.sql joins the full staging table).
+    acct_snap = state.snapshots["accounts"]
+    accounts_dim = (
+        acct_snap.filter(F.col("valid_to").isNull())
+        if acct_snap is not None
+        else silver["accounts"]
+    )
     state.fact = build_fact_transactions(
         silver["transactions"],
-        silver["accounts"],
+        accounts_dim,
         existing_fact=state.fact,
+        keep_audit=True,
     )
-    return {**dims, "fact_transactions": state.fact}
+    # presented fact drops the (ts_ms, lsn) audit cols; the state copy
+    # keeps them so later batches can recency-compare on merge
+    return {**dims, "fact_transactions": state.fact.drop("ts_ms", "lsn")}
 
 
 def run_pipeline(
@@ -113,11 +164,12 @@ def run_pipeline(
     frames: DataFrame,
     state: MedallionState | None = None,
     drop_deletes: bool = True,
+    decimal_money: bool = False,
 ) -> tuple[MedallionState, dict[str, DataFrame]]:
     """One full batch: Kafka frames → Bronze → Silver → snapshots → Gold."""
     state = state or MedallionState.empty()
     bronze = bronze_from_kafka_frames(frames, drop_deletes=drop_deletes)
-    silver = run_silver(bronze)
+    silver = run_silver(bronze, decimal_money=decimal_money)
     state = run_snapshots(state, silver)
     gold = run_gold(state, silver)
     return state, gold

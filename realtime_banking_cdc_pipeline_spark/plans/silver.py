@@ -14,7 +14,7 @@ parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_latest
@@ -63,14 +63,36 @@ def stg_customers(bronze_customers: DataFrame, latest_only: bool = True) -> Data
     )
 
 
-def stg_accounts(bronze_accounts: DataFrame, latest_only: bool = True) -> DataFrame:
+# Money typing (SURVEY §1.2): the reference launders NUMBER(10,2) through
+# JSON double (generate_and_post_connector.py:29) and casts back to FLOAT
+# in staging (stg_accounts.sql:8). ``decimal=True`` instead carries
+# DecimalType(18,2) end-to-end — exact sums, order-independent — with
+# ``double_compat_view`` reproducing the reference's lossy shape for
+# consumers that expect it. Default stays double for reference parity.
+def _money(col_name: str, decimal: bool) -> Column:
+    target = "decimal(18,2)" if decimal else "double"
+    return F.col(col_name).cast(target).alias(col_name)
+
+
+def double_compat_view(df: DataFrame, money_cols: list[str]) -> DataFrame:
+    """The stg_accounts.sql:8 shape: decimal money re-cast to double for
+    consumers written against the reference's FLOAT columns."""
+    out = df
+    for c in money_cols:
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
+
+
+def stg_accounts(
+    bronze_accounts: DataFrame, latest_only: bool = True, decimal: bool = False
+) -> DataFrame:
     """stg_accounts.sql:5-28."""
     d = _deduped(bronze_accounts) if latest_only else bronze_accounts
     return d.select(
         F.col("id").cast("string").alias("account_id"),
         F.col("customer_id").cast("string").alias("customer_id"),
         F.col("account_type"),
-        F.col("balance").cast("double").alias("balance"),
+        _money("balance", decimal),
         F.col("currency"),
         _TS("created_at").alias("created_at"),
         F.col("_deleted"),
@@ -78,7 +100,9 @@ def stg_accounts(bronze_accounts: DataFrame, latest_only: bool = True) -> DataFr
     )
 
 
-def stg_transactions(bronze_transactions: DataFrame) -> DataFrame:
+def stg_transactions(
+    bronze_transactions: DataFrame, decimal: bool = False
+) -> DataFrame:
     """stg_transactions.sql:4-11 — projection/rename, NO dedup in the
     reference (facts are append-only; duplicates handled by the
     incremental merge's unique_key)."""
@@ -86,7 +110,7 @@ def stg_transactions(bronze_transactions: DataFrame) -> DataFrame:
         F.col("id").cast("string").alias("transaction_id"),
         F.col("account_id").cast("string").alias("account_id"),
         F.col("txn_type").alias("transaction_type"),
-        F.col("amount").cast("double").alias("amount"),
+        _money("amount", decimal),
         F.col("related_account_id").cast("string").alias("related_account_id"),
         F.col("status"),
         _TS("created_at").alias("transaction_time"),

@@ -150,10 +150,16 @@ batch AS (
     FROM events WHERE event_id % 2 = 1
   ) WHERE rn = 1
 )
-SELECT t.user_id, t.event_id, t.event_type, t.value, t.ts
-FROM target t WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.user_id = t.user_id)
-UNION ALL
-SELECT user_id, event_id, event_type, value, ts FROM batch
+, unioned AS (
+  SELECT user_id, event_id, event_type, value, ts, 0 AS src FROM target
+  UNION ALL
+  SELECT user_id, event_id, event_type, value, ts, 1 AS src FROM batch
+)
+SELECT user_id, event_id, event_type, value, ts FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC, src DESC) AS rn
+  FROM unioned
+) WHERE rn = 1
 """
 
 
@@ -162,8 +168,10 @@ SELECT user_id, event_id, event_type, value, ts FROM batch
     _C3_SQL,
     doc=(
         "C3 incremental MERGE-on-unique-key emulation: batch folds to latest "
-        "image, matched target rows replaced, unmatched kept (anti-join ⊎ batch; "
-        "Delta MERGE INTO in connector mode)."
+        "image; matched rows resolve by RECENCY (a stale image redelivered in "
+        "a later batch cannot clobber a newer target row), batch wins exact "
+        "ties; unmatched kept (Delta MERGE with a timestamp guard in "
+        "connector mode)."
     ),
 )
 def c3_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,6 +95,60 @@ def a4_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A4B_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS cust_rev
+  FROM orders GROUP BY o_custkey
+),
+direct AS (
+  SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_direct,
+         COUNT(*) AS n_orders
+  FROM orders
+),
+rolled AS (
+  SELECT SUM(cust_rev) AS total_rolled, COUNT(*) AS n_custs
+  FROM per_cust
+)
+SELECT CAST(total_direct AS VARCHAR) AS total_direct,
+       CAST(total_rolled AS VARCHAR) AS total_rolled,
+       (total_direct = total_rolled) AS reconciled,
+       n_orders, n_custs
+FROM direct, rolled
+"""
+
+
+@query(
+    "a4b_reconciliation_decimal",
+    _A4B_SQL,
+    doc=(
+        "A4 reconciliation in EXACT-DECIMAL mode (SURVEY §1.2): the whole "
+        "chain stays DecimalType — no double anywhere — so rollup equals "
+        "direct total bit-for-bit by construction. Totals presented as "
+        "strings (engines disagree on decimal→pandas dtypes; the digits "
+        "are the contract)."
+    ),
+)
+def a4b_reconciliation_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    price = dec("o_totalprice", 12, 2)
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(price).alias("cust_rev"))
+    direct = orders.agg(
+        F.sum(price).alias("total_direct"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rolled = per_cust.agg(
+        F.sum("cust_rev").alias("total_rolled"),
+        F.count(F.lit(1)).alias("n_custs"),
+    )
+    return direct.crossJoin(rolled).select(
+        F.col("total_direct").cast("string").alias("total_direct"),
+        F.col("total_rolled").cast("string").alias("total_rolled"),
+        (F.col("total_direct") == F.col("total_rolled")).alias("reconciled"),
+        "n_orders",
+        "n_custs",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (INTERSECT / EXCEPT — SURVEY §2.6 gap, built-ins)
 # ---------------------------------------------------------------------------

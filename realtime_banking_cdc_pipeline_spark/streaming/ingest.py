@@ -33,6 +33,21 @@ _FIXTURE_JSON_SCHEMA = T.StructType(
 )
 
 
+def kafka_source_options(
+    bootstrap: str, topics: list[str], starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """Source-option contract for the multi-topic Kafka reader (S2) —
+    the subscribe list mirrors the reference's Debezium topic set
+    (consumer/kafka_to_minio.py:15-24, topics from
+    generate_and_post_connector.py:23-24). Pure so the contract is
+    testable without the spark-sql-kafka jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession, bootstrap: str, topics: list[str],
     starting_offsets: str = "earliest",
@@ -40,18 +55,14 @@ def read_kafka_stream(
     """Multi-topic Kafka source (S2). Requires the spark-sql-kafka jar on
     the classpath — absent in this container, so tests use the file
     fixture source below; the downstream plan is identical."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .select(
-            F.col("topic"),
-            F.col("key").cast("string"),
-            F.col("value").cast("string"),
-            F.col("timestamp").alias("ts"),
-        )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap, topics, starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load().select(
+        F.col("topic"),
+        F.col("key").cast("string"),
+        F.col("value").cast("string"),
+        F.col("timestamp").alias("ts"),
     )
 
 

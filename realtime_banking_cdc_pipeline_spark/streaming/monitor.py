@@ -63,11 +63,19 @@ class PipelineMonitor(StreamingQueryListener):
 
     def freshness_lag_seconds(self, now: dt.datetime | None = None) -> float | None:
         """Wall-clock minus last event-time watermark (None before any
-        watermark advances)."""
+        watermark advances, or on an unparseable watermark string — a
+        monitoring accessor must not raise into the ops-alert path)."""
         if not self._last_watermark:
             return None
-        wm = dt.datetime.strptime(self._last_watermark, "%Y-%m-%dT%H:%M:%S.%fZ")
-        now = now or dt.datetime.utcnow()
+        try:
+            # fromisoformat handles both with and without fractional
+            # seconds (strptime's single %f format did not)
+            wm = dt.datetime.fromisoformat(self._last_watermark.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        now = now or dt.datetime.now(dt.timezone.utc)
+        if now.tzinfo is None:
+            now = now.replace(tzinfo=dt.timezone.utc)
         return (now - wm).total_seconds()
 
     def check_freshness(self, target_seconds: float, now: dt.datetime | None = None) -> bool:

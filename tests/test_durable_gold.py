@@ -28,6 +28,7 @@ def test_streaming_to_durable_gold_across_restart(spark, banking_fixture):
     src = tempfile.mkdtemp(prefix="dur_src_")
     ckpt = tempfile.mkdtemp(prefix="dur_ckpt_")
     gold_dir = tempfile.mkdtemp(prefix="dur_gold_")
+    state_dir = tempfile.mkdtemp(prefix="dur_state_")
     fact_path = os.path.join(gold_dir, "fact_transactions")
 
     fx = banking_fixture
@@ -44,11 +45,9 @@ def test_streaming_to_durable_gold_across_restart(spark, banking_fixture):
                 )
             )
 
-    # state holder reloaded per run, as a restarted job would
+    # a restarted job reloads its durable state (SCD2 snapshots + fact)
     def run_once():
-        state = MedallionState.empty()
-        if os.path.exists(fact_path):
-            state.fact = None  # fact merge handled durably below
+        state = MedallionState.load(spark, state_dir)
 
         def on_batch(batch_df, epoch):
             nonlocal state
@@ -60,6 +59,8 @@ def test_streaming_to_durable_gold_across_restart(spark, banking_fixture):
                 fact_path,
                 unique_key="transaction_id",
             )
+            state.save(state_dir)
+            state = MedallionState.load(spark, state_dir)
 
         q = start_pipeline_stream(
             spark, read_fixture_stream(spark, src), on_batch, ckpt
@@ -81,3 +82,18 @@ def test_streaming_to_durable_gold_across_restart(spark, banking_fixture):
     # unique key held across restarts (idempotent durable merge)
     dups = fact.groupBy("transaction_id").count().filter(F.col("count") > 1)
     assert dups.count() == 0
+    # every fact resolves customer_id even when its account image arrived
+    # in a pre-restart batch (cumulative dim join, not batch-local)
+    assert fact.filter(F.col("customer_id").isNull()).count() == 0
+
+    # SCD2 version history survived the restart: per-key version counts
+    # match the single-shot goldens
+    final = MedallionState.load(spark, state_dir)
+    got = {
+        int(r["customer_id"]): r["n"]
+        for r in final.snapshots["customers"]
+        .groupBy("customer_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == fx.expected_versions["customers"]

@@ -34,8 +34,10 @@ def test_end_to_end_gold(spark, banking_fixture, fixture_frames):
     expected_txns = banking_fixture.expected_current["transactions"]
     assert fact.count() == len(expected_txns)
 
-    # denormalized customer_id matches the account->customer wiring
-    sample = fact.filter(F.col("customer_id").isNotNull()).limit(20).collect()
+    # denormalized customer_id: every fact row resolves (no account is
+    # deleted in compat mode) and matches the account->customer wiring
+    assert fact.filter(F.col("customer_id").isNull()).count() == 0
+    sample = fact.limit(20).collect()
     accounts = banking_fixture.expected_current["accounts"]
     for r in sample:
         assert int(r["customer_id"]) == accounts[int(r["account_id"])]["customer_id"]
@@ -74,6 +76,21 @@ def test_end_to_end_gold(spark, banking_fixture, fixture_frames):
         assert cur[cid] == img["first_name"]
 
     run_quality_suite(gold)
+
+
+def test_fact_resolves_accounts_from_prior_batches(spark, fixture_frames):
+    """A transaction whose account CDC image arrived in an EARLIER batch
+    must still denormalize customer_id: the fact joins the cumulative
+    account dimension (open SCD2 rows), not the batch-local staging.
+    Batch 1 carries only customers+accounts, batch 2 only transactions —
+    with a batch-local join every batch-2 fact would get NULL."""
+    dims_batch = fixture_frames.filter(~F.col("topic").endswith(".transactions"))
+    txn_batch = fixture_frames.filter(F.col("topic").endswith(".transactions"))
+    state, _ = run_pipeline(spark, dims_batch)
+    _, gold = run_pipeline(spark, txn_batch, state=state)
+    fact = gold["fact_transactions"]
+    assert fact.count() > 0
+    assert fact.filter(F.col("customer_id").isNull()).count() == 0
 
 
 def test_scd2_chains_are_contiguous(spark, fixture_frames):
@@ -158,6 +175,32 @@ def test_delete_propagation_full_mode(spark, banking_fixture, fixture_frames):
         F.col("is_current") & F.col("customer_id").isin([str(c) for c in deleted_cids])
     )
     assert cur.count() == len(deleted_cids)
+
+
+def test_decimal_money_mode(spark, banking_fixture, fixture_frames):
+    """SURVEY §1.2 exact-decimal mode: money carried as DecimalType(18,2)
+    end-to-end, fact sum equals the Python-Decimal golden exactly, and
+    double_compat_view reproduces the reference's FLOAT shape."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    from realtime_banking_cdc_pipeline_spark.plans.silver import double_compat_view
+
+    _, gold = run_pipeline(spark, fixture_frames, decimal_money=True)
+    fact = gold["fact_transactions"]
+    amount_type = fact.schema["amount"].dataType
+    assert amount_type == DecimalType(18, 2)
+
+    got = fact.agg(F.sum("amount").alias("s")).collect()[0]["s"]
+    want = sum(
+        Decimal(str(t["amount"]))
+        for t in banking_fixture.expected_current["transactions"].values()
+    )
+    assert got == want  # exact, order-independent — impossible with doubles
+
+    compat = double_compat_view(fact, ["amount"])
+    assert compat.schema["amount"].dataType == DoubleType()
 
 
 def test_pipeline_at_10x_fixture_scale(spark):

@@ -105,11 +105,18 @@ def test_incremental_merge_idempotent_and_complete(spark, log_a, log_b):
     got1 = sorted((r["id"], r["v"], r["seq"]) for r in m1.collect())
     got2 = sorted((r["id"], r["v"], r["seq"]) for r in m2.collect())
     assert got1 == got2  # idempotent under redelivery
-    # batch keys come from the batch's latest image; others from target
+    # recency-aware merge: per key the (ts, seq)-max image wins whether it
+    # sits in the target or the batch (a stale image redelivered in a later
+    # batch must NOT clobber a newer target row); batch wins exact ties
     batch_latest = {k: rs[-1] for k, rs in _ordered(log_b).items()}
     target_latest = {k: rs[-1] for k, rs in _ordered(log_a).items()}
-    want = dict(target_latest)
-    want.update(batch_latest)
+    want = {}
+    for k in set(target_latest) | set(batch_latest):
+        t, b = target_latest.get(k), batch_latest.get(k)
+        if t is None or (b is not None and (b["ts"], b["seq"]) >= (t["ts"], t["seq"])):
+            want[k] = b
+        else:
+            want[k] = t
     assert {k: (v["v"], v["seq"]) for k, v in want.items()} == {
         r[0]: (r[1], r[2]) for r in got1
     }

@@ -20,10 +20,35 @@ from realtime_banking_cdc_pipeline_spark.streaming.analytics import (
     tumbling_counts,
 )
 from realtime_banking_cdc_pipeline_spark.streaming.ingest import (
+    kafka_source_options,
     read_fixture_stream,
+    read_kafka_stream,
     start_pipeline_stream,
     with_stream_dedup,
 )
+
+
+def test_kafka_source_contract(spark):
+    """S2 contract: the Kafka reader subscribes to the reference's
+    Debezium topic set with the expected offsets, and fails with the
+    data-source-lookup error (not silently) when the spark-sql-kafka
+    jar is absent — the only coverage possible without the jar."""
+    topics = [
+        "banking_server.public.customers",
+        "banking_server.public.accounts",
+        "banking_server.public.transactions",
+    ]
+    opts = kafka_source_options("broker:9092", topics)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": ",".join(topics),
+        "startingOffsets": "earliest",
+    }
+    assert kafka_source_options("b", [], starting_offsets="latest")[
+        "startingOffsets"
+    ] == "latest"
+    with pytest.raises(Exception, match="(?i)kafka"):
+        read_kafka_stream(spark, "broker:9092", topics)
 
 
 @pytest.fixture(scope="module")
