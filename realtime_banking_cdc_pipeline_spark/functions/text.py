@@ -89,6 +89,44 @@ def clean_text(text: str | Column) -> Column:
     return F.trim(c)
 
 
+# PII patterns, applied in this order (IDs before phones: an SSN-shaped
+# string must not half-match the phone pattern first). Shared with the
+# oracle SQL generator — POSIX-compatible so DuckDB's RE2 agrees.
+PII_RULES = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    ("\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Training-corpus PII scrub: emails, SSN-shaped ids, phone numbers,
+    IPv4 literals → typed placeholders. Pure JVM regexp chain (no UDF);
+    the rule list is the cross-engine contract."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_features(text: str | Column) -> dict[str, Column]:
+    """Repetition-based quality signals (integer-count derived, exact
+    cross-engine): type-token ratio and its complement. The max-token-
+    frequency variant needs a per-token groupBy — see the
+    ``x_repetition`` query for that aggregation shape."""
+    toks = ws_tokens(text)
+    low = F.transform(toks, F.lower)
+    n = F.size(low)
+    n_uniq = F.size(F.array_distinct(low))
+    return {
+        "n_tokens": n,
+        "n_unique": n_uniq,
+        "type_token_ratio": n_uniq.cast("double") / n,
+        "repetition_ratio": (n - n_uniq).cast("double") / n,
+    }
+
+
 def fingerprint(text: str | Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (lowercased). Identical duplicates — including

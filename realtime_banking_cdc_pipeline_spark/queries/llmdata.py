@@ -595,6 +595,295 @@ def x_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clusters: LSH pairs -> connected components -> canonical ids
+# ---------------------------------------------------------------------------
+
+_CLUST_MATCH_MIN = 8  # same bar as the corpus-prep near-dup stage
+
+
+def _dd_clusters_sql() -> str:
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH RECURSIVE {_dd_minhash_cte()},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({or_cond})
+  WHERE {match_sum} >= {_CLUST_MATCH_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id)
+SELECT c.doc_id, c.component,
+       CAST(s.n AS BIGINT) AS cluster_size,
+       (c.doc_id = c.component) AS is_canonical
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS n FROM comp GROUP BY component) s
+  USING (component)
+"""
+
+
+@query(
+    "x_dedup_clusters",
+    _dd_clusters_sql(),
+    doc=(
+        "Transitive near-dup clustering: LSH pairs (est. jaccard >= 0.5) "
+        "-> connected components (iterative min-label propagation; the "
+        "DuckDB oracle is a recursive CTE computing the same fixpoint) -> "
+        "per-doc canonical id + cluster size. Pairwise removal alone is "
+        "wrong when A~B and B~C but A!~C — components collapse the chain "
+        "to one survivor."
+    ),
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signature(d, "doc_id", "text", k=3)
+    pairs = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
+    ).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    return comp.join(F.broadcast(sizes), "component").select(
+        "doc_id",
+        "component",
+        F.col("n").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (typed placeholders, ordered regexp chain)
+# ---------------------------------------------------------------------------
+
+
+def _dd_pii_sql() -> str:
+    from ..functions.text import PII_RULES
+
+    expr = "text"
+    for pat, repl in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {expr} AS redacted,
+       CAST(length(text) - length({expr}) AS BIGINT) AS chars_removed
+FROM documents
+"""
+
+
+@query(
+    "x_pii_redact",
+    _dd_pii_sql(),
+    doc=(
+        "PII scrub for training corpora: emails / SSN-shaped ids / phones / "
+        "IPv4 -> typed placeholders, ordered so id patterns can't half-match "
+        "as phones. JVM regexp chain, narrow pass, no UDF; PII_RULES is the "
+        "cross-engine contract."
+    ),
+)
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import redact_pii
+
+    d = _docs(spark, sf_dir)
+    r = redact_pii("text")
+    return d.select(
+        "doc_id",
+        r.alias("redacted"),
+        (F.length("text") - F.length(r)).cast("bigint").alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / diversity quality signals
+# ---------------------------------------------------------------------------
+
+_DD_LOWTOKS = f"list_transform({_DD_TOKS}, x -> lower(x))"
+
+_XREP_SQL = f"""
+WITH low AS (SELECT doc_id, {_DD_LOWTOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique
+  FROM low
+),
+freq AS (
+  SELECT doc_id, MAX(cnt) AS max_tok_freq FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM low)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(b.n_unique AS BIGINT) AS n_unique,
+  CAST(b.n_tokens - b.n_unique AS DOUBLE) / b.n_tokens AS repetition_ratio,
+  CAST(f.max_tok_freq AS BIGINT) AS max_tok_freq,
+  CAST(f.max_tok_freq AS DOUBLE) / b.n_tokens AS top_tok_ratio
+FROM base b JOIN freq f USING (doc_id)
+"""
+
+
+@query(
+    "x_repetition",
+    _XREP_SQL,
+    doc=(
+        "Repetition quality signals: type-token complement + max single-"
+        "token frequency share. Array pass for the distinct count, one "
+        "explode->two-level hash agg for the mode frequency — both "
+        "map-side-combinable at 100TB. All ratios integer-count derived."
+    ),
+)
+def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import repetition_features
+
+    d = _docs(spark, sf_dir)
+    rf = repetition_features("text")
+    base = d.select(
+        "doc_id",
+        rf["n_tokens"].cast("bigint").alias("n_tokens"),
+        rf["n_unique"].cast("bigint").alias("n_unique"),
+        rf["repetition_ratio"].alias("repetition_ratio"),
+    )
+    low = d.select(
+        "doc_id",
+        F.explode(F.transform(ws_tokens("text"), F.lower)).alias("tok"),
+    )
+    freq = (
+        low.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_tok_freq"))
+    )
+    return base.join(freq, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        "repetition_ratio",
+        F.col("max_tok_freq").cast("bigint").alias("max_tok_freq"),
+        (F.col("max_tok_freq").cast("double") / F.col("n_tokens")).alias(
+            "top_tok_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/validation/test split (hash-bucketed)
+# ---------------------------------------------------------------------------
+
+_XSPLIT_SQL = """
+SELECT doc_id,
+  CASE WHEN b < 90 THEN 'train'
+       WHEN b < 95 THEN 'validation'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 100 AS b
+  FROM documents
+)
+"""
+
+
+@query(
+    "x_split_assign",
+    _XSPLIT_SQL,
+    doc=(
+        "Reproducible 90/5/5 train/val/test assignment: md5-bucket of the "
+        "doc key, pure narrow projection (randomSplit is neither stable "
+        "across re-runs nor partition-independent). The split column then "
+        "partitions the write so each split is its own parquet subtree."
+    ),
+)
+def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import assign_split
+
+    d = _docs(spark, sf_dir)
+    return assign_split(d, "doc_id").select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Discriminative top terms per document (integer-ordered tf/df)
+# ---------------------------------------------------------------------------
+
+_XTERMS_K = 3
+
+_XTERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DD_LOWTOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.doc_freq ASC, t.term ASC) AS rnk
+  FROM tf t JOIN df d USING (term)
+) WHERE rnk <= {_XTERMS_K}
+"""
+
+
+@query(
+    "x_top_terms",
+    _XTERMS_SQL,
+    doc=(
+        "Per-doc discriminative terms: rank by (tf DESC, doc_freq ASC, "
+        "term) — the tf-idf ordering expressed over exact integers (a "
+        "float idf would be libm-dependent across engines). Two hash aggs "
+        "+ one broadcastable term-stats join; the rank window partitions "
+        "by doc so no global sort."
+    ),
+)
+def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _XTERMS_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end training-data prep: quality filter -> exact dedup -> near-dup
 # ---------------------------------------------------------------------------
 

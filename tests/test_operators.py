@@ -125,3 +125,44 @@ def test_incremental_merge_high_water_mark_filters_stale(spark):
         target, stale_batch, "id", order_by=["ts", "seq"], hwm_col="ts"
     )
     assert {r["id"] for r in merged.collect()} == {1}
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation: a 5-node chain (diameter > 1 round)
+    collapses to its min id; isolated nodes from `nodes` self-label."""
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                  "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_assign_split_is_stable_and_partition_independent(spark):
+    """Hash-split invariants: re-running and repartitioning never move a
+    row, and shares land near the requested 90/5/5."""
+    from realtime_banking_cdc_pipeline_spark.functions.sampling import assign_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in assign_split(df, "k").collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in assign_split(df.repartition(7), "k").collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert 0.85 < shares["train"] / 2000 < 0.95
+    assert shares["validation"] > 0 and shares["test"] > 0
+    # a different salt deals an uncorrelated split
+    c = {r["k"]: r["split"] for r in assign_split(df, "k", salt="v2").collect()}
+    assert c != a
