@@ -678,6 +678,135 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: shared-shingle overlap vs an eval set
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 5          # token n-gram size
+_CONTAM_BENCH_MAX = 10  # fixture eval set: doc_id < 10 stands in for the benchmark
+_CONTAM_RATIO = 0.1
+
+_XCONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dd_shingles(_CONTAM_K)}) AS shingle FROM toks),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_CONTAM_BENCH_MAX}),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {_CONTAM_BENCH_MAX}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN bench USING (shingle) GROUP BY c.doc_id
+)
+SELECT s.doc_id,
+  CAST(s.n_shingles AS BIGINT) AS n_shingles,
+  CAST(COALESCE(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(COALESCE(sh2.n_shared, 0) AS DOUBLE) / s.n_shingles AS overlap_ratio,
+  (CAST(COALESCE(sh2.n_shared, 0) AS DOUBLE) / s.n_shingles >= {_CONTAM_RATIO})
+    AS contaminated
+FROM sizes s LEFT JOIN shared sh2 USING (doc_id)
+"""
+
+
+@query(
+    "x_contamination",
+    _XCONTAM_SQL,
+    doc=(
+        "Eval-set decontamination: per-corpus-doc share of token "
+        f"{_CONTAM_K}-gram shingles also present in the benchmark set "
+        "(fixture: doc_id < 10). The benchmark shingle set is tiny -> "
+        "broadcast join against the corpus explode; one hash agg per "
+        "side. The op every training pipeline must run before shipping."
+    ),
+)
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import exploded_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = exploded_shingles(d, "doc_id", "text", k=_CONTAM_K)
+    bench = (
+        sh.filter(F.col("doc_id") < _CONTAM_BENCH_MAX).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= _CONTAM_BENCH_MAX)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(shared, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            ratio.alias("overlap_ratio"),
+            (ratio >= F.lit(_CONTAM_RATIO)).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign docs to fixed token-budget training bins
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 32
+
+_XPACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, {_DD_NTOK} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+           AS seq_start
+  FROM t
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(seq_start AS BIGINT) AS seq_start,
+       CAST(seq_start // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(seq_start % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+@query(
+    "x_pack_sequences",
+    _XPACK_SQL,
+    doc=(
+        f"Sequence packing for training: docs stream into {_PACK_BUDGET}-"
+        "token bins in stable doc_id order WITHIN a hash shard — the "
+        "shard partitioning is what makes the running-sum window scale "
+        "(a global ORDER BY would serialize 100TB through one task). "
+        "Integer-only outputs: offset of each doc in its shard's token "
+        "stream plus derived bin id/offset."
+    ),
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        ws_token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("seq_start")
+    c = t.select("doc_id", "shard", "n_tokens", start)
+    return c.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("seq_start").cast("bigint").alias("seq_start"),
+        F.floor(F.col("seq_start") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+        (F.col("seq_start") % _PACK_BUDGET).cast("bigint").alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (typed placeholders, ordered regexp chain)
 # ---------------------------------------------------------------------------
 

@@ -44,6 +44,26 @@ def test_view_table_incremental_cycle(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_delta_merge_gate_is_honest(spark):
+    """delta-spark is verified-absent in this container: the connector
+    must fail loudly with the parquet alternative named, never silently
+    fake a MERGE. (With the jar present the same call runs real MERGE
+    INTO; this pins the gated behavior.)"""
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.plans.materialize import try_delta_merge
+
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark present; gate test not applicable")
+    except ImportError:
+        pass
+    df = spark.range(3)
+    with pytest.raises(NotImplementedError, match="materialize_incremental"):
+        try_delta_merge(spark, df, "/tmp/never_written_delta", "id")
+
+
 def test_register_sources_catalog(spark):
     register_sources(spark, "/root/testdata/sf0.001", ["region", "nation"])
     joined = spark.sql(
