@@ -31,10 +31,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n, s in QUERIES.items() if s.bench]
-    # Warm-up: materialize a full scan of every table (noop sink reads
-    # all columns — a count() would satisfy itself from parquet footers)
-    # plus one query end-to-end, so timings measure steady-state query
-    # cost, not cold-JVM JIT / first-scan codec and page-cache effects.
+    # Warm-up: one untimed end-to-end pass of every benched query (plus
+    # full table scans), then the timed pass — steady-state numbers, not
+    # cold-JVM JIT / codegen-compile / first-scan codec effects. (A
+    # count() warm-up would not do: parquet satisfies counts from
+    # footers without touching the data path.)
     import glob as _glob
 
     for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
@@ -42,7 +43,8 @@ def main() -> None:
             spark.read.parquet(p).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # nanos-typed tables need the query-level reader conf
-    QUERIES[names[0]].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in names:
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -57,6 +59,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "warmup_passes": 1,
     }
     print(json.dumps(out))
 
