@@ -42,6 +42,45 @@ def sliding_velocity(
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: rows pair when keys match
+    and ``right_ts`` lands in [left_ts, left_ts + upper] — the txn↔txn
+    correlation shape (e.g. a TRANSFER matched to its counterparty leg,
+    a login matched to the purchases it preceded).
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered left row is dropped once the right watermark passes
+    left_ts + upper (and vice versa). Without the time-range condition
+    a stream-stream join would need unbounded state — Spark rejects it;
+    this IS the scalable form. Works identically on batch frames (no
+    watermark applied), which the tests exploit for a twin check.
+    """
+    lw, rw = left, right
+    if left.isStreaming:
+        lw = lw.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        rw = rw.withWatermark(right_ts, watermark)
+    l_, r_ = lw.alias("l"), rw.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l_.join(r_, cond, how)
+
+
 def session_aggregates(
     events: DataFrame, ts_col: str, key_col: str,
     gap: str = "30 minutes", watermark: str = "1 hour",

@@ -199,3 +199,55 @@ def test_stateful_balances_accumulate_across_restarts(spark):
     run()
     assert (1, 100.0, 1) in emitted  # first run's state
     assert (1, 75.0, 2) in emitted  # resumed state accumulated, not reset
+
+
+def test_stateful_running_balances_transform_with_state(spark):
+    """Spark 4 transformWithState twin of running_balances: RocksDB
+    ValueState, declarative TTL, self-terminating under availableNow.
+    Skips where the protobuf dependency of the TWS python protocol is
+    absent (verified so in this container — tws_available docstring)."""
+    import pytest
+    import tempfile as tf
+
+    from realtime_banking_cdc_pipeline_spark.streaming.stateful import (
+        running_balances_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState python "
+                    "protocol cannot initialize in this container")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tf.mkdtemp(prefix="txns_tws_")
+        spark.createDataFrame(
+            [(1, "DEPOSIT", 100.0), (1, "WITHDRAWAL", 30.0), (2, "DEPOSIT", 50.0)],
+            "account_id long, txn_type string, amount double",
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "account_id long, txn_type string, amount double"
+        ).parquet(src)
+        q = (
+            running_balances_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("balances_tws_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "tws availableNow run should self-terminate"
+        got = {
+            r["account_id"]: (r["running_balance"], r["n_txns"])
+            for r in spark.sql("SELECT * FROM balances_tws_out").collect()
+        }
+        assert got == {1: (70.0, 2), 2: (50.0, 1)}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -164,3 +164,57 @@ def test_pipeline_monitor_freshness(spark, fixture_dir):
         assert not m.check_freshness(300)  # replayed history exceeds 5 min
     finally:
         mon.detach(spark, m)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Event-time interval join on two streams (watermark-bounded state)
+    produces exactly the batch join's pairs."""
+    import datetime as dt
+    import tempfile
+
+    from realtime_banking_cdc_pipeline_spark.streaming.analytics import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    logins = [(1, ts(0)), (1, ts(60)), (2, ts(5))]
+    purchases = [
+        (1, ts(4), 10.0),    # joins login@0 (within 10m)
+        (1, ts(63), 20.0),   # joins login@60
+        (1, ts(30), 30.0),   # joins nothing (gap > 10m both ways)
+        (2, ts(20), 40.0),   # joins nothing
+    ]
+    ldir, rdir = tempfile.mkdtemp("ssl"), tempfile.mkdtemp("ssr")
+    spark.createDataFrame(logins, "user_id long, login_ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(ldir)
+    spark.createDataFrame(
+        purchases, "user_id long, buy_ts timestamp, amount double"
+    ).write.mode("overwrite").parquet(rdir)
+
+    def run(lf, rf):
+        return interval_join(
+            lf, rf, "user_id", "login_ts", "buy_ts", upper="10 minutes"
+        ).select("l.user_id", "l.login_ts", "r.buy_ts", "r.amount")
+
+    batch = run(spark.read.parquet(ldir), spark.read.parquet(rdir))
+    want = sorted(tuple(r) for r in batch.collect())
+    assert len(want) == 2  # the two in-interval pairs only
+
+    lstream = spark.readStream.schema("user_id long, login_ts timestamp").parquet(ldir)
+    rstream = spark.readStream.schema(
+        "user_id long, buy_ts timestamp, amount double"
+    ).parquet(rdir)
+    q = (
+        run(lstream, rstream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ss_join_out").collect())
+    assert got == want
