@@ -311,6 +311,53 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Interval join (streaming/analytics.interval_join batch twin)
+# ---------------------------------------------------------------------------
+
+_IVJ_SQL = """
+SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id,
+       CAST(l.ts AS TIMESTAMP) AS view_ts, CAST(r.ts AS TIMESTAMP) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+ AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+"""
+
+
+@query(
+    "j6_interval_join",
+    _IVJ_SQL,
+    doc=(
+        "Event-time interval join (view→purchase within 10 min), the "
+        "batch twin of streaming/analytics.interval_join — identical "
+        "semantics on streams where the bounded time range is what lets "
+        "Spark evict join state. Equi-join on the key + range residual "
+        "(never a pure range cross-join)."
+    ),
+)
+def j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.analytics import interval_join
+
+    ev = events_table(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        views, purchases, "user_id", "ts", "ts", upper="10 minutes"
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window frame specs: running totals, lag/lead deltas, rank (O2/W surface)
 # ---------------------------------------------------------------------------
 
