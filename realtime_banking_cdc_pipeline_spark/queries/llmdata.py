@@ -678,6 +678,56 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Domain mixing: per-group deterministic downsampling to target rates
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 100, "unk": 25}  # keep-% per language bucket
+
+_XMIX_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id,
+    CASE WHEN CAST({_DD_NSTOP} AS DOUBLE) / {_DD_NTOK} > 0.03
+         THEN 'en' ELSE 'unk' END AS lang,
+    CAST('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+         AS BIGINT) % 100 AS b
+  FROM documents
+)
+SELECT doc_id, lang, CAST(b AS INTEGER) AS bucket,
+       (b < CASE lang WHEN 'en' THEN {_MIX_RATES["en"]}
+                      ELSE {_MIX_RATES["unk"]} END) AS kept
+FROM tagged
+"""
+
+
+@query(
+    "x_domain_mix",
+    _XMIX_SQL,
+    doc=(
+        "Corpus mixture control: downsample each domain/language bucket "
+        "to a target keep-rate with the same md5-bucket machinery as the "
+        "train/val/test split — deterministic (re-runs keep identical "
+        "rows), narrow, zero shuffle. The knob that turns 'we have 10x "
+        "too much domain X' into a reproducible recipe."
+    ),
+)
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import split_bucket
+
+    d = _docs(spark, sf_dir)
+    lang = lang_id_en("text")
+    b = split_bucket(F.col("doc_id"), salt="mix-v1")
+    rate = F.when(lang == "en", F.lit(_MIX_RATES["en"])).otherwise(
+        F.lit(_MIX_RATES["unk"])
+    )
+    return d.select(
+        "doc_id",
+        lang.alias("lang"),
+        b.alias("bucket"),
+        (b < rate).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real image decode (codec-free formats) over mapInPandas
 # ---------------------------------------------------------------------------
 

@@ -47,6 +47,39 @@ def write_partitioned(
     w.parquet(path)
 
 
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet",
+              mode: str = "overwrite") -> None:
+    """Format-agnostic sink. Parquet/ORC carry their own schema; CSV
+    writes a header (and the reader below re-applies the exact schema —
+    CSV's types are lossy on disk by nature)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {SUPPORTED_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true").option("timestampFormat",
+                                              "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    w.save(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
+             schema=None) -> DataFrame:
+    """Format-agnostic source: columnar formats self-describe; text
+    formats (json/csv) take the explicit schema the caller owns —
+    schema inference at 100 TB means scanning the data twice."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {SUPPORTED_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option("timestampFormat",
+                                              "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    return r.load(path)
+
+
 def read_json_tolerant(spark: SparkSession, path: str, schema) -> DataFrame:
     """PERMISSIVE JSON read with corrupt-record quarantine — the Spark
     equivalent of ``ON_ERROR='CONTINUE'`` (minio_to_snowflake_dag.py:81)."""
