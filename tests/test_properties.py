@@ -120,3 +120,52 @@ def test_incremental_merge_idempotent_and_complete(spark, log_a, log_b):
     assert {k: (v["v"], v["seq"]) for k, v in want.items()} == {
         r[0]: (r[1], r[2]) for r in got1
     }
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(edges_strategy)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Spark min-label propagation == classic union-find on arbitrary
+    small graphs (self-loops, parallel edges, multiple components)."""
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    nodes = list(range(10))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    want = {}
+    for n in nodes:
+        root = find(n)
+        want.setdefault(root, []).append(n)
+    want = {n: min(members) for root, members in want.items() for n in members}
+
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "src long, dst long"
+    )
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes_df).collect()
+    }
+    assert got == want
