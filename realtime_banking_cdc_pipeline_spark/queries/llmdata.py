@@ -1349,3 +1349,164 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: one deterministic Lloyd (k-means) iteration, then search
+# ---------------------------------------------------------------------------
+
+_FXLIST = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+
+
+def _dd_ivf_trained_sql(k: int = 10) -> str:
+    def assign(tag: str, cents: str, cnorm: str) -> str:
+        return f"""
+p{tag} AS (SELECT f.vec_id, c.cid, unnest(f.v) AS a, unnest(c.cv) AS b
+           FROM fx f, {cents} c),
+d{tag} AS (SELECT vec_id, cid, SUM(a * b) AS dot FROM p{tag} GROUP BY vec_id, cid),
+s{tag} AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(v.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM d{tag} d JOIN vn v USING (vec_id) JOIN {cnorm} c USING (cid)
+),
+a{tag} AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM s{tag}) WHERE rn = 1)"""
+
+    return f"""
+WITH fx AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
+vn AS (SELECT vec_id, SUM(x * x) AS nn
+       FROM (SELECT vec_id, unnest(v) AS x FROM fx) GROUP BY vec_id),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM fx WHERE vec_id < {_IVF_CENTROIDS}),
+cn0 AS (SELECT cid, SUM(x * x) AS nn
+        FROM (SELECT cid, unnest(cv) AS x FROM c0) GROUP BY cid),
+{assign("0", "c0", "cn0")},
+comp AS (
+  SELECT a0.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
+  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM fx) t
+  JOIN a0 USING (vec_id)
+  GROUP BY a0.cid, t.i
+),
+c1 AS (SELECT cid,
+              list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
+       FROM comp GROUP BY cid),
+cn1 AS (SELECT cid, SUM(x * x) AS nn
+        FROM (SELECT cid, unnest(cv) AS x FROM c1) GROUP BY cid),
+{assign("1", "c1", "cn1")},
+qc AS (SELECT cid FROM a1 WHERE vec_id = 0),
+cand AS (SELECT a1.vec_id, a1.cid FROM a1, qc
+         WHERE a1.cid = qc.cid AND a1.vec_id <> 0),
+qp AS (SELECT f.vec_id, unnest(f.v) AS a, unnest(q.v) AS b
+       FROM fx f JOIN cand USING (vec_id),
+            (SELECT v FROM fx WHERE vec_id = 0) q),
+qd AS (SELECT vec_id, SUM(a * b) AS dot FROM qp GROUP BY vec_id),
+qn AS (SELECT nn FROM vn WHERE vec_id = 0)
+SELECT qd.vec_id, cand.cid AS cell,
+       CAST(qd.dot AS DOUBLE) / sqrt(CAST(v.nn AS DOUBLE) * CAST(qn.nn AS DOUBLE))
+         AS cosine
+FROM qd JOIN vn v USING (vec_id) JOIN cand USING (vec_id), qn
+ORDER BY cosine DESC, qd.vec_id ASC
+LIMIT {k}
+"""
+
+
+@query(
+    "x_ann_ivf_trained",
+    _dd_ivf_trained_sql(),
+    doc=(
+        "IVF with a TRAINED coarse quantizer: one Lloyd (k-means) "
+        "iteration in exact fixed-point arithmetic — integer component "
+        "sums, floor-mean centroids — so training itself is "
+        "deterministic and cross-engine checkable (the oracle unrolls "
+        "the same iteration in SQL). Per round: one broadcast "
+        "assignment pass + one (cell, dim) hash agg; centroid state is "
+        "k×dim ints on the driver, the standard k-means-on-Spark shape. "
+        "Then search only the query's trained cell."
+    ),
+)
+def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    from ..functions.similarity import FIXED_POINT_SCALE, fixed_point
+
+    emb = _emb(spark, sf_dir)
+    fxv = emb.select(
+        "vec_id", F.transform("embedding", fixed_point).alias("v")
+    ).persist()
+
+    def assign(cent_rows: list[tuple[int, list[int], int]]):
+        cents = spark.createDataFrame(
+            cent_rows, "cid long, cv array<bigint>, cnn long"
+        )
+        dot = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        nn_v = F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cos = dot.cast("double") / F.sqrt(
+            nn_v.cast("double") * F.col("cnn").cast("double")
+        )
+        scored = fxv.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", cos.alias("cos")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def with_norm(cid: int, cv: list[int]):
+        return (cid, cv, sum(c * c for c in cv))
+
+    # centroids_0: the first k vectors, fixed-point quantized exactly as
+    # the engines do it (×2^20 is a pure exponent shift, floor exact)
+    c0 = [
+        with_norm(
+            r["vec_id"],
+            [math.floor(x * FIXED_POINT_SCALE) for x in r["embedding"]],
+        )
+        for r in emb.filter(F.col("vec_id") < _IVF_CENTROIDS).collect()
+    ]
+
+    # one Lloyd iteration: per-(cell, dim) integer sums -> floor means
+    a0 = assign(c0)
+    comp = (
+        fxv.join(a0, "vec_id")
+        .select("cid", F.posexplode("v").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in comp:
+        by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(r["s"] / r["cnt"])
+    c1 = [
+        with_norm(cid, [dims[i] for i in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+    cells = assign(c1)
+    qcell = cells.filter(F.col("vec_id") == 0).select("cid")
+    cand = cells.join(F.broadcast(qcell), "cid").filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            cosine_against(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
