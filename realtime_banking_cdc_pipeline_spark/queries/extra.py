@@ -311,6 +311,79 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Subquery surface: EXISTS / NOT EXISTS / scalar subquery
+# ---------------------------------------------------------------------------
+
+_SUBQ_SQL = """
+WITH stats AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_price
+  FROM orders
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(n_big AS BIGINT) AS n_big_orders
+FROM customer c
+JOIN (
+  SELECT o_custkey, COUNT(*) AS n_big
+  FROM orders, stats
+  WHERE CAST(o_totalprice AS DOUBLE) > avg_price
+  GROUP BY o_custkey
+) b ON b.o_custkey = c.c_custkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query(
+    "p_subqueries",
+    _SUBQ_SQL,
+    doc=(
+        "Subquery surface: scalar subquery (global avg price), EXISTS "
+        "(semi-join), NOT EXISTS (anti-join) — Catalyst rewrites all "
+        "three to joins (the scalar one to a broadcast single-row "
+        "cross), so none of them re-scans per row."
+    ),
+)
+def p_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    stats = orders.agg(
+        (
+            F.sum(dec("o_totalprice", 12, 2)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    big = (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice").cast("double") > F.col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    has_f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("f_custkey"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("u_custkey"))
+        .distinct()
+    )
+    return (
+        customer.join(big, customer["c_custkey"] == big["o_custkey"])
+        .join(has_f, F.col("c_custkey") == F.col("f_custkey"), "left_semi")
+        .join(urgent, F.col("c_custkey") == F.col("u_custkey"), "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_big").cast("bigint").alias("n_big_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interval join (streaming/analytics.interval_join batch twin)
 # ---------------------------------------------------------------------------
 
