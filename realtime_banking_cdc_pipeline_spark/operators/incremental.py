@@ -77,3 +77,42 @@ def incremental_merge(
         return dedup_latest(tagged, [unique_key], [*str_order, "_src"]).drop("_src")
     kept = target.join(batch.select(unique_key), unique_key, "left_anti")
     return kept.unionByName(batch.select(*target.columns))
+
+
+# Aggregate-maintenance: measures whose partial states compose by
+# addition. (sum, count) pairs also reconstitute avg; min/max compose by
+# min/max. Anything needing full re-read (exact distinct, percentiles)
+# deliberately isn't here — at scale those go through sketches.
+_MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def incremental_rollup(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    group_cols: Sequence[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Maintain a materialized rollup from deltas: aggregate ONLY the
+    batch, union with the existing rollup, re-aggregate the partials —
+    cost is O(batch) + O(groups), never a fact re-scan. This is the
+    at-scale form of the reference's 'rebuild the mart every run' dbt
+    models.
+
+    ``measures`` maps output column → (agg, source_col) with agg in
+    {sum, count, min, max}. ``count`` counts batch rows (the partial is
+    a sum of counts on merge).
+    """
+    batch_aggs = []
+    for out, (agg, src) in measures.items():
+        if agg not in _MERGEABLE:
+            raise ValueError(f"{agg!r} is not a mergeable aggregate")
+        col = F.count(F.lit(1)) if agg == "count" else getattr(F, agg)(src)
+        batch_aggs.append(col.alias(out))
+    partial = batch.groupBy(*group_cols).agg(*batch_aggs)
+    if existing is None:
+        return partial
+    merged = existing.select(*partial.columns).unionByName(partial)
+    remerge = [
+        _MERGEABLE[agg](out).alias(out) for out, (agg, _src) in measures.items()
+    ]
+    return merged.groupBy(*group_cols).agg(*remerge)

@@ -184,6 +184,55 @@ def c3_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C6 — incremental aggregate maintenance (rollup from deltas)
+# ---------------------------------------------------------------------------
+
+_C6_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(event_id) AS BIGINT) AS last_event
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "c6_incremental_rollup",
+    _C6_SQL,
+    doc=(
+        "Aggregate maintenance: the per-event-type rollup is built from "
+        "two delta batches (partial agg ⊎ re-agg, O(batch)+O(groups) per "
+        "run — never a fact re-scan) and must equal the direct full "
+        "GROUP BY. The at-scale form of 'rebuild the mart every run'."
+    ),
+)
+def c6_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import incremental_rollup
+    from ._det import dec
+
+    ev = _ev(spark, sf_dir).withColumn("value_dec", dec("value", 18, 2))
+    measures = {
+        "n_events": ("count", "event_id"),
+        "total_value": ("sum", "value_dec"),
+        "first_event": ("min", "event_id"),
+        "last_event": ("max", "event_id"),
+    }
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    r = incremental_rollup(None, b1, ["event_type"], measures)
+    r = incremental_rollup(r, b2, ["event_type"], measures)
+    return r.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("first_event").cast("bigint").alias("first_event"),
+        F.col("last_event").cast("bigint").alias("last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — transaction-velocity / fraud analytics (readme.md:408-412)
 # ---------------------------------------------------------------------------
 

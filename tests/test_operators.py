@@ -241,3 +241,32 @@ def test_multi_format_round_trip(spark, tmp_path):
         write_any(df, p, fmt)
         back = read_any(spark, p, fmt, schema=df.schema)
         assert sorted(tuple(r) for r in back.collect()) == want, fmt
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    """Aggregate maintenance from deltas: two incremental applications
+    equal the direct rollup over all data, for sum/count/min/max."""
+    from realtime_banking_cdc_pipeline_spark.operators.incremental import (
+        incremental_rollup,
+    )
+
+    measures = {
+        "total": ("sum", "x"),
+        "n": ("count", "x"),
+        "lo": ("min", "x"),
+        "hi": ("max", "x"),
+    }
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2)], "g string, x long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", -3), ("c", 7), ("b", 10)], "g string, x long"
+    )
+    r = incremental_rollup(None, b1, ["g"], measures)
+    r = incremental_rollup(r, b2, ["g"], measures)
+    want = incremental_rollup(None, b1.unionByName(b2), ["g"], measures)
+    key = lambda df: sorted(tuple(row) for row in df.collect())  # noqa: E731
+    assert key(r) == key(want)
+    got = {row["g"]: (row["total"], row["n"], row["lo"], row["hi"])
+           for row in r.collect()}
+    assert got == {"a": (3, 3, -3, 5), "b": (12, 2, 2, 10), "c": (7, 1, 7, 7)}
