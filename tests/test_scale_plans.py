@@ -163,3 +163,47 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_zorder_write_narrows_file_ranges(spark, tmp_path):
+    """Z-order clustering: after zorder_by + maxRecordsPerFile write,
+    per-file min/max spans are a small fraction of the global range in
+    BOTH dimensions — the footer-stats skipping the reference's linear
+    clustering key only gets for its leading column."""
+    import glob
+
+    from realtime_banking_cdc_pipeline_spark.operators.zorder import zorder_by
+    from realtime_banking_cdc_pipeline_spark.sources.parquet_io import (
+        write_partitioned,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            row = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .collect()[0]
+            )
+            spans.append(float(row["mx"]) - float(row["mn"]))
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "z")
+    ppath = str(tmp_path / "plain")
+    write_partitioned(zorder_by(orders, ["o_custkey", "o_totalprice"], bits=8),
+                      zpath, max_records_per_file=1500)
+    write_partitioned(orders.repartition(8), ppath, max_records_per_file=1500)
+
+    for col in ("o_custkey", "o_totalprice"):
+        g = orders.agg(
+            (F.max(col) - F.min(col)).cast("double").alias("r")
+        ).collect()[0]["r"]
+        z_frac = file_spans(zpath, col) / g
+        p_frac = file_spans(ppath, col) / g
+        # unclustered files span ~the whole range; z-ordered ones don't
+        assert p_frac > 0.8, (col, p_frac)
+        assert z_frac < 0.5 * p_frac, (col, z_frac, p_frac)
