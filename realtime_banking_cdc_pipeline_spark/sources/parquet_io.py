@@ -47,6 +47,34 @@ def write_partitioned(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_records_per_file: int = 1_000_000
+) -> int:
+    """Rewrite a parquet table into ⌈rows / target⌉ evenly-sized files —
+    the maintenance pass every incremental sink needs (per-batch appends
+    accumulate small files; small files mean per-file open/footer costs
+    dominate scans and executors starve on tiny splits). Staging
+    double-write because the read and the overwrite share ``path``.
+    Returns the resulting file count. On Delta/Iceberg this is OPTIMIZE;
+    here it is the same operation on plain parquet."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, -(-n // target_records_per_file))
+    tmp = path.rstrip("/") + "__compact"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    back.write.mode("overwrite").parquet(path)
+    _delete_path(spark, tmp)
+    return files
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
 
 

@@ -251,3 +251,26 @@ def test_stateful_running_balances_transform_with_state(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Small-file maintenance: many per-batch appends collapse to
+    ceil(rows/target) files with identical data."""
+    import glob
+
+    from realtime_banking_cdc_pipeline_spark.sources.parquet_io import compact_parquet
+
+    p = str(tmp_path / "frag")
+    for i in range(12):  # 12 tiny appends, several files each
+        spark.range(i * 100, (i + 1) * 100).repartition(3).write.mode(
+            "append"
+        ).parquet(p)
+    before_files = len(glob.glob(f"{p}/*.parquet"))
+    before = sorted(r["id"] for r in spark.read.parquet(p).collect())
+
+    n_files = compact_parquet(spark, p, target_records_per_file=500)
+    after_files = len(glob.glob(f"{p}/*.parquet"))
+    assert n_files == 3  # 1200 rows / 500
+    assert after_files == 3 < before_files
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before
+    assert not glob.glob(f"{p}__compact*")  # staging cleaned up
