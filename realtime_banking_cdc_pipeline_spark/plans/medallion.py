@@ -175,6 +175,15 @@ def run_pipeline(
     return state, gold
 
 
+def register_gold_views(gold: dict[str, DataFrame]) -> None:
+    """Bind the gold outputs into the session catalog under the
+    reference's model names (dim_customers / dim_accounts /
+    fact_transactions) so a dbt/SQL user's existing queries run
+    verbatim via ``spark.sql`` — the switch-over contract."""
+    for name, df in gold.items():
+        df.createOrReplaceTempView(name)
+
+
 def run_quality_suite(gold: dict[str, DataFrame]) -> None:
     """T1-T6 (readme.md:196-224) as hard assertions after every build."""
     fact = gold["fact_transactions"]

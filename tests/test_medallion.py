@@ -235,3 +235,32 @@ def test_pipeline_at_10x_fixture_scale(spark):
     run_quality_suite(gold)
     elapsed = time.perf_counter() - t0
     assert elapsed < 120, f"pipeline took {elapsed:.1f}s at 10x fixture scale"
+
+
+def test_gold_views_answer_reference_sql(spark, banking_fixture, fixture_frames):
+    """A reference (dbt/Snowflake) user's SQL runs verbatim against the
+    registered gold views — the switch-over contract."""
+    from realtime_banking_cdc_pipeline_spark.plans.medallion import register_gold_views
+
+    _, gold = run_pipeline(spark, fixture_frames)
+    register_gold_views(gold)
+
+    per_cust = spark.sql(
+        """
+        SELECT d.customer_id, COUNT(*) AS n_txns, ROUND(SUM(f.amount), 2) AS total
+        FROM fact_transactions f
+        JOIN dim_accounts a ON f.account_id = a.account_id AND a.is_current
+        JOIN dim_customers d ON a.customer_id = d.customer_id AND d.is_current
+        GROUP BY d.customer_id
+        """
+    )
+    got_n = per_cust.agg(F.sum("n_txns").alias("s")).collect()[0]["s"]
+    accounts = banking_fixture.expected_current["accounts"]
+    live_customers = {a["customer_id"] for a in accounts.values()}
+    txns = banking_fixture.expected_current["transactions"]
+    expected_joined = sum(
+        1 for t in txns.values()
+        if accounts.get(t["account_id"], {}).get("customer_id") in live_customers
+    )
+    assert got_n == expected_joined
+    assert per_cust.filter(F.col("total") <= 0).count() == 0
