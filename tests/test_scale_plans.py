@@ -207,3 +207,19 @@ def test_zorder_write_narrows_file_ranges(spark, tmp_path):
         # unclustered files span ~the whole range; z-ordered ones don't
         assert p_frac > 0.8, (col, p_frac)
         assert z_frac < 0.5 * p_frac, (col, z_frac, p_frac)
+
+
+def test_new_corpus_ops_plan_shapes(spark):
+    """Pin the 100TB shapes of the round-2 corpus operators: the
+    narrow ones must stay shuffle-free, packing must be exactly the one
+    shard-window exchange, and the joins in contamination/top-terms
+    must broadcast their small side."""
+    from realtime_banking_cdc_pipeline_spark.plans.plan_checks import (
+        assert_broadcast_join,
+    )
+
+    for name in ("x_split_assign", "x_domain_mix", "x_pii_redact"):
+        assert shuffle_count(QUERIES[name].spark(spark, SF)) == 0, name
+    assert shuffle_count(QUERIES["x_pack_sequences"].spark(spark, SF)) == 1
+    assert_broadcast_join(QUERIES["x_contamination"].spark(spark, SF))
+    assert_broadcast_join(QUERIES["x_top_terms"].spark(spark, SF))
