@@ -22,6 +22,7 @@ class BatchMetric:
     num_input_rows: int
     duration_ms: float | None
     watermark: str | None
+    observed: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -41,14 +42,36 @@ class PipelineMonitor(StreamingQueryListener):
         wm = p.eventTime.get("watermark") if p.eventTime else None
         if wm:
             self._last_watermark = wm
+        # df.observe(...) metrics ride the progress event: per-batch
+        # business counters (rows kept/dropped/quarantined) computed
+        # inside the running query — no second pass over the data.
+        observed = {}
+        try:
+            for name, row in (p.observedMetrics or {}).items():
+                observed[name] = row.asDict()
+        except Exception:  # malformed progress must not kill the listener
+            observed = {}
         self.metrics.append(
             BatchMetric(
                 batch_id=p.batchId,
                 num_input_rows=p.numInputRows,
                 duration_ms=duration,
                 watermark=wm,
+                observed=observed,
             )
         )
+
+    def observed_totals(self) -> dict[str, dict[str, float]]:
+        """Sum each observed numeric metric across batches:
+        {observation_name: {column: total}}."""
+        totals: dict[str, dict[str, float]] = {}
+        for m in self.metrics:
+            for name, row in m.observed.items():
+                slot = totals.setdefault(name, {})
+                for k, v in row.items():
+                    if isinstance(v, (int, float)) and v is not None:
+                        slot[k] = slot.get(k, 0) + v
+        return totals
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

@@ -270,3 +270,48 @@ def test_incremental_rollup_matches_full_recompute(spark):
     got = {row["g"]: (row["total"], row["n"], row["lo"], row["hi"])
            for row in r.collect()}
     assert got == {"a": (3, 3, -3, 5), "b": (12, 2, 2, 10), "c": (7, 1, 7, 7)}
+
+
+def test_schema_evolution_read_and_align(spark, tmp_path):
+    """An upstream column addition (Debezium starts emitting a new
+    field) must not break the pipeline: merged reads null-fill old
+    files, and align_to_schema reconciles old-state/new-batch unions."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from realtime_banking_cdc_pipeline_spark.sources.evolution import (
+        align_to_schema,
+        read_merged,
+    )
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = read_merged(spark, p)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.StringType()),
+        ]
+    )
+    old_batch = spark.createDataFrame([(3, "c", "junk")],
+                                      "id long, v string, legacy string")
+    aligned = align_to_schema(old_batch, target)
+    assert aligned.columns == ["id", "v", "score", "added_later"]
+    r = aligned.collect()[0]
+    assert (r["id"], r["v"], r["score"], r["added_later"]) == (3, "c", None, None)
+    # widened batch unions cleanly with reconciled state
+    assert align_to_schema(merged, target).unionByName(aligned).count() == 3
+    with pytest.raises(ValueError, match="legacy"):
+        align_to_schema(old_batch, target, strict_extras=True)

@@ -218,3 +218,37 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ss_join_out").collect())
     assert got == want
+
+
+def test_observed_metrics_ride_query_progress(spark, fixture_dir):
+    """df.observe computes business counters INSIDE the running query
+    (no second data pass); the listener surfaces them per batch."""
+    from realtime_banking_cdc_pipeline_spark.streaming import monitor as mon
+
+    m = mon.attach(spark)
+    try:
+        stream = read_fixture_stream(spark, fixture_dir).observe(
+            "ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(F.col("topic").endswith(".transactions"), 1)).alias(
+                "txn_rows"
+            ),
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        import time as _t
+
+        deadline = _t.monotonic() + 10
+        while _t.monotonic() < deadline:
+            if any(mm.observed for mm in m.metrics):
+                break
+            _t.sleep(0.2)
+        totals = m.observed_totals()
+        assert totals["ingest"]["rows"] > 0
+        assert 0 < totals["ingest"]["txn_rows"] < totals["ingest"]["rows"]
+    finally:
+        mon.detach(spark, m)
