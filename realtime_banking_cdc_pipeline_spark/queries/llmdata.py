@@ -678,6 +678,95 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repeated-span removal (C4-style): drop sentences the corpus repeats
+# ---------------------------------------------------------------------------
+
+_SPAN_FREQ_MIN = 3  # a span appearing in >= 3 docs is boilerplate
+
+_XSPAN_SQL = f"""
+WITH spans AS (
+  SELECT doc_id, i, span
+  FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(text, '\\. '), 1) AS i,
+           unnest(string_split_regex(text, '\\. ')) AS span
+    FROM documents
+  )
+),
+freq AS (
+  SELECT lower(span) AS k, COUNT(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY lower(span)
+),
+kept AS (
+  SELECT s.doc_id, s.i, s.span
+  FROM spans s JOIN freq f ON lower(s.span) = f.k
+  WHERE f.n_docs < {_SPAN_FREQ_MIN}
+),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(span ORDER BY i), '. ') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(c.n_spans - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(c.n_spans AS BIGINT) AS n_spans
+FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query(
+    "x_span_dedup",
+    _XSPAN_SQL,
+    doc=(
+        "Corpus-level repeated-span removal (the C4 cleanup): sentences "
+        f"appearing in >= {_SPAN_FREQ_MIN} documents are boilerplate — "
+        "drop them and reassemble each document in original order. "
+        "Explode + one span-frequency agg (map-side combinable) + "
+        "ordered collect_list rebuild; span keys are the only thing "
+        "shuffled, never full documents."
+    ),
+)
+def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    spans = d.select(
+        "doc_id", F.posexplode(F.split("text", "\\. ")).alias("i", "span")
+    )
+    freq = (
+        spans.groupBy(F.lower(F.col("span")).alias("k"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    kept = (
+        spans.join(freq, F.lower(F.col("span")) == F.col("k"))
+        .filter(F.col("n_docs") < _SPAN_FREQ_MIN)
+        .select("doc_id", "i", "span")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "span"))),
+                lambda s: s["span"],
+            ),
+            ". ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        counts.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Domain mixing: per-group deterministic downsampling to target rates
 # ---------------------------------------------------------------------------
 
