@@ -264,3 +264,31 @@ def test_gold_views_answer_reference_sql(spark, banking_fixture, fixture_frames)
     )
     assert got_n == expected_joined
     assert per_cust.filter(F.col("total") <= 0).count() == 0
+
+
+def test_corrupt_envelopes_are_quarantined_not_fatal(spark, fixture_frames):
+    """Malformed CDC payloads (garbage JSON, truncated envelopes, nulls)
+    must not crash the pipeline or perturb results: PERMISSIVE parse
+    yields null structs, which the bronze flatten drops — the Spark form
+    of the reference's COPY ON_ERROR='CONTINUE'."""
+    import datetime as dt
+
+    from realtime_banking_cdc_pipeline_spark.schemas import KAFKA_FIXTURE_SCHEMA
+
+    t = dt.datetime(2024, 1, 1)
+    junk = spark.createDataFrame(
+        [
+            ("banking_server.public.customers", '{"id": 1}', "not json at all{{{", t),
+            ("banking_server.public.transactions", None, '{"payload": 17}', t),
+            ("banking_server.public.accounts", '{"id": 2}', '{"payload": {"op": "c"', t),
+        ],
+        schema=KAFKA_FIXTURE_SCHEMA,
+    )
+    clean_state, clean_gold = run_pipeline(spark, fixture_frames)
+    dirty_state, dirty_gold = run_pipeline(spark, fixture_frames.unionByName(junk))
+
+    for name in ("fact_transactions", "dim_customers", "dim_accounts"):
+        a = sorted(map(tuple, clean_gold[name].drop("load_timestamp").collect()))
+        b = sorted(map(tuple, dirty_gold[name].drop("load_timestamp").collect()))
+        assert a == b, name
+    run_quality_suite(dirty_gold)
