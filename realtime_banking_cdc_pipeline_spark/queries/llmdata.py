@@ -1355,7 +1355,7 @@ _IVF_CENTROIDS = 16  # training-free fixture quantizer: vec_id < 16
                      # assign/probe/refine — is identical)
 
 
-def _dd_ivf_sql(k: int = 10) -> str:
+def _dd_ivf_sql(k: int = 10, nprobe: int = 1) -> str:
     fx = _FXQ.format
     return f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -1374,12 +1374,14 @@ scored AS (
          CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
   FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
 ),
-cells AS (SELECT vec_id, cid FROM (
+ranked AS (
   SELECT vec_id, cid, ROW_NUMBER() OVER (
-    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
+cells AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= {nprobe}),
 cand AS (
   SELECT vec_id FROM cells
-  WHERE cid = (SELECT cid FROM cells WHERE vec_id = 0) AND vec_id <> 0
+  WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0
 ),
 qp AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
        FROM e JOIN cand USING (vec_id),
@@ -1426,6 +1428,54 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qcell = cells.filter(F.col("vec_id") == 0).select("cid")
     cand = cells.join(F.broadcast(qcell), "cid").filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            cosine_against(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_IVF_NPROBE = 3
+
+
+@query(
+    "x_ann_ivf_multiprobe",
+    _dd_ivf_sql(nprobe=_IVF_NPROBE),
+    doc=(
+        f"Multi-probe IVF (nprobe={_IVF_NPROBE}): search the query's "
+        f"{_IVF_NPROBE} nearest cells instead of 1 — the recall knob "
+        "every IVF deployment tunes. Cost scales linearly in probed "
+        "cells, still a tiny fraction of the corpus; the probe set is a "
+        "broadcast of nprobe ids."
+    ),
+)
+def x_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= _IVF_NPROBE))
+        .select("cid")
+    )
+    cand = cells.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
         cand.join(emb, "vec_id")
