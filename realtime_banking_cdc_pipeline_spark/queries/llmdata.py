@@ -1347,6 +1347,172 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus pipeline v2: PII → quality → exact dedup → clustered near-dup
+# → deterministic split (the round-2 ops composed end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _dd_pii_expr() -> str:
+    from ..functions.text import PII_RULES
+
+    expr = "text"
+    for pat, repl in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def _dd_prep2_sql() -> str:
+    bands, r = 4, MINHASH_PERMS // 4
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    return f"""
+WITH RECURSIVE red AS (
+  SELECT doc_id, {_dd_pii_expr()} AS text FROM documents
+),
+feats AS (
+  SELECT doc_id, text,
+         {_DD_NTOK} AS n_tokens,
+         0.5 * (CAST({_DD_NSTOP} AS DOUBLE) / {_DD_NTOK})
+           + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text)) AS quality_score
+  FROM red
+),
+qual AS (
+  SELECT doc_id, text FROM feats
+  WHERE quality_score >= {_PREP_QUALITY_MIN} AND n_tokens >= {_PREP_TOKENS_MIN}
+),
+canon AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id FROM qual
+),
+surv AS (SELECT doc_id FROM canon WHERE doc_id = canonical_id),
+surv_docs AS (SELECT r.doc_id, r.text FROM red r JOIN surv USING (doc_id)),
+{_dd_minhash_cte(src="surv_docs")},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({or_cond})
+  WHERE {match_sum} >= {_PREP_MATCH_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+disp AS (
+  SELECT f.doc_id,
+         CASE
+           WHEN q.doc_id IS NULL THEN 'low_quality'
+           WHEN s.doc_id IS NULL THEN 'exact_dup'
+           WHEN c.component <> f.doc_id THEN 'near_dup'
+           ELSE 'kept'
+         END AS status
+  FROM feats f
+  LEFT JOIN qual q ON q.doc_id = f.doc_id
+  LEFT JOIN surv s ON s.doc_id = f.doc_id
+  LEFT JOIN comp c ON c.doc_id = f.doc_id
+)
+SELECT d.doc_id, d.status,
+  CASE WHEN d.status = 'kept' THEN
+    CASE WHEN b.b < 90 THEN 'train'
+         WHEN b.b < 95 THEN 'validation'
+         ELSE 'test' END
+  END AS split
+FROM disp d
+JOIN (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 100 AS b
+  FROM documents
+) b USING (doc_id)
+"""
+
+
+@query(
+    "x_corpus_pipeline_v2",
+    _dd_prep2_sql(),
+    doc=(
+        "End-to-end corpus prep v2 composing the round-2 operators: PII "
+        "redaction feeds quality scoring; exact dedup keeps min-id per "
+        "redacted text; near-dups collapse by CONNECTED COMPONENT "
+        "(A~B~C chains keep exactly one canonical, unlike pairwise "
+        "removal); survivors get the reproducible 90/5/5 split. Every "
+        "stage is a hash shuffle or broadcast; the clustering loop is "
+        "bounded by dup-chain diameter. The oracle replays the whole "
+        "composition, recursive clustering included."
+    ),
+)
+def x_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import assign_split
+    from ..functions.text import quality_features, redact_pii
+    from ..operators.components import connected_components
+
+    d = _docs(spark, sf_dir)
+    red = d.select("doc_id", redact_pii("text").alias("text")).persist()
+    feats = quality_features("text")
+    scored = red.select(
+        "doc_id",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        (F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]).alias(
+            "quality_score"
+        ),
+    ).persist()
+    qual = scored.filter(
+        (F.col("quality_score") >= _PREP_QUALITY_MIN)
+        & (F.col("n_tokens") >= _PREP_TOKENS_MIN)
+    ).select("doc_id", "text")
+    surv = qual.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    surv_docs = red.join(surv, "doc_id").select("doc_id", "text")
+
+    sig = minhash_signature(surv_docs, "doc_id", "text", k=3)
+    pairs = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _PREP_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=surv.select("doc_id")
+    ).withColumnRenamed("id", "doc_id")
+
+    disp = (
+        scored.select("doc_id")
+        .join(qual.select("doc_id", F.lit(True).alias("__q")), "doc_id", "left")
+        .join(surv.select("doc_id", F.lit(True).alias("__s")), "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__q").isNull(), "low_quality")
+            .when(F.col("__s").isNull(), "exact_dup")
+            .when(F.col("component") != F.col("doc_id"), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    split = assign_split(d.select("doc_id"), "doc_id").select("doc_id", "split")
+    return disp.join(split, "doc_id").select(
+        "doc_id",
+        "status",
+        F.when(F.col("status") == "kept", F.col("split")).alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN: coarse-quantizer cells + within-cell exact search
 # ---------------------------------------------------------------------------
 
