@@ -223,3 +223,30 @@ def test_new_corpus_ops_plan_shapes(spark):
     assert shuffle_count(QUERIES["x_pack_sequences"].spark(spark, SF)) == 1
     assert_broadcast_join(QUERIES["x_contamination"].spark(spark, SF))
     assert_broadcast_join(QUERIES["x_top_terms"].spark(spark, SF))
+
+
+def test_morton_code_matches_reference(spark):
+    """Bit-interleave correctness vs a python reference over exhaustive
+    small inputs (both dims 0..15, 4 bits)."""
+    from realtime_banking_cdc_pipeline_spark.operators.zorder import morton_code
+
+    def ref(x, y, bits=4):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_code([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y, z)
+    # distinct inputs -> distinct codes (it is a bijection on the grid)
+    assert len(set(got.values())) == 256
