@@ -21,8 +21,65 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from realtime_banking_cdc_pipeline_spark.caching import release_caches  # noqa: E402
 from realtime_banking_cdc_pipeline_spark.queries import QUERIES  # noqa: E402
 from realtime_banking_cdc_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def bench_streaming(spark) -> dict[str, float]:
+    """Streaming throughput probe (r2 verdict #5): one availableNow run
+    of the reference ingest shape — fixture CDC stream → watermark dedup
+    → foreachBatch envelope-parse + Bronze flatten — reporting
+    events/sec so streaming regressions show up round-over-round.
+    Wall time covers the whole query (source listing, state store,
+    sink), not just the transform."""
+    import shutil
+    import tempfile
+
+    from realtime_banking_cdc_pipeline_spark.sources import fixtures
+    from realtime_banking_cdc_pipeline_spark.sources.cdc import (
+        parse_envelope,
+        to_bronze_rows,
+    )
+    from realtime_banking_cdc_pipeline_spark.streaming.ingest import (
+        read_fixture_stream,
+        start_pipeline_stream,
+        with_stream_dedup,
+    )
+
+    n_cust = int(os.environ.get("SPARK_GRAFT_STREAM_CUSTOMERS", "3000"))
+    fx = fixtures.generate(n_customers=n_cust)
+    n_events = len(fx.events)
+    src = tempfile.mkdtemp(prefix="bench_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    fixtures.write_fixture_json(fx, src)
+    merged = {"rows": 0}
+
+    def on_batch(batch_df, _epoch):
+        batch = batch_df.cache()
+        total = 0
+        for table in ("customers", "accounts", "transactions"):
+            ev = parse_envelope(
+                batch.filter(F.col("topic").endswith(table)), table
+            )
+            total += to_bronze_rows(ev).count()
+        merged["rows"] += total
+        batch.unpersist()
+
+    t0 = time.perf_counter()
+    q = start_pipeline_stream(
+        spark, with_stream_dedup(read_fixture_stream(spark, src)), on_batch, ckpt
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "streaming_events_per_sec": round(n_events / wall, 1),
+        "streaming_events": n_events,
+        "streaming_wall_sec": round(wall, 3),
+        "streaming_bronze_rows": merged["rows"],
+    }
 
 
 def main() -> None:
@@ -46,12 +103,15 @@ def main() -> None:
     for name in names:
         QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    release_caches()  # drop warm-up caches so timed queries build their own
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         df = QUERIES[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        release_caches()  # operator-persisted frames don't leak across queries
 
     out = {
         "metric": "headline_query_wall_time_sf" + str(sf),
@@ -61,6 +121,7 @@ def main() -> None:
         "sf": sf,
         "warmup_passes": 1,
     }
+    out.update(bench_streaming(spark))
     print(json.dumps(out))
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from .text import ws_tokens
 
 # MinHash parameters — shared with the oracle SQL generator.
@@ -121,7 +122,7 @@ def lsh_band_pairs(
     """
     r = num_perm // bands
     if cache:
-        sig = sig.persist()
+        sig = track_persist(sig)
     band_entries = F.array(
         *[
             F.struct(
@@ -316,7 +317,9 @@ def lsh_cosine_pairs(
     # rejoins). Buckets are computed in this single narrow pass — the
     # old per-table join loop re-evaluated this subtree 8× (2 sides ×
     # 4 tables).
-    bucketed = emb.select(F.col(id_col), F.col(vec_col), *bucket_cols).persist()
+    bucketed = track_persist(
+        emb.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+    )
 
     # All tables in ONE self-equi-join: explode (table_idx, bucket)
     # entries into rows, join on the composite key carrying only ids —

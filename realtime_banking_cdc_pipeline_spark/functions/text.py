@@ -90,13 +90,24 @@ def clean_text(text: str | Column) -> Column:
 
 
 # PII patterns, applied in this order (IDs before phones: an SSN-shaped
-# string must not half-match the phone pattern first). Shared with the
-# oracle SQL generator — POSIX-compatible so DuckDB's RE2 agrees.
+# string must not half-match the phone pattern first; separated phones
+# before the bare-10-digit rule). Shared with the oracle SQL generator —
+# kept to the Java-regex ∩ RE2 subset so Spark and DuckDB agree, which
+# rules out lookarounds; \b word boundaries are in both.
+#
+# Known recall/precision limits (regexes are the contract, not an NER):
+# digit runs inside longer alphanumerics are NOT redacted (the \b
+# anchors trade that recall for not shredding hex ids), international
+# phone layouts other than NANP-ish 3-3-4 are missed, and any dotted
+# quad with in-range octets matches <IP> even when it is a version
+# string — indistinguishable by shape.
+_IPV4_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
 PII_RULES = (
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
-    ("\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
-    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
+    ("\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+    ("\\b[0-9]{10}\\b", "<PHONE>"),  # unseparated NANP number
+    (f"\\b{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}\\b", "<IP>"),
 )
 
 

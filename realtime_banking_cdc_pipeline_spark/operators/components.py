@@ -69,5 +69,19 @@ def connected_components(
         labels = new
         if improved == 0:
             break
+    else:
+        # loop exhausted max_iter without reaching the fixpoint: labels
+        # are NOT component minima (diameter > max_iter) — surface it
+        # instead of returning silently-wrong clusters
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({improved} labels still improving); component diameter "
+            "exceeds max_iter — raise max_iter or use large-star/"
+            "small-star for adversarially long chains",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.incremental import incremental_merge
+from ..sources.parquet_io import swap_into_place
 
 
 def materialize_view(df: DataFrame, name: str) -> None:
@@ -47,23 +48,22 @@ def materialize_table(
     partition_cols: list[str] | None = None,
     via_staging: bool = False,
 ) -> None:
-    """``via_staging=True`` double-writes (staging → read back → final)
-    so a DataFrame whose lineage READS ``path`` can be rewritten to it —
-    plain overwrite of a path you're scanning corrupts it. The staging
-    dir is removed afterwards. The crash window between the two writes
-    leaves the target truncated with the data recoverable only from the
-    leftover staging copy; a transactional table format (Delta/Iceberg)
-    closes this window — that's the connector-mode path."""
+    """``via_staging=True`` writes the new table to a staging dir (a
+    DataFrame whose lineage READS ``path`` cannot overwrite it in place)
+    then promotes it with the rename-based ``swap_into_place`` — the
+    previous table is retired to ``<path>__old`` and deleted only after
+    the new one is in place, so a crash never leaves the path truncated
+    (``recover_swap(path)`` repairs the brief both-copies-on-disk
+    window). A transactional format (Delta/Iceberg) is the upgrade —
+    that's the connector-mode path."""
     if via_staging:
         spark = df.sparkSession
         tmp = path.rstrip("/") + "__staging"
-        df.write.mode("overwrite").parquet(tmp)
-        back = spark.read.parquet(tmp)
-        w = back.write.mode("overwrite")
+        w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(path)
-        fs_delete(spark, tmp)
+        w.parquet(tmp)
+        swap_into_place(spark, tmp, path)
         return
     w = df.write.mode("overwrite")
     if partition_cols:
@@ -80,16 +80,14 @@ def materialize_incremental(
 ) -> DataFrame:
     """First run CTAS, then merge-on-unique-key — dbt incremental
     semantics on plain parquet (idempotent under redelivery). Same
-    staging double-write (and crash window) as ``materialize_table``."""
+    staging write + rename swap as ``materialize_table``."""
     target = None
     if fs_exists(spark, path):
         target = spark.read.parquet(path)
     merged = incremental_merge(target, batch, unique_key, order_by=order_by or [])
     tmp = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
-    fs_delete(spark, tmp)
+    swap_into_place(spark, tmp, path)
     return spark.read.parquet(path)
 
 

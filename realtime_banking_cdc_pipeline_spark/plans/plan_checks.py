@@ -29,6 +29,19 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
         )
 
 
+def assert_no_broadcast_hint(df: DataFrame) -> None:
+    """Assert no join in the plan carries a *forced* broadcast hint.
+
+    A planner-chosen BroadcastHashJoin at small SF is fine (and reverts
+    to shuffle join when the side outgrows the threshold); a hard
+    ``F.broadcast()`` hint on an unbounded side is an OOM at scale.
+    Hints survive into the optimized logical plan as
+    ``leftHint=/rightHint=(strategy=broadcast)`` on the Join node."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "strategy=broadcast" in plan:
+        raise AssertionError(f"forced broadcast hint in plan:\n{plan[:2000]}")
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     """Assert some parquet scan pushed a filter mentioning ``fragment``."""
     plan = _formatted_plan(df)

@@ -38,6 +38,7 @@ from ..functions.text import (
     ws_tokens,
 )
 from ..sources.parquet_io import read_table
+from ..caching import track_persist
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1188,8 +1189,11 @@ FROM (
         "Per-doc discriminative terms: rank by (tf DESC, doc_freq ASC, "
         "term) — the tf-idf ordering expressed over exact integers (a "
         "float idf would be libm-dependent across engines). Two hash aggs "
-        "+ one broadcastable term-stats join; the rank window partitions "
-        "by doc so no global sort."
+        "+ one term-stats join left to the planner: the vocabulary table "
+        "grows with the corpus (heavy-tailed token space), so forcing a "
+        "broadcast is an OOM at 100× scale — tf is already shuffled on a "
+        "compatible key, so AQE picks shuffle-hash/SMJ when df outgrows "
+        "the threshold. The rank window partitions by doc: no global sort."
     ),
 )
 def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,7 +1208,7 @@ def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _XTERMS_K)
         .select(
@@ -1310,7 +1314,8 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]).alias(
             "quality_score"
         ),
-    ).persist()
+    )
+    scored = track_persist(scored)
     qual = scored.filter(
         (F.col("quality_score") >= _PREP_QUALITY_MIN)
         & (F.col("n_tokens") >= _PREP_TOKENS_MIN)
@@ -1463,7 +1468,7 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     d = _docs(spark, sf_dir)
-    red = d.select("doc_id", redact_pii("text").alias("text")).persist()
+    red = track_persist(d.select("doc_id", redact_pii("text").alias("text")))
     feats = quality_features("text")
     scored = red.select(
         "doc_id",
@@ -1472,7 +1477,8 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]).alias(
             "quality_score"
         ),
-    ).persist()
+    )
+    scored = track_persist(scored)
     qual = scored.filter(
         (F.col("quality_score") >= _PREP_QUALITY_MIN)
         & (F.col("n_tokens") >= _PREP_TOKENS_MIN)
@@ -1519,6 +1525,21 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS = 16  # training-free fixture quantizer: vec_id < 16
                      # (a real deployment k-means these; the plumbing —
                      # assign/probe/refine — is identical)
+
+
+def _nearest_cell(scored: DataFrame) -> DataFrame:
+    """Argmax-per-vector over (vec_id, cid, cos) scored rows as a
+    ``max_by`` hash aggregate — full map-side combine, so each executor
+    reduces its n×k scored partition to one row per vector before the
+    exchange. The earlier window/``row_number`` form shuffled the whole
+    scored set (WindowGroupLimit bounds it, but partial agg is strictly
+    better). Tiebreak matches the oracle's ORDER BY cos DESC, cid ASC:
+    maximize (cos, -cid)."""
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+        ).alias("cid")
+    )
 
 
 def _dd_ivf_sql(k: int = 10, nprobe: int = 1) -> str:
@@ -1575,8 +1596,6 @@ LIMIT {k}
     ),
 )
 def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
@@ -1586,12 +1605,7 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    cells = _nearest_cell(scored)
     qcell = cells.filter(F.col("vec_id") == 0).select("cid")
     cand = cells.join(F.broadcast(qcell), "cid").filter(F.col("vec_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
@@ -1623,8 +1637,6 @@ _IVF_NPROBE = 3
     ),
 )
 def x_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
@@ -1634,11 +1646,13 @@ def x_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    cells = _nearest_cell(scored)
+    # probe set: top-nprobe cells for the ONE query vector — k scored
+    # rows, a TakeOrdered, no window over the full n×k set
     probes = (
-        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= _IVF_NPROBE))
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("cos").desc(), F.col("cid").asc())
+        .limit(_IVF_NPROBE)
         .select("cid")
     )
     cand = cells.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != 0)
@@ -1663,7 +1677,11 @@ def x_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FXLIST = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
 
 
-def _dd_ivf_trained_sql(k: int = 10) -> str:
+def _dd_ivf_trained_sql(k: int = 10, iters: int = 1, nprobe: int = 1) -> str:
+    """Oracle for n-iteration Lloyd IVF: the training loop is UNROLLED
+    into CTE generations (c0→a0→c1→a1→…) — SQL has no iteration, so the
+    oracle materializes each round the Spark driver loop performs."""
+
     def assign(tag: str, cents: str, cnorm: str) -> str:
         return f"""
 p{tag} AS (SELECT f.vec_id, c.cid, unnest(f.v) AS a, unnest(c.cv) AS b
@@ -1678,6 +1696,23 @@ a{tag} AS (SELECT vec_id, cid FROM (
   SELECT vec_id, cid, ROW_NUMBER() OVER (
     PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM s{tag}) WHERE rn = 1)"""
 
+    def lloyd_round(t: int) -> str:
+        return f"""
+comp{t} AS (
+  SELECT a{t - 1}.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
+  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM fx) t
+  JOIN a{t - 1} USING (vec_id)
+  GROUP BY a{t - 1}.cid, t.i
+),
+c{t} AS (SELECT cid,
+              list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
+       FROM comp{t} GROUP BY cid),
+cn{t} AS (SELECT cid, SUM(x * x) AS nn
+        FROM (SELECT cid, unnest(cv) AS x FROM c{t}) GROUP BY cid),
+{assign(str(t), f"c{t}", f"cn{t}")}"""
+
+    rounds = ",".join(lloyd_round(t) for t in range(1, iters + 1))
+    fin = iters
     return f"""
 WITH fx AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
 vn AS (SELECT vec_id, SUM(x * x) AS nn
@@ -1686,21 +1721,12 @@ c0 AS (SELECT vec_id AS cid, v AS cv FROM fx WHERE vec_id < {_IVF_CENTROIDS}),
 cn0 AS (SELECT cid, SUM(x * x) AS nn
         FROM (SELECT cid, unnest(cv) AS x FROM c0) GROUP BY cid),
 {assign("0", "c0", "cn0")},
-comp AS (
-  SELECT a0.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
-  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM fx) t
-  JOIN a0 USING (vec_id)
-  GROUP BY a0.cid, t.i
-),
-c1 AS (SELECT cid,
-              list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
-       FROM comp GROUP BY cid),
-cn1 AS (SELECT cid, SUM(x * x) AS nn
-        FROM (SELECT cid, unnest(cv) AS x FROM c1) GROUP BY cid),
-{assign("1", "c1", "cn1")},
-qc AS (SELECT cid FROM a1 WHERE vec_id = 0),
-cand AS (SELECT a1.vec_id, a1.cid FROM a1, qc
-         WHERE a1.cid = qc.cid AND a1.vec_id <> 0),
+{rounds},
+probes AS (SELECT cid FROM (
+  SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC) AS rn
+  FROM s{fin} WHERE vec_id = 0) WHERE rn <= {nprobe}),
+cand AS (SELECT a.vec_id, a.cid FROM a{fin} a JOIN probes p ON a.cid = p.cid
+         WHERE a.vec_id <> 0),
 qp AS (SELECT f.vec_id, unnest(f.v) AS a, unnest(q.v) AS b
        FROM fx f JOIN cand USING (vec_id),
             (SELECT v FROM fx WHERE vec_id = 0) q),
@@ -1713,6 +1739,103 @@ FROM qd JOIN vn v USING (vec_id) JOIN cand USING (vec_id), qn
 ORDER BY cosine DESC, qd.vec_id ASC
 LIMIT {k}
 """
+
+
+def _ivf_trained_search(
+    spark: SparkSession, sf_dir: str, iters: int, nprobe: int
+) -> DataFrame:
+    """n-iteration deterministic Lloyd training + nprobe-cell search.
+
+    Per iteration: one broadcast assignment pass (``_nearest_cell`` hash
+    agg over the n×k scored rows, map-side combined) + one (cell, dim)
+    integer-sum aggregation collected to the driver — centroid state is
+    k×dim ints, the standard k-means-on-Spark shape; everything else
+    stays distributed. Training cost is linear in ``iters``; search
+    cost linear in ``nprobe`` probed cells."""
+    import math
+
+    from ..functions.similarity import FIXED_POINT_SCALE, fixed_point
+
+    emb = _emb(spark, sf_dir)
+    fxv = track_persist(
+        emb.select("vec_id", F.transform("embedding", fixed_point).alias("v"))
+    )
+
+    def score(cent_rows: list[tuple[int, list[int], int]]):
+        cents = spark.createDataFrame(
+            cent_rows, "cid long, cv array<bigint>, cnn long"
+        )
+        dot = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        nn_v = F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cos = dot.cast("double") / F.sqrt(
+            nn_v.cast("double") * F.col("cnn").cast("double")
+        )
+        return fxv.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", cos.alias("cos")
+        )
+
+    def with_norm(cid: int, cv: list[int]):
+        return (cid, cv, sum(c * c for c in cv))
+
+    # centroids_0: the first k vectors, fixed-point quantized exactly as
+    # the engines do it (×2^20 is a pure exponent shift, floor exact)
+    cents = [
+        with_norm(
+            r["vec_id"],
+            [math.floor(x * FIXED_POINT_SCALE) for x in r["embedding"]],
+        )
+        for r in emb.filter(F.col("vec_id") < _IVF_CENTROIDS).collect()
+    ]
+
+    # Lloyd rounds: per-(cell, dim) integer sums -> floor means; the
+    # double division matches the oracle's FLOOR(CAST(s AS DOUBLE)/cnt)
+    for _ in range(iters):
+        a = _nearest_cell(score(cents))
+        comp = (
+            fxv.join(a, "vec_id")
+            .select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in comp:
+            by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(r["s"] / r["cnt"])
+        cents = [
+            with_norm(cid, [dims[i] for i in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+
+    scored = score(cents)
+    cells = _nearest_cell(scored)
+    # probe set: top-nprobe trained cells for the ONE query vector
+    probes = (
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("cos").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = cells.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            cosine_against(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 @query(
@@ -1730,88 +1853,26 @@ LIMIT {k}
     ),
 )
 def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    return _ivf_trained_search(spark, sf_dir, iters=1, nprobe=1)
 
-    from pyspark.sql import Window
 
-    from ..functions.similarity import FIXED_POINT_SCALE, fixed_point
+_IVF_TRAIN_ITERS = 2
 
-    emb = _emb(spark, sf_dir)
-    fxv = emb.select(
-        "vec_id", F.transform("embedding", fixed_point).alias("v")
-    ).persist()
 
-    def assign(cent_rows: list[tuple[int, list[int], int]]):
-        cents = spark.createDataFrame(
-            cent_rows, "cid long, cv array<bigint>, cnn long"
-        )
-        dot = F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        nn_v = F.aggregate(
-            F.zip_with("v", "v", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        cos = dot.cast("double") / F.sqrt(
-            nn_v.cast("double") * F.col("cnn").cast("double")
-        )
-        scored = fxv.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", cos.alias("cos")
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-
-    def with_norm(cid: int, cv: list[int]):
-        return (cid, cv, sum(c * c for c in cv))
-
-    # centroids_0: the first k vectors, fixed-point quantized exactly as
-    # the engines do it (×2^20 is a pure exponent shift, floor exact)
-    c0 = [
-        with_norm(
-            r["vec_id"],
-            [math.floor(x * FIXED_POINT_SCALE) for x in r["embedding"]],
-        )
-        for r in emb.filter(F.col("vec_id") < _IVF_CENTROIDS).collect()
-    ]
-
-    # one Lloyd iteration: per-(cell, dim) integer sums -> floor means
-    a0 = assign(c0)
-    comp = (
-        fxv.join(a0, "vec_id")
-        .select("cid", F.posexplode("v").alias("i", "x"))
-        .groupBy("cid", "i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    by_cid: dict[int, dict[int, int]] = {}
-    for r in comp:
-        by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(r["s"] / r["cnt"])
-    c1 = [
-        with_norm(cid, [dims[i] for i in sorted(dims)])
-        for cid, dims in sorted(by_cid.items())
-    ]
-
-    cells = assign(c1)
-    qcell = cells.filter(F.col("vec_id") == 0).select("cid")
-    cand = cells.join(F.broadcast(qcell), "cid").filter(F.col("vec_id") != 0)
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return (
-        cand.join(emb, "vec_id")
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            F.col("cid").alias("cell"),
-            cosine_against(F.col("qv"), F.col("embedding")).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(10)
+@query(
+    "x_ann_ivf_trained_mp",
+    _dd_ivf_trained_sql(iters=_IVF_TRAIN_ITERS, nprobe=_IVF_NPROBE),
+    doc=(
+        f"Trained IVF composed with multi-probe: {_IVF_TRAIN_ITERS} "
+        f"deterministic Lloyd iterations, then search the query's "
+        f"{_IVF_NPROBE} nearest trained cells — the production IVF "
+        "deployment shape (train to convergence offline, tune nprobe "
+        "for recall online). The oracle unrolls both training rounds in "
+        "SQL; per-round cost on Spark is one broadcast assignment + one "
+        "(cell, dim) hash agg, centroid state k×dim ints on the driver."
+    ),
+)
+def x_ann_ivf_trained_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_trained_search(
+        spark, sf_dir, iters=_IVF_TRAIN_ITERS, nprobe=_IVF_NPROBE
     )

@@ -53,19 +53,81 @@ def compact_parquet(
     """Rewrite a parquet table into ⌈rows / target⌉ evenly-sized files —
     the maintenance pass every incremental sink needs (per-batch appends
     accumulate small files; small files mean per-file open/footer costs
-    dominate scans and executors starve on tiny splits). Staging
-    double-write because the read and the overwrite share ``path``.
-    Returns the resulting file count. On Delta/Iceberg this is OPTIMIZE;
-    here it is the same operation on plain parquet."""
+    dominate scans and executors starve on tiny splits). Writes to a
+    staging dir (the read and the rewrite share ``path``), then promotes
+    it with the rename-based ``swap_into_place``. Returns the resulting
+    file count. On Delta/Iceberg this is OPTIMIZE; here it is the same
+    operation on plain parquet."""
     df = spark.read.parquet(path)
     n = df.count()
     files = max(1, -(-n // target_records_per_file))
-    tmp = path.rstrip("/") + "__compact"
+    tmp = path.rstrip("/") + "__staging"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    back = spark.read.parquet(tmp)
-    back.write.mode("overwrite").parquet(path)
-    _delete_path(spark, tmp)
+    swap_into_place(spark, tmp, path)
     return files
+
+
+def _fs(spark: SparkSession, path: str):
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def swap_into_place(spark: SparkSession, staging: str, path: str) -> None:
+    """Promote a fully-written ``staging`` dir to ``path`` via two
+    renames, keeping the previous table as ``<path>__old`` until the
+    new one is in place — replaces the overwrite-in-place rewrite whose
+    crash window TRUNCATED the target (r2 advisor finding).
+
+    Crash matrix: before the first rename the old table is untouched;
+    between the renames the path is briefly absent but BOTH copies
+    exist on disk; after the second rename the swap is durable and
+    ``__old`` is garbage. ``recover_swap`` repairs every intermediate
+    state. Renames are atomic metadata ops on HDFS/local/ABFS; on S3
+    "rename" is copy+delete, so there a transactional table format
+    (Delta/Iceberg — see ``plans.materialize.try_delta_merge``) is the
+    real answer."""
+    fs, hstaging = _fs(spark, staging)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    hold = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    fs.delete(hold, True)
+    had_old = fs.exists(hpath)
+    if had_old and not fs.rename(hpath, hold):
+        raise IOError(f"swap: could not retire {path}")
+    if not fs.rename(hstaging, hpath):
+        # put the old table back rather than leaving the path empty
+        if had_old:
+            fs.rename(hold, hpath)
+        raise IOError(f"swap: could not promote {staging} to {path}")
+    fs.delete(hold, True)
+
+
+def recover_swap(spark: SparkSession, path: str) -> str:
+    """Repair an interrupted ``swap_into_place``. Returns what happened:
+    ``"intact"`` (target present — leftover staging/old cleaned),
+    ``"promoted_staging"`` (crash between renames; the NEW data was
+    complete, promote it), ``"restored_old"`` (staging incomplete or
+    missing; old table restored), or ``"missing"`` (nothing to recover).
+    Idempotent — safe to call at every job start."""
+    fs, hpath = _fs(spark, path)
+    hstaging = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__staging")
+    hold = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(hpath):
+        fs.delete(hstaging, True)
+        fs.delete(hold, True)
+        return "intact"
+    # a staging dir is only promotable if its write COMMITTED (_SUCCESS)
+    hsuccess = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "__staging/_SUCCESS"
+    )
+    if fs.exists(hstaging) and fs.exists(hsuccess):
+        fs.rename(hstaging, hpath)
+        fs.delete(hold, True)
+        return "promoted_staging"
+    if fs.exists(hold):
+        fs.rename(hold, hpath)
+        fs.delete(hstaging, True)
+        return "restored_old"
+    return "missing"
 
 
 def _delete_path(spark: SparkSession, path: str) -> None:

@@ -136,11 +136,15 @@ def running_balances_tws(txns: DataFrame, ttl_ms: int | None = None) -> DataFram
         def close(self) -> None:
             pass
 
+    # state TTL requires a clock: Spark rejects getValueState(
+    # ttlDurationMs=...) unless timeMode is ProcessingTime, so the mode
+    # follows the ttl argument (ttl_ms=None -> "None", self-terminating
+    # under availableNow; with a TTL the query keeps the PT clock alive)
     return txns.groupBy("account_id").transformWithStateInPandas(
         statefulProcessor=BalanceProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
 
 

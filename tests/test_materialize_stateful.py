@@ -273,4 +273,49 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n_files == 3  # 1200 rows / 500
     assert after_files == 3 < before_files
     assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before
-    assert not glob.glob(f"{p}__compact*")  # staging cleaned up
+    assert not glob.glob(f"{p}__staging*")  # staging cleaned up
+    assert not glob.glob(f"{p}__old*")  # retired copy cleaned up
+
+
+def test_swap_recovery_from_every_interrupted_state(spark, tmp_path):
+    """Rename-based table swap: a crash at any point between staging
+    write and final promotion is repairable — the old or new table is
+    always intact on disk (r2 advisor: the overwrite-in-place rewrite
+    could truncate the target)."""
+    import shutil
+
+    from realtime_banking_cdc_pipeline_spark.sources.parquet_io import (
+        recover_swap,
+        swap_into_place,
+    )
+
+    p = str(tmp_path / "t")
+
+    def reset(rows):
+        shutil.rmtree(p, ignore_errors=True)
+        spark.range(rows).write.mode("overwrite").parquet(p)
+
+    # happy path: staging promotes, old copy gone
+    reset(10)
+    spark.range(100, 120).write.parquet(p + "__staging")
+    swap_into_place(spark, p + "__staging", p)
+    assert spark.read.parquet(p).count() == 20
+    assert recover_swap(spark, p) == "intact"
+
+    # crash BETWEEN the two renames: path absent, old + committed
+    # staging both present -> the new data wins
+    spark.range(200, 230).write.parquet(p + "__staging")
+    shutil.move(p, p + "__old")
+    assert recover_swap(spark, p) == "promoted_staging"
+    assert spark.read.parquet(p).count() == 30
+
+    # crash DURING the staging write (no _SUCCESS): old table restored
+    spark.range(300, 305).write.parquet(p + "__staging")
+    (tmp_path / "t__staging" / "_SUCCESS").unlink()
+    shutil.move(p, p + "__old")
+    assert recover_swap(spark, p) == "restored_old"
+    assert spark.read.parquet(p).count() == 30
+
+    # nothing anywhere
+    shutil.rmtree(p)
+    assert recover_swap(spark, p) == "missing"

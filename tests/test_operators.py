@@ -146,6 +146,80 @@ def test_connected_components_chain_and_isolated(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_warns_when_not_converged(spark):
+    """max_iter below the component diameter must not return silently
+    wrong labels (r2 advisor): a RuntimeWarning fires."""
+    import warnings
+
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # 6-node chain: min-label needs >1 round to reach the far end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "converge" in str(w.message)
+        for w in caught
+    )
+    # and a sufficient budget stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+    assert not [w for w in caught if "converge" in str(w.message)]
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_pii_rules_edge_cases_cross_engine(spark):
+    """The r2 advisor's PII gaps, fixed and pinned cross-engine: bare
+    10-digit phones redact, >255 octets are not IPs, digit runs inside
+    longer identifiers stay intact — and Spark ≡ DuckDB on every case
+    (the rules are the contract; both engines render the same list)."""
+    import duckdb
+
+    from realtime_banking_cdc_pipeline_spark.functions.text import redact_pii
+    from realtime_banking_cdc_pipeline_spark.queries.llmdata import _dd_pii_expr
+
+    cases = [
+        "call 5551234567 now",            # unseparated phone -> redacted
+        "call 555-123-4567 now",          # separated phone
+        "call +555-123-4567 now",         # leading +
+        "ssn 123-45-6789 here",           # SSN-shaped id
+        "host 10.0.0.1 up",               # valid IP
+        "weird 999.1.2.3 quad",           # octet > 255: NOT an IP
+        "semver 1.2.3.4 released",        # in-range quad: matches (documented)
+        "hex deadbeef1234567890 intact",  # digits inside a longer id: intact
+        "a@b.co mail",                    # email
+        "order 123456789 only-9-digits",  # 9 digits: not a phone
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "text string")
+    got_spark = [r[0] for r in sdf.select(redact_pii("text")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in cases])
+    got_duck = [r[0] for r in con.execute(f"SELECT {_dd_pii_expr()} FROM t").fetchall()]
+    assert got_spark == got_duck
+    assert got_spark == [
+        "call <PHONE> now",
+        "call <PHONE> now",
+        "call <PHONE> now",
+        "ssn <ID> here",
+        "host <IP> up",
+        "weird 999.1.2.3 quad",
+        "semver <IP> released",
+        "hex deadbeef1234567890 intact",
+        "<EMAIL> mail",
+        "order 123456789 only-9-digits",
+    ]
+
+
 def test_assign_split_is_stable_and_partition_independent(spark):
     """Hash-split invariants: re-running and repartitioning never move a
     row, and shares land near the requested 90/5/5."""

@@ -212,17 +212,21 @@ def test_zorder_write_narrows_file_ranges(spark, tmp_path):
 def test_new_corpus_ops_plan_shapes(spark):
     """Pin the 100TB shapes of the round-2 corpus operators: the
     narrow ones must stay shuffle-free, packing must be exactly the one
-    shard-window exchange, and the joins in contamination/top-terms
-    must broadcast their small side."""
+    shard-window exchange, contamination must broadcast its genuinely
+    small side (the bench shingle set), and top-terms must NOT force a
+    broadcast of the unbounded vocabulary table (r2 verdict: the one
+    100×-scale hazard — the hint was removed; the planner may still
+    choose broadcast at toy SF, which is the correct adaptive shape)."""
     from realtime_banking_cdc_pipeline_spark.plans.plan_checks import (
         assert_broadcast_join,
+        assert_no_broadcast_hint,
     )
 
     for name in ("x_split_assign", "x_domain_mix", "x_pii_redact"):
         assert shuffle_count(QUERIES[name].spark(spark, SF)) == 0, name
     assert shuffle_count(QUERIES["x_pack_sequences"].spark(spark, SF)) == 1
     assert_broadcast_join(QUERIES["x_contamination"].spark(spark, SF))
-    assert_broadcast_join(QUERIES["x_top_terms"].spark(spark, SF))
+    assert_no_broadcast_hint(QUERIES["x_top_terms"].spark(spark, SF))
 
 
 def test_morton_code_matches_reference(spark):

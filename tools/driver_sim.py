@@ -57,8 +57,11 @@ def main() -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     names = sys.argv[2:] or list(qs)
     fails = []
+    from realtime_banking_cdc_pipeline_spark.caching import release_caches
+
     for name in names:
         sdf = qs[name](spark, sf_dir).toPandas()
+        release_caches()  # operator-persisted frames don't leak across queries
         if name not in oracles:
             print(f"  {name}: rows-only {len(sdf)}")
             continue
