@@ -78,10 +78,114 @@ def connected_components(
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds "
             f"({improved} labels still improving); component diameter "
-            "exceeds max_iter — raise max_iter or use large-star/"
-            "small-star for adversarially long chains",
+            "exceeds max_iter — raise max_iter or use "
+            "connected_components_star for adversarially long chains",
             RuntimeWarning,
             stacklevel=2,
         )
     sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    adversarial-diameter fallback ``connected_components`` documents.
+
+    Min-label propagation needs diameter-many rounds (a 10^6-node chain
+    is 10^6 joins); star contraction converges in O(log n) rounds on
+    ANY topology (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm):
+
+    - large-star: every node points its LARGER neighbors at its local
+      minimum (min of neighborhood ∪ self),
+    - small-star: every node points its smaller-or-equal neighbors and
+      itself at that minimum,
+
+    each expressible as one groupBy-min + one join per half-round —
+    the same per-round shuffle shape as min-label, just O(log n) of
+    them. Fixpoint = the edge set is a forest of stars whose centers
+    are component minima. Same contract as ``connected_components``:
+    returns (id, component=min node id), ``nodes`` adds isolated
+    vertices.
+    """
+    # canonical undirected edge set, self-loops dropped
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_ids = e.select(F.col("a").alias("id")).unionByName(
+        e.select(F.col("b").alias("id"))
+    )
+    if nodes is not None:
+        all_ids = all_ids.unionByName(nodes.toDF("id"))
+    all_ids = all_ids.distinct().localCheckpoint(eager=True)
+
+    def star_round(cur: DataFrame, large: bool) -> DataFrame:
+        # symmetric adjacency; m(u) = min(neighbors(u) ∪ u)
+        adj = cur.select("a", "b").unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = adj.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("mn", F.col("a")).alias("m"))
+        if large:
+            linked = adj.filter(F.col("b") > F.col("a"))
+        else:
+            linked = adj.filter(F.col("b") <= F.col("a")).unionByName(
+                mins.select("a", F.col("a").alias("b"))
+            )
+        out = (
+            linked.join(mins, "a")
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+        )
+        return out.localCheckpoint(eager=True)
+
+    converged = False
+    for _ in range(max_iter):
+        after_large = star_round(e, large=True)
+        after_small = star_round(after_large, large=False)
+        changed = (
+            after_small.exceptAll(e).limit(1).count()
+            + e.exceptAll(after_small).limit(1).count()
+        )
+        e = after_small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge in {max_iter} "
+            "alternation rounds — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    # forest of stars: every node's component is min(neighbors ∪ self)
+    adj = e.select("a", "b").unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    comp = adj.groupBy("a").agg(F.min("b").alias("mn"))
+    return (
+        all_ids.join(comp.withColumnRenamed("a", "id"), "id", "left")
+        .select(
+            "id",
+            F.least(F.coalesce("mn", F.col("id")), F.col("id")).alias("component"),
+        )
+    )

@@ -46,6 +46,20 @@ def dsum(expr: Column, alias: str) -> Column:
     return F.sum(expr).cast("double").alias(alias)
 
 
+def dsum_r2(expr: Column, alias: str) -> Column:
+    """Exact decimal sum ROUNDED to scale 2 before the double cast.
+
+    Needed when the summed expression carries scale > 2 (decimal
+    products accumulate scale): once the sum's unscaled integer exceeds
+    2^53, decimal→double conversion is engine-dependent — Java's
+    BigDecimal rounds once (correctly), DuckDB's int128 path can
+    double-round, and the results differ by 1 ULP (observed on
+    q01.sum_charge at sf1). Rounding the exact sum to scale 2 first
+    keeps the unscaled value exact in a double for ~100× more headroom,
+    and both engines round the identical exact decimal identically."""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
 # SQL fragment mirrors (DuckDB side) -------------------------------------
 
 def sql_dec(c: str, p: int = 18, s: int = 2) -> str:
@@ -54,3 +68,8 @@ def sql_dec(c: str, p: int = 18, s: int = 2) -> str:
 
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum_r2(expr: str, alias: str) -> str:
+    """SQL twin of ``dsum_r2``."""
+    return f"CAST(ROUND(SUM({expr}), 2) AS DOUBLE) AS {alias}"

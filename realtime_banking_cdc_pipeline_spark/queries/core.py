@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet_io import read_table
-from ._det import dec, dsum, events_table
+from ._det import dec, dsum, dsum_r2, events_table
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -27,12 +27,12 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
     AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
     AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
@@ -64,8 +64,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(qty, "sum_qty"),
             dsum(price, "sum_base_price"),
-            dsum(price * (one - disc), "sum_disc_price"),
-            dsum(price * (one - disc) * (one + tax), "sum_charge"),
+            dsum_r2(price * (one - disc), "sum_disc_price"),
+            dsum_r2(price * (one - disc) * (one + tax), "sum_charge"),
             (F.sum(qty).cast("double") / n).alias("avg_qty"),
             (F.sum(price).cast("double") / n).alias("avg_price"),
             (F.sum(disc).cast("double") / n).alias("avg_disc"),
@@ -144,8 +144,8 @@ def j1_fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _J2_SQL = """
 SELECT
   n.n_name AS nation,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
     AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
@@ -179,7 +179,10 @@ def j2_two_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            dsum(dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2)), "revenue"),
+            dsum_r2(
+                dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2)),
+                "revenue",
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

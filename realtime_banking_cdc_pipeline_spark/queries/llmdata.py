@@ -678,6 +678,40 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_dedup_clusters_star",
+    _dd_clusters_sql(),
+    doc=(
+        "Same clustering contract via alternating large-star/small-star "
+        "contraction (operators/components.py:connected_components_star) "
+        "— O(log n) rounds on ANY topology where min-label propagation "
+        "needs diameter-many, i.e. the variant a 100TB corpus with "
+        "adversarially long dup chains runs. Same recursive-CTE oracle: "
+        "both algorithms compute the identical min-id fixpoint."
+    ),
+)
+def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components_star
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signature(d, "doc_id", "text", k=3)
+    pairs = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components_star(
+        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
+    ).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    return comp.join(F.broadcast(sizes), "component").select(
+        "doc_id",
+        "component",
+        F.col("n").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repeated-span removal (C4-style): drop sentences the corpus repeats
 # ---------------------------------------------------------------------------
@@ -1875,4 +1909,120 @@ _IVF_TRAIN_ITERS = 2
 def x_ann_ivf_trained_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_trained_search(
         spark, sf_dir, iters=_IVF_TRAIN_ITERS, nprobe=_IVF_NPROBE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (class prototypes for few-shot seeding /
+# nearest-class-mean classification over the corpus embedding table)
+# ---------------------------------------------------------------------------
+
+_XCENT_SQL = f"""
+WITH fx AS (SELECT label, {_FXLIST} AS v FROM embeddings),
+ex AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM fx)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i AS BIGINT) AS dim_idx,
+       CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_fx,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY label, i
+"""
+
+
+@query(
+    "x_label_centroids",
+    _XCENT_SQL,
+    doc=(
+        "Per-label mean embedding (class prototypes) in exact fixed-"
+        "point: posexplode dims -> ONE (label, dim) hash agg with map-"
+        "side partials -> floor means, emitted as a tall scalar table "
+        "(label, dim_idx, centroid_fx) — arrays can't ride the driver "
+        "hash. The nearest-class-mean building block; same agg shape at "
+        "any corpus size, shuffle carries (label, dim, partial-sum) "
+        "only."
+    ),
+)
+def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import fixed_point
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode(F.transform("embedding", fixed_point)).alias("p", "x")
+    )
+    return (
+        ex.groupBy("label", "p")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            (F.col("p") + 1).cast("bigint").alias("dim_idx"),
+            F.floor(F.col("s").cast("double") / F.col("cnt"))
+            .cast("bigint")
+            .alias("centroid_fx"),
+            F.col("cnt").cast("bigint").alias("n_vecs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics (LM-style bigram counts, top-k)
+# ---------------------------------------------------------------------------
+
+_XNGRAM_K = 100
+
+_XNGRAM_SQL = f"""
+WITH low AS (SELECT doc_id, {_DD_LOWTOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM low WHERE len(t) >= 2)
+),
+per_doc AS (
+  SELECT bigram, doc_id, COUNT(*) AS c FROM bg GROUP BY bigram, doc_id
+)
+SELECT bigram,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {_XNGRAM_K}
+"""
+
+
+@query(
+    "x_ngram_counts",
+    _XNGRAM_SQL,
+    doc=(
+        "Corpus bigram statistics (the LM-training n-gram table): "
+        "adjacent lowercased whitespace tokens -> two-phase aggregation "
+        "(per-(bigram, doc) partial counts, then per-bigram totals + "
+        "document frequency — COUNT(DISTINCT) without a distinct "
+        "shuffle) -> top-k by (count DESC, bigram ASC), a TakeOrdered, "
+        "never a global sort. Both phases map-side combine; the bigram "
+        "explode is narrow."
+    ),
+)
+def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    low = _docs(spark, sf_dir).select(
+        "doc_id", F.transform(ws_tokens("text"), F.lower).alias("t")
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - 1)
+    bg = low.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = bg.groupBy("bigram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.groupBy("bigram")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(_XNGRAM_K)
     )

@@ -229,6 +229,17 @@ def test_new_corpus_ops_plan_shapes(spark):
     assert_no_broadcast_hint(QUERIES["x_top_terms"].spark(spark, SF))
 
 
+def test_round3_ops_plan_shapes(spark):
+    """Round-3 operators keep their 100TB shapes: label centroids are
+    ONE hash agg (single exchange, map-side partials); ngram counts are
+    the two-phase agg + TakeOrdered (two exchanges, no global sort —
+    the plan shows TakeOrderedAndProject, not Sort+Exchange+Limit)."""
+    assert shuffle_count(QUERIES["x_label_centroids"].spark(spark, SF)) == 1
+    ng = QUERIES["x_ngram_counts"].spark(spark, SF)
+    assert shuffle_count(ng) == 2
+    assert "TakeOrderedAndProject" in _formatted_plan(ng)
+
+
 def test_morton_code_matches_reference(spark):
     """Bit-interleave correctness vs a python reference over exhaustive
     small inputs (both dims 0..15, 4 bits)."""
