@@ -116,3 +116,61 @@ def incremental_rollup(
         _MERGEABLE[agg](out).alias(out) for out, (agg, _src) in measures.items()
     ]
     return merged.groupBy(*group_cols).agg(*remerge)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Emit the change set that turns ``old`` into ``new`` — the
+    reverse direction of change-log APPLY (scd2_from_change_log
+    consumes a CDC stream; this PRODUCES one from two table versions,
+    the downstream-sync / change-data-feed primitive).
+
+    Returns key columns + ``op`` ('insert' | 'update' | 'delete'):
+    keys only in ``new`` insert, only in ``old`` delete, in both with
+    any differing compare column update; unchanged rows are omitted.
+    One full outer hash join on the key — partition both sides by the
+    key upstream and it is co-located; null-safe equality (<=>) so
+    NULL→value transitions count as changes.
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+                for c in key_cols
+            ],
+            "op",
+        )
+    )

@@ -602,3 +602,378 @@ def o1b_trailing_window_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value").desc(), F.col("event_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame — trailing 1h sums per user (the ops-dashboard
+# "activity in the last hour" shape, computed set-based not per-query)
+# ---------------------------------------------------------------------------
+
+_WRANGE_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS trailing_1h_value,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS trailing_1h_events
+FROM events
+"""
+
+
+@query(
+    "w_range_frame",
+    _WRANGE_SQL,
+    doc=(
+        "RANGE window frame over event time: per-user trailing-1h "
+        "decimal sum + count (peers with equal ts share a frame — the "
+        "semantics ROWS frames get wrong). Spark expresses the interval "
+        "as a rangeBetween over unix_micros; one hash-partitioned "
+        "window, no self-join-per-row."
+    ),
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 18, 2)).over(w).cast("double").alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_1h_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per key — deterministic argmax tiebreak
+# ---------------------------------------------------------------------------
+
+_AMODE_SQL = """
+SELECT user_id, event_type AS mode_event_type, CAST(c AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, event_type, c, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY c DESC, event_type ASC) AS rn
+  FROM (SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type)
+) WHERE rn = 1
+"""
+
+
+@query(
+    "a_mode_per_group",
+    _AMODE_SQL,
+    doc=(
+        "Per-user modal event type: two map-side-combinable hash aggs "
+        "(count per (user, type), then max_by argmax with a count-then-"
+        "value tiebreak) — MODE() without the engine-specific tie "
+        "behavior, and without a window over the full count table."
+    ),
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # argmax by (c DESC, event_type ASC) == min over (-c, event_type)
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t"))).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.t").alias("mode_event_type"),
+        (-F.col("b.nc")).cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — change-data-feed emission (the reverse of change-log
+# apply: produce the i/u/d set that syncs a downstream copy)
+# ---------------------------------------------------------------------------
+
+_XDIFF_CUT_LO = "1970-01-05 00:00:00"
+_XDIFF_CUT_HI = "1970-01-08 00:00:00"
+
+_XDIFF_SQL = f"""
+WITH old AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{_XDIFF_CUT_HI}'
+  GROUP BY user_id
+),
+new AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_XDIFF_CUT_LO}'
+  GROUP BY user_id
+)
+SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            WHEN o.n_events IS DISTINCT FROM n.n_events
+              OR o.total_value IS DISTINCT FROM n.total_value THEN 'update'
+       END AS op
+FROM old o FULL JOIN new n ON o.user_id = n.user_id
+WHERE (o.user_id IS NULL OR n.user_id IS NULL
+       OR o.n_events IS DISTINCT FROM n.n_events
+       OR o.total_value IS DISTINCT FROM n.total_value)
+"""
+
+
+@query(
+    "x_snapshot_diff",
+    _XDIFF_SQL,
+    doc=(
+        "Change-data-feed emission: diff two versions of a per-user "
+        "aggregate table (overlapping time windows, so inserts, updates "
+        "AND deletes all occur) into the i/u/d set that syncs a "
+        "downstream copy — operators/incremental.py:snapshot_diff, one "
+        "full outer hash join on the key, null-safe comparisons, "
+        "unchanged rows dropped before anything moves."
+    ),
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import snapshot_diff
+
+    ev = events_table(spark, sf_dir)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value", 18, 2)).cast("double").alias("total_value"),
+        )
+
+    old = agg(ev.filter(F.col("ts") < F.lit(_XDIFF_CUT_HI).cast("timestamp")))
+    new = agg(ev.filter(F.col("ts") >= F.lit(_XDIFF_CUT_LO).cast("timestamp")))
+    return snapshot_diff(old, new, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Robust anomalies — median/MAD variant of the z-score probe (a5's
+# robust twin: outliers can't drag the threshold that detects them)
+# ---------------------------------------------------------------------------
+
+_AMAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, m.med, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value
+FROM events e JOIN mad USING (event_type)
+WHERE abs(e.value - mad.med) > 8 * mad.mad
+"""
+
+
+@query(
+    "a_mad_anomalies",
+    _AMAD_SQL,
+    doc=(
+        "Median/MAD outlier probe — the robust twin of a5's z-score "
+        "(mean and stddev are dragged by the very outliers they should "
+        "flag; the median and MAD are not). Two grouped exact-percentile "
+        "aggs + broadcast of the per-type thresholds back onto the "
+        "stream; percentile interpolation is the cross-engine-exact "
+        "arithmetic a_percentiles already pins."
+    ),
+)
+def a_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 8 * F.col("mad"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT — pivot's inverse (wide metrics -> long (metric, value) rows)
+# ---------------------------------------------------------------------------
+
+_AUNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus AS status,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+           AS urgent_revenue,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+           AS low_revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT status, metric, value FROM (
+  SELECT status, 'urgent_revenue' AS metric, urgent_revenue AS value FROM wide
+  UNION ALL
+  SELECT status, 'low_revenue', low_revenue FROM wide
+  UNION ALL
+  SELECT status, 'n_orders', CAST(n_orders AS DOUBLE) FROM wide
+)
+WHERE value IS NOT NULL
+"""
+
+
+@query(
+    "agg_unpivot_metrics",
+    _AUNPIVOT_SQL,
+    doc=(
+        "UNPIVOT (pivot's inverse): a wide per-status metrics row melts "
+        "to long (status, metric, value) triples via stack() — zero "
+        "shuffle beyond the feeding agg; the metric-catalog shape "
+        "monitoring sinks want."
+    ),
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority") == "1-URGENT", dec("o_totalprice", 12, 2)
+    )
+    low = F.when(F.col("o_orderpriority") == "5-LOW", dec("o_totalprice", 12, 2))
+    wide = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(urgent).cast("double").alias("urgent_revenue"),
+        F.sum(low).cast("double").alias("low_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        wide.select(
+            "status",
+            F.expr(
+                "stack(3, 'urgent_revenue', urgent_revenue, "
+                "'low_revenue', low_revenue, "
+                "'n_orders', CAST(n_orders AS DOUBLE)) AS (metric, value)"
+            ),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value histogram — fixed-width integer binning (the data-profiling agg;
+# no percentile state, one map-side-combinable pass)
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+_HIST_LO = 0.0
+_HIST_HI = 1000.0
+
+_AHIST_SQL = f"""
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR((value - {_HIST_LO})
+              * {_HIST_BINS} / ({_HIST_HI} - {_HIST_LO})), 0),
+            {_HIST_BINS - 1}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "a_value_histogram",
+    _AHIST_SQL,
+    doc=(
+        f"Fixed-width histogram per event type ({_HIST_BINS} bins over "
+        f"[{_HIST_LO}, {_HIST_HI}), edges clamped): pure integer bin "
+        "arithmetic, ONE hash agg with map-side partials — the "
+        "profiling pass that, unlike percentile sketches, costs nothing "
+        "extra at 100 TB and merges across partitions exactly."
+    ),
+)
+def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    span = _HIST_HI - _HIST_LO
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("value") - _HIST_LO) * _HIST_BINS / span), F.lit(0)
+        ),
+        F.lit(_HIST_BINS - 1),
+    )
+    return ev.groupBy(
+        "event_type", bin_.cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Table profile — per-column null/distinct/extrema summary (tall form)
+# ---------------------------------------------------------------------------
+
+_TPROF_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer)
+SELECT col, n_nulls, n_distinct, min_str, max_str FROM (
+  SELECT 'c_custkey' AS col,
+         CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
+         CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+  FROM customer
+  UNION ALL
+  SELECT 'c_name',
+         CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT c_name) AS BIGINT),
+         MIN(c_name), MAX(c_name)
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment',
+         CAST(COUNT(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+         MIN(c_mktsegment), MAX(c_mktsegment)
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey',
+         CAST(COUNT(*) FILTER (c_nationkey IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+         CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+  FROM customer
+)
+"""
+
+
+@query(
+    "t_profile_table",
+    _TPROF_SQL,
+    doc=(
+        "Per-column profile (nulls / distincts / extrema as strings, "
+        "tall output) — the T-series data-quality surface generalized "
+        "to a whole-table profiling pass. Spark computes ALL columns in "
+        "ONE aggregate over the table (count_distinct + min/max are "
+        "map-side partial), then melts; the scan happens once, not "
+        "once per column."
+    ),
+)
+def t_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = cust.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) "
+            "AS (col, n_nulls, n_distinct, min_str, max_str)"
+        )
+    )

@@ -2026,3 +2026,257 @@ def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(_XNGRAM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: subvector codes + asymmetric-distance search —
+# with IVF above, the components of the standard at-scale ANN recipe
+# (IVF-PQ): coarse cells bound the search, PQ codes compress residents
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4            # subspaces
+_PQ_DIM = 64 // _PQ_M
+_PQ_CODES = 16       # codebook entries per subspace (vec_id < 16)
+
+
+def _dd_pq_cte() -> str:
+    """Shared CTEs: fixed-point vectors, subvector split, codebook,
+    exact integer L2 scoring, argmin code per (vec, subspace)."""
+    return f"""
+fx AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, s, v[(s * {_PQ_DIM} + 1):(s * {_PQ_DIM} + {_PQ_DIM})] AS sv
+  FROM fx, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s)
+),
+cb AS (SELECT vec_id AS code, s, sv AS cv FROM subs WHERE vec_id < {_PQ_CODES}),
+scored AS (
+  SELECT t.vec_id, t.s, c.code,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+              i -> (t.sv[i] - c.cv[i]) * (t.sv[i] - c.cv[i]))) AS BIGINT) AS dist
+  FROM subs t JOIN cb c USING (s)
+),
+codes AS (
+  SELECT vec_id, s, code, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn FROM scored)
+  WHERE rn = 1
+)"""
+
+
+_XPQ_SQL = f"""
+WITH {_dd_pq_cte()}
+SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code, dist
+FROM codes
+"""
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """(subs, cb, scored) frames shared by the PQ queries."""
+    from ..functions.similarity import fixed_point
+
+    emb = _emb(spark, sf_dir)
+    fx = emb.select("vec_id", F.transform("embedding", fixed_point).alias("v"))
+    subs = fx.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("v", s * _PQ_DIM + 1, _PQ_DIM).alias("sv"),
+                )
+                for s in range(_PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    cb = subs.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "code", sqdist.alias("dist")
+    )
+    return subs, cb, scored
+
+
+@query(
+    "x_pq_codes",
+    _XPQ_SQL,
+    doc=(
+        f"Product-quantization encoding: split each vector into "
+        f"{_PQ_M} subvectors, assign each to its nearest codebook entry "
+        "by EXACT integer squared-L2 (fixed-point; deterministic "
+        "dist-then-code tiebreak) — compresses a 64-float vector to "
+        f"{_PQ_M} bytes. One broadcast of the {_PQ_CODES}x{_PQ_M} "
+        "codebook + one min_by hash agg; the n-vector side never "
+        "shuffles wide rows."
+    ),
+)
+def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, scored = _pq_parts(spark, sf_dir)
+    best = scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "code")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("s").cast("bigint").alias("subspace"),
+        F.col("b.code").cast("bigint").alias("code"),
+        F.col("b.dist").alias("dist"),
+    )
+
+
+_XPQ_ADC_SQL = f"""
+WITH {_dd_pq_cte()},
+qsubs AS (SELECT s, sv AS qv FROM subs WHERE vec_id = 0),
+lut AS (
+  SELECT c.s, c.code,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM cb c JOIN qsubs q USING (s)
+),
+approx AS (
+  SELECT codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+  WHERE codes.vec_id <> 0
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, adc_dist FROM approx
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query(
+    "x_ann_pq_adc",
+    _XPQ_ADC_SQL,
+    doc=(
+        "PQ asymmetric-distance (ADC) top-k: the query stays "
+        "uncompressed; each database vector's distance is the sum of "
+        f"{_PQ_M} lookup-table entries (query-subvector -> codebook "
+        "entry, exact integer L2). The LUT is "
+        f"{_PQ_M}x{_PQ_CODES} ints broadcast everywhere; scan cost per "
+        "vector is M table lookups instead of a 64-dim float dot — why "
+        "PQ is the at-scale memory/bandwidth win. TakeOrdered top-k, "
+        "deterministic (dist, vec_id) order."
+    ),
+)
+def x_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subs, cb, scored = _pq_parts(spark, sf_dir)
+    codes = (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select("vec_id", "s", F.col("b.code").alias("code"))
+    )
+    qsubs = subs.filter(F.col("vec_id") == 0).select(
+        "s", F.col("sv").alias("qv")
+    )
+    qdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = cb.join(F.broadcast(qsubs), "s").select("s", "code", qdist.alias("d"))
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_XIVFPQ_SQL = f"""
+WITH {_dd_pq_cte()},
+cents AS (SELECT vec_id AS cid, v AS cv64 FROM fx WHERE vec_id < {_IVF_CENTROIDS}),
+vn AS (SELECT vec_id, list_sum(list_transform(generate_series(1, 64),
+           i -> v[i] * v[i])) AS nn FROM fx),
+cn AS (SELECT cid, list_sum(list_transform(generate_series(1, 64),
+           i -> cv64[i] * cv64[i])) AS nn FROM cents),
+cs AS (
+  SELECT f.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> f.v[i] * c.cv64[i])) AS DOUBLE)
+           / sqrt(CAST(v.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM fx f JOIN vn v USING (vec_id), cents c JOIN cn USING (cid)
+),
+cellr AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM cs),
+cells AS (SELECT vec_id, cid FROM cellr WHERE rn = 1),
+probes AS (SELECT cid FROM cellr WHERE vec_id = 0 AND rn <= {_IVF_NPROBE}),
+cand AS (SELECT vec_id FROM cells
+         WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0),
+qsubs AS (SELECT s, sv AS qv FROM subs WHERE vec_id = 0),
+lut AS (
+  SELECT c.s, c.code,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM cb c JOIN qsubs q USING (s)
+)
+SELECT codes.vec_id, cells.cid AS cell, CAST(SUM(lut.d) AS BIGINT) AS adc_dist
+FROM codes
+JOIN cand USING (vec_id)
+JOIN cells USING (vec_id)
+JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+GROUP BY codes.vec_id, cells.cid
+ORDER BY adc_dist ASC, codes.vec_id ASC
+LIMIT 10
+"""
+
+
+@query(
+    "x_ann_ivfpq_topk",
+    _XIVFPQ_SQL,
+    doc=(
+        f"IVF-PQ — the standard billion-scale ANN recipe composed from "
+        f"the pieces above: coarse cells bound the search (nprobe="
+        f"{_IVF_NPROBE} of {_IVF_CENTROIDS}), PQ codes + an ADC lookup "
+        "table rank the residents without touching raw vectors. Every "
+        "stage is a broadcast join or a map-side-combined agg; the only "
+        "per-vector state that moves is (cell id, M codes) — the "
+        "compression that makes 10^9-vector indexes fit a cluster."
+    ),
+)
+def x_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cscored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+    )
+    cells = _nearest_cell(cscored)
+    probes = (
+        cscored.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("cos").desc(), F.col("cid").asc())
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    cand = cells.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != 0)
+
+    subs, cb, pscored = _pq_parts(spark, sf_dir)
+    codes = (
+        pscored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select("vec_id", "s", F.col("b.code").alias("code"))
+    )
+    qsubs = subs.filter(F.col("vec_id") == 0).select("s", F.col("sv").alias("qv"))
+    qdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = cb.join(F.broadcast(qsubs), "s").select("s", "code", qdist.alias("d"))
+    return (
+        codes.join(cand.select("vec_id", "cid"), "vec_id")
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id", F.col("cid").alias("cell"))
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -277,6 +277,59 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert not glob.glob(f"{p}__old*")  # retired copy cleaned up
 
 
+def test_gen_sf_amplification_preserves_structure(tmp_path):
+    """The scale-factor amplifier (tools/gen_sf.py) must preserve what
+    makes the benchmark meaningful: row counts scale by the factor,
+    fixed dims don't, and every FK still resolves (key offsets move
+    whole key spaces together)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf", "/root/repo/tools/gen_sf.py"
+    )
+    gen_sf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_sf)
+
+    out = str(tmp_path / "sf_amp")
+    src = "/root/testdata/sf0.1"
+    gen_sf.SRC = src  # default already; explicit for clarity
+    gen_sf.amplify(2, out)
+
+    con = duckdb.connect()
+
+    def cnt(path, t):
+        return con.execute(f"SELECT COUNT(*) FROM '{path}/{t}.parquet'").fetchone()[0]
+
+    for t in gen_sf.KEYED:
+        assert cnt(out, t) == 2 * cnt(src, t), t
+    for t in gen_sf.COPY_ONCE:
+        assert cnt(out, t) == cnt(src, t), t
+    # FK integrity after offsetting
+    for fk, pk in [
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+    ]:
+        ft, fc = fk.split(".")
+        pt, pc = pk.split(".")
+        orphans = con.execute(
+            f"SELECT COUNT(*) FROM '{out}/{ft}.parquet' f "
+            f"WHERE NOT EXISTS (SELECT 1 FROM '{out}/{pt}.parquet' p "
+            f"WHERE p.{pc} = f.{fc})"
+        ).fetchone()[0]
+        assert orphans == 0, fk
+    # keys stay unique per replica-offset space
+    assert (
+        con.execute(
+            f"SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM '{out}/orders.parquet'"
+        ).fetchone()[0]
+        == 0
+    )
+
+
 def test_swap_recovery_from_every_interrupted_state(spark, tmp_path):
     """Rename-based table swap: a crash at any point between staging
     write and final promotion is repairable — the old or new table is

@@ -146,6 +146,34 @@ def test_connected_components_chain_and_isolated(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_snapshot_diff_emits_minimal_change_set(spark):
+    """i/u/d emission incl. NULL transitions (null-safe compare) and
+    unchanged-row suppression."""
+    from realtime_banking_cdc_pipeline_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged -> omitted
+         (2, "B", 20),        # value change -> update
+         (3, "c", 30),        # NULL -> value -> update
+         (5, "e", 50)],       # new key -> insert; key 4 gone -> delete
+        "k long, v string, n long",
+    )
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+    # compare_cols restriction: diffs outside the listed columns ignored
+    got_n = {
+        r["k"]: r["op"]
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["n"]).collect()
+    }
+    assert got_n == {4: "delete", 5: "insert"}
+
+
 def test_connected_components_star_matches_min_label(spark):
     """Large-star/small-star contraction returns the same (id, min-id
     component) labeling as min-label propagation — chain, triangle,

@@ -238,6 +238,16 @@ def test_round3_ops_plan_shapes(spark):
     ng = QUERIES["x_ngram_counts"].spark(spark, SF)
     assert shuffle_count(ng) == 2
     assert "TakeOrderedAndProject" in _formatted_plan(ng)
+    # PQ family: codebook/LUT joins all broadcast, code assignment is the
+    # single hash-agg exchange, top-k is TakeOrdered (never a sort)
+    assert shuffle_count(QUERIES["x_pq_codes"].spark(spark, SF)) == 1
+    for name in ("x_ann_pq_adc", "x_ann_ivfpq_topk"):
+        df = QUERIES[name].spark(spark, SF)
+        plan = _formatted_plan(df)
+        assert shuffle_count(df) <= 2, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_morton_code_matches_reference(spark):
