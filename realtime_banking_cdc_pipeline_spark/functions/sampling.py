@@ -52,3 +52,17 @@ def assign_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo += share
     return df.withColumn(out_col, expr)
+
+
+def importance_keep(
+    key: Column, p_micro: Column, salt: str = "imp-v1"
+) -> Column:
+    """Deterministic importance/rejection sampling: keep a row iff its
+    md5-uniform draw (in micro-units, [0, 1e6)) falls below the row's
+    keep probability ``p_micro`` (also micro-units). Pure integer
+    compare — no double thresholds to drift across engines — and a
+    pure function of (salt, key): re-runs, repartitions and appends
+    never flip a kept row. The quality-weighted downsampling primitive
+    for corpus mixing."""
+    u = md5_long(F.concat(F.lit(salt + ":"), key.cast("string"))) % F.lit(1_000_000)
+    return u < p_micro

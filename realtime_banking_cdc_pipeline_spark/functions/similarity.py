@@ -361,3 +361,53 @@ def lsh_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def del1_variants(s: Column) -> Column:
+    """The string plus every single-character deletion of it — the
+    deletion-neighborhood blocking key set for edit-distance-1 joins:
+    two strings within one edit (insert/delete/substitute at equal
+    length ±1) share at least one variant, so an equi-join on variants
+    finds every candidate without the O(n²) all-pairs compare. ~len(s)
+    keys per row; refine survivors with an exact levenshtein."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(s), dels))
+
+
+def fuzzy_del1_pairs(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Distinct (id_a, id_b, dist) pairs with levenshtein ≤ max_dist,
+    found via deletion-neighborhood blocking + exact refine. The join
+    carries (id, variant) only; strings rejoin for the refine. At 100 TB
+    the variant explosion is ~avg-len× the input — bounded, unlike the
+    quadratic it replaces; variant-key skew (short common strings)
+    splits under AQE like any hot hash key."""
+    v = df.select(
+        F.col(id_col), F.explode(del1_variants(F.col(str_col))).alias("variant")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, ["variant"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = df.select(F.col(id_col).alias("id_a"), F.col(str_col).alias("__sa"))
+    sb = df.select(F.col(id_col).alias("id_b"), F.col(str_col).alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

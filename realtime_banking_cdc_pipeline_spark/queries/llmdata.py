@@ -2280,3 +2280,183 @@ def x_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance-1) entity join — deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+_FUZZ_OFF = 10_000_000  # perturbed-twin id offset (disjoint key space)
+
+_XFUZZ_SQL = f"""
+WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+pert AS (
+  SELECT id + {_FUZZ_OFF} AS id,
+         substr(name, 1, CAST(id % 10 AS INT))
+           || substr(name, CAST(id % 10 AS INT) + 2) AS name
+  FROM base WHERE id % 7 = 0
+),
+all_names AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+vars AS (
+  SELECT id, unnest(list_distinct(list_append(
+    list_transform(generate_series(1, length(name)),
+      i -> substr(name, 1, i - 1) || substr(name, i + 1)), name))) AS variant
+  FROM all_names
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM vars a JOIN vars b ON a.variant = b.variant AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(na.name, nb.name) AS BIGINT) AS dist
+FROM cand
+JOIN all_names na ON na.id = cand.id_a
+JOIN all_names nb ON nb.id = cand.id_b
+WHERE levenshtein(na.name, nb.name) <= 1
+"""
+
+
+@query(
+    "x_fuzzy_pairs",
+    _XFUZZ_SQL,
+    doc=(
+        "Edit-distance-1 entity join without the O(n^2) compare: every "
+        "string emits its ~len deletion variants, ONE equi-join on the "
+        "variant key finds all candidates (any two strings within one "
+        "edit share a variant), exact levenshtein refines. Runs over "
+        "customer names plus deterministically perturbed twins (one "
+        "char deleted for every 7th key) so insert/delete/substitute "
+        "matches all occur. The blocking-join-refine shape of entity "
+        "resolution at corpus scale; variant-key skew splits under AQE."
+    ),
+)
+def x_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import fuzzy_del1_pairs
+
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    pert = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + _FUZZ_OFF).alias("id"),
+        F.expr(
+            "concat(substr(name, 1, CAST(id % 10 AS INT)), "
+            "substr(name, CAST(id % 10 AS INT) + 2)) "
+        ).alias("name"),
+    )
+    all_names = base.unionByName(pert)
+    return fuzzy_del1_pairs(all_names, "id", "name").select(
+        "id_a", "id_b", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted importance sampling (corpus downsampling where keep
+# probability follows document quality)
+# ---------------------------------------------------------------------------
+
+_XIMP_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         0.5 * (CAST({_DD_NSTOP} AS DOUBLE) / {_DD_NTOK})
+           + 0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text)) AS q
+  FROM documents
+),
+probs AS (
+  SELECT doc_id,
+         LEAST(GREATEST(CAST(FLOOR(q * 1000000) AS BIGINT), 100000), 900000)
+           AS p_micro
+  FROM feats
+)
+SELECT doc_id, p_micro
+FROM probs
+WHERE CAST('0x' || substr(md5('imp-v1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+      AS BIGINT) % 1000000 < p_micro
+"""
+
+
+@query(
+    "x_importance_sample",
+    _XIMP_SQL,
+    doc=(
+        "Quality-weighted importance sampling: keep probability = "
+        "clamp(quality_score, 0.1, 0.9) in integer micro-units, draw = "
+        "md5-uniform of the doc key — an INTEGER compare, so the "
+        "decision is exact cross-engine and a pure function of the key "
+        "(re-runs/repartitions never flip a row). Narrow projection + "
+        "filter, zero shuffle; the corpus-mixing primitive between "
+        "hard split assignment and per-domain rates."
+    ),
+)
+def x_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import importance_keep
+    from ..functions.text import quality_features
+
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    q = (
+        F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]
+    )
+    p_micro = F.least(
+        F.greatest(F.floor(q * 1_000_000).cast("bigint"), F.lit(100_000)),
+        F.lit(900_000),
+    )
+    return (
+        d.select("doc_id", p_micro.alias("p_micro"))
+        .filter(importance_keep(F.col("doc_id"), F.col("p_micro")))
+        .select("doc_id", "p_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing vectorizer (hashing trick): model-free sparse doc
+# vectors — the cheap featurization used for dedup-adjacent clustering,
+# spam scoring and classifier baselines at corpus scale
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64
+
+_XFHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DD_LOWTOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('fh:' || tok), 1, 7) AS BIGINT) % {_FH_DIM} AS dim,
+         CASE WHEN CAST('0x' || substr(md5('fs:' || tok), 1, 7) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sgn) AS BIGINT) AS val
+FROM hashed GROUP BY doc_id, dim
+HAVING SUM(sgn) <> 0
+"""
+
+
+@query(
+    "x_feature_hash_embed",
+    _XFHASH_SQL,
+    doc=(
+        f"Hashing-trick document vectors (Weinberger et al., public "
+        f"method): token -> md5 dim in [0, {_FH_DIM}) with a second "
+        "hash bit as sign (unbiased collisions), summed per (doc, dim) "
+        f"— sparse {_FH_DIM}-dim features with NO vocabulary table, no "
+        "training, no driver state; ONE map-side-combined hash agg, "
+        "zero-sum cells dropped. Emitted tall (doc_id, dim, val)."
+    ),
+)
+def x_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import md5_long
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("tok")
+    )
+    dim = md5_long(F.concat(F.lit("fh:"), F.col("tok"))) % _FH_DIM
+    sgn = F.when(
+        md5_long(F.concat(F.lit("fs:"), F.col("tok"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )

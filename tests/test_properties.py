@@ -169,3 +169,90 @@ def test_connected_components_matches_union_find(spark, edge_list):
         for r in connected_components(edges, nodes=nodes_df).collect()
     }
     assert got == want
+
+
+@given(edges_strategy)
+@_SETTINGS
+def test_connected_components_star_matches_union_find(spark, edge_list):
+    """Star contraction == union-find on the same arbitrary graphs —
+    the O(log n) variant must agree with the reference everywhere, not
+    just on hand-picked chains."""
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    nodes = list(range(10))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    comp_members: dict[int, list[int]] = {}
+    for n in nodes:
+        comp_members.setdefault(find(n), []).append(n)
+    for members in comp_members.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+
+    edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, nodes=nodes_df).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=7),
+        st.tuples(st.integers(-3, 3), st.sampled_from(["x", "y", None])),
+        max_size=8,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=7),
+        st.tuples(st.integers(-3, 3), st.sampled_from(["x", "y", None])),
+        max_size=8,
+    ),
+)
+@_SETTINGS
+def test_snapshot_diff_reconciles_old_to_new(spark, old_rows, new_rows):
+    """Applying the emitted change set to `old` reproduces `new`
+    exactly: inserts ∪ updates (taken from new) ∪ untouched old rows
+    == new; deletes remove the rest. Null-safe comparisons included."""
+    from realtime_banking_cdc_pipeline_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    schema = "k long, n long, v string"
+    old = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in old_rows.items()] or [(999, 0, "z")], schema
+    )
+    new = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in new_rows.items()] or [(999, 0, "z")], schema
+    )
+    ops = {
+        r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    old_d = dict(old_rows) if old_rows else {999: (0, "z")}
+    new_d = dict(new_rows) if new_rows else {999: (0, "z")}
+    rebuilt = dict(old_d)
+    for k, op in ops.items():
+        if op == "delete":
+            rebuilt.pop(k)
+        else:  # insert / update both take the row from new
+            rebuilt[k] = new_d[k]
+    assert rebuilt == new_d
+    # and silence on identical rows: no op for unchanged keys
+    for k in set(old_d) & set(new_d):
+        if old_d[k] == new_d[k]:
+            assert k not in ops
