@@ -2460,3 +2460,147 @@ def x_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("bigint").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index-quality eval: recall@10 of multi-probe IVF vs brute force —
+# the metric every approximate index is tuned by
+# ---------------------------------------------------------------------------
+
+_XRECALL_SQL = f"""
+WITH exact AS (SELECT vec_id FROM ({_XCOS_SQL})),
+approx AS (SELECT vec_id FROM ({_dd_ivf_sql(nprobe=_IVF_NPROBE)}))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
+@query(
+    "x_ann_recall_eval",
+    _XRECALL_SQL,
+    doc=(
+        f"Index-quality eval: recall@10 of nprobe={_IVF_NPROBE} IVF "
+        "against the exact brute-force top-10 — the number that decides "
+        "every IVF/nprobe/codebook tuning. Composes two existing "
+        "pipelines and intersects id sets; at scale the exact side runs "
+        "on a sampled query set, the shape is unchanged."
+    ),
+)
+def x_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = x_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = x_ann_ivf_multiprobe(spark, sf_dir).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + funnel — the product-analytics OLAP staples
+# ---------------------------------------------------------------------------
+
+_ACOHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS d0
+  FROM events GROUP BY user_id
+)
+SELECT CAST(f.d0 // 7 AS BIGINT) AS cohort_week,
+       CAST((CAST(CAST(e.ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' - f.d0) // 7
+            AS BIGINT) AS weeks_since,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "a_cohort_retention",
+    _ACOHORT_SQL,
+    doc=(
+        "Cohort retention: users bucketed by first-event week, counted "
+        "per weeks-since-cohort — integer epoch-day arithmetic (never "
+        "week-of-year, which disagrees across engines/locales). One agg "
+        "for the cohort map, one broadcast-back join, one grouped "
+        "distinct count."
+    ),
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import events_table
+
+    ev = events_table(spark, sf_dir)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    joined = ev.join(F.broadcast(firsts), "user_id")
+    return (
+        joined.groupBy(
+            F.floor(F.col("d0") / 7).cast("bigint").alias("cohort_week"),
+            F.floor((day - F.col("d0")) / 7).cast("bigint").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+_AFUNNEL_SQL = """
+WITH stage_ts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+depth AS (
+  SELECT user_id,
+    CASE
+      WHEN t_signup IS NULL THEN 0
+      WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+      WHEN t_click IS NULL OR t_click <= t_view THEN 2
+      WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+      ELSE 4
+    END AS stages_completed
+  FROM stage_ts
+)
+SELECT CAST(stages_completed AS BIGINT) AS stages_completed,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth GROUP BY 1
+"""
+
+
+@query(
+    "a_funnel_stages",
+    _AFUNNEL_SQL,
+    doc=(
+        "Ordered funnel (signup -> view -> click -> purchase): per-user "
+        "first-touch per stage via ONE conditional-min agg (no per-"
+        "stage self-joins — the funnel anti-pattern), then the depth "
+        "the strictly-increasing chain reaches. Two map-side-combined "
+        "aggs total."
+    ),
+)
+def a_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import events_table
+
+    ev = events_table(spark, sf_dir)
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    st = ev.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    depth = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(F.col("t_view").isNull() | (F.col("t_view") <= F.col("t_signup")), 1)
+        .when(F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 2)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") <= F.col("t_click")), 3
+        )
+        .otherwise(4)
+    )
+    return (
+        st.select(depth.cast("bigint").alias("stages_completed"))
+        .groupBy("stages_completed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
