@@ -219,8 +219,11 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        # sa/sb are one row PER DOC (unbounded) — no broadcast hint; the
+        # join keys are the pair ids the candidates are already keyed by,
+        # so the planner shuffles or broadcasts as actual sizes dictate
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

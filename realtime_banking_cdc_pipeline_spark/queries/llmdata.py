@@ -670,7 +670,8 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
     ).withColumnRenamed("id", "doc_id")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
-    return comp.join(F.broadcast(sizes), "component").select(
+    # sizes is one row per component (unbounded) — no broadcast hint
+    return comp.join(sizes, "component").select(
         "doc_id",
         "component",
         F.col("n").cast("bigint").alias("cluster_size"),
@@ -704,7 +705,8 @@ def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
     ).withColumnRenamed("id", "doc_id")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
-    return comp.join(F.broadcast(sizes), "component").select(
+    # sizes is one row per component (unbounded) — no broadcast hint
+    return comp.join(sizes, "component").select(
         "doc_id",
         "component",
         F.col("n").cast("bigint").alias("cluster_size"),
@@ -2532,7 +2534,9 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
     day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
     firsts = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
-    joined = ev.join(F.broadcast(firsts), "user_id")
+    # firsts is one row PER USER — unbounded, the planner picks the
+    # strategy (both sides key on user_id, so the shuffle co-partitions)
+    joined = ev.join(firsts, "user_id")
     return (
         joined.groupBy(
             F.floor(F.col("d0") / 7).cast("bigint").alias("cohort_week"),

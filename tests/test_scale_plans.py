@@ -226,7 +226,17 @@ def test_new_corpus_ops_plan_shapes(spark):
         assert shuffle_count(QUERIES[name].spark(spark, SF)) == 0, name
     assert shuffle_count(QUERIES["x_pack_sequences"].spark(spark, SF)) == 1
     assert_broadcast_join(QUERIES["x_contamination"].spark(spark, SF))
-    assert_no_broadcast_hint(QUERIES["x_top_terms"].spark(spark, SF))
+    # no forced broadcast of UNBOUNDED tables anywhere these queries
+    # join one (vocabulary / per-doc sizes / per-component sizes /
+    # per-user firsts) — the r2 hazard class, audited repo-wide in r3
+    for name in (
+        "x_top_terms",
+        "x_dedup_clusters",
+        "x_dedup_clusters_star",
+        "a_cohort_retention",
+        "x_ngram_jaccard_pairs",
+    ):
+        assert_no_broadcast_hint(QUERIES[name].spark(spark, SF))
 
 
 def test_round3_ops_plan_shapes(spark):
