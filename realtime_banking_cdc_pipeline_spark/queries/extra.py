@@ -977,3 +977,57 @@ def t_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col, n_nulls, n_distinct, min_str, max_str)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands — consecutive-day activity streaks per user (the classic
+# sessionization-in-SQL shape over calendar days)
+# ---------------------------------------------------------------------------
+
+_WSTREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, COUNT(*) AS len FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+"""
+
+
+@query(
+    "w_gap_islands",
+    _WSTREAK_SQL,
+    doc=(
+        "Gaps-and-islands: consecutive-day activity streaks per user "
+        "via the day-minus-row_number constant-group trick — distinct "
+        "days, one ranked window, two grouped aggs; integer epoch-day "
+        "arithmetic end to end. The calendar-streak twin of the "
+        "timestamp-gap sessionize operator."
+    ),
+)
+def w_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    days = ev.select("user_id", day.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
