@@ -1031,3 +1031,258 @@ def w_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("len").cast("bigint").alias("n_active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — first-order Markov bigrams over each user's
+# event stream (sequence analytics: what follows what, and how often)
+# ---------------------------------------------------------------------------
+
+_ATRANS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, curr_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS p_transition
+FROM pairs
+"""
+
+
+@query(
+    "a_event_transitions",
+    _ATRANS_SQL,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "streams: one lag window with a (ts, event_id) total order, one "
+        "hash agg on the bigram, row-normalized to probabilities. The "
+        "probability division is exact-int -> double on both engines, so "
+        "it hashes. Sequence analytics without self-joins."
+    ),
+)
+def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("curr_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value — each reading holds until the next one,
+# so it is weighted by the seconds it was in force (the banking
+# "average daily balance" shape, computed from irregular event times)
+# ---------------------------------------------------------------------------
+
+_ATWA_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+         LEAD(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+  FROM events
+),
+weighted AS (
+  SELECT user_id,
+         (next_us - us) // 1000000 AS dt_s,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(v * CAST(dt_s AS DECIMAL(10,0))) AS DOUBLE)
+         / CAST(SUM(dt_s) AS DOUBLE) AS twa_value,
+       CAST(SUM(dt_s) AS BIGINT) AS observed_seconds
+FROM weighted
+GROUP BY user_id
+HAVING SUM(dt_s) > 0
+"""
+
+
+@query(
+    "a_time_weighted_balance",
+    _ATWA_SQL,
+    doc=(
+        "Time-weighted average value per user: lead() pairs each event "
+        "with its successor, the gap (integer seconds) is the weight, "
+        "and the weighted sum routes through DECIMAL so both engines "
+        "produce the identical exact numerator before ONE double "
+        "division at the end. Per-user magnitudes are sf-invariant "
+        "(scale adds users, not per-user history), so the decimal->double "
+        "cast stays far inside 2^53."
+    ),
+)
+def a_time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        dec("value", 18, 2).alias("v"),
+        (F.lead(us).over(w) - us).alias("_gap_us"),
+    ).filter(F.col("_gap_us").isNotNull())
+    # integer seconds — `div`, not `/` (double division drifts at scale)
+    weighted = seq.withColumn("dt_s", F.expr("_gap_us div 1000000"))
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("dt_s").cast("decimal(10,0)")).alias("_num"),
+            F.sum("dt_s").cast("bigint").alias("observed_seconds"),
+        )
+        .filter(F.col("observed_seconds") > 0)
+        .select(
+            "user_id",
+            (
+                F.col("_num").cast("double")
+                / F.col("observed_seconds").cast("double")
+            ).alias("twa_value"),
+            "observed_seconds",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quartiles per customer
+# (the classic CRM scoring), fully tiebroken so NTILE is deterministic
+# ---------------------------------------------------------------------------
+
+_ARFM_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, n_orders, monetary,
+       CAST(NTILE(4) OVER (ORDER BY last_day ASC,  custkey) AS BIGINT) AS r_score,
+       CAST(NTILE(4) OVER (ORDER BY n_orders ASC, custkey) AS BIGINT) AS f_score,
+       CAST(NTILE(4) OVER (ORDER BY monetary ASC, custkey) AS BIGINT) AS m_score
+FROM base
+"""
+
+
+@query(
+    "a_rfm_segments",
+    _ARFM_SQL,
+    doc=(
+        "RFM customer segmentation: one hash agg builds "
+        "recency/frequency/monetary per customer, then three NTILE(4) "
+        "windows assign quartile scores (1 = least recent / fewest / "
+        "lowest spend, 4 = best). Every NTILE ordering carries the "
+        "custkey tiebreak, so bucket boundaries are a total order and "
+        "both engines cut them identically. The single-partition windows "
+        "run on the post-agg table (|customers|), not the fact table."
+    ),
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+        ).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        "n_orders",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("last_day", "custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("n_orders", "custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling window median — robust smoothing over each user's last five
+# readings (median has no distributive form, so the frame is collected,
+# sorted, and indexed — bounded at 5 elements, never a full partition)
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+SELECT event_id, user_id,
+       MEDIAN(value) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5_value
+FROM events
+"""
+
+
+@query(
+    "w_rolling_median",
+    _WMED_SQL,
+    doc=(
+        "Rolling 5-row median per user: Spark has no median window "
+        "aggregate, so the frame (bounded, 5 rows) is collect_list'd, "
+        "array_sort'd and indexed — odd count takes the middle, even "
+        "count averages the two middles, matching DuckDB's MEDIAN "
+        "interpolation. The frame bound keeps per-row state O(5); this "
+        "never materializes a whole partition."
+    ),
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    return ev.select("event_id", "user_id", frame.alias("_f")).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CASE WHEN size(_f) % 2 = 1 "
+            "THEN element_at(_f, CAST((size(_f)+1) div 2 AS INT)) "
+            "ELSE (element_at(_f, CAST(size(_f) div 2 AS INT)) "
+            "      + element_at(_f, CAST(size(_f) div 2 + 1 AS INT))) / 2 "
+            "END"
+        ).alias("med5_value"),
+    )
