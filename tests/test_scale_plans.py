@@ -285,3 +285,35 @@ def test_morton_code_matches_reference(spark):
         assert z == ref(x, y), (x, y, z)
     # distinct inputs -> distinct codes (it is a bijection on the grid)
     assert len(set(got.values())) == 256
+
+
+def test_round3_batch6_plan_shapes(spark):
+    """Batches 4-6 keep their 100TB shapes. The sequence/stream analytics
+    reuse one user_id exchange wherever Spark's ClusteredDistribution
+    allows it (time-weighted balance: window + groupBy on ONE shuffle;
+    gaps-islands: distinct exchange feeds the window, both grouped aggs
+    piggyback). RFM's NTILE windows run post-agg on |customers| rows —
+    the single-partition exchanges never see the fact table. Nothing
+    here sorts globally or goes cartesian."""
+    pinned = {
+        "w_gap_islands": 2,          # distinct + window; both grouped aggs ride along
+        "a_event_transitions": 3,    # lag window, bigram agg, row-normalize window
+        "a_time_weighted_balance": 1,  # ONE user_id exchange for window AND agg
+        "a_rfm_segments": 2,         # custkey agg + post-agg single-partition ntiles
+        "w_rolling_median": 1,       # bounded-frame window only
+        "a_funnel_stages": 2,
+        "a_cohort_retention": 3,
+    }
+    for name, n in pinned.items():
+        df = QUERIES[name].spark(spark, SF)
+        plan = _formatted_plan(df)
+        assert shuffle_count(df) == n, name
+        assert "CartesianProduct" not in plan, name
+    # toy-SF planners may broadcast the small sides of these; the pinned
+    # contract is only no-cartesian + bounded exchange count
+    for name in ("x_fuzzy_pairs", "x_importance_sample",
+                 "x_feature_hash_embed", "x_ann_recall_eval"):
+        df = QUERIES[name].spark(spark, SF)
+        plan = _formatted_plan(df)
+        assert shuffle_count(df) <= 4, name
+        assert "CartesianProduct" not in plan, name
