@@ -1286,3 +1286,106 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END"
         ).alias("med5_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen — fraud analytics over transaction amounts
+# (digit extraction via exact integer cents, never log10/float formatting)
+# ---------------------------------------------------------------------------
+
+_ABENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+FROM digits GROUP BY digit
+"""
+
+
+@query(
+    "a_benford",
+    _ABENFORD_SQL,
+    doc=(
+        "Benford first-digit distribution of order amounts (the classic "
+        "fraud screen): amounts go through exact DECIMAL cents to a "
+        "BIGINT whose string leading digit is engine-independent — no "
+        "log10, no float formatting. One map-side-combined agg plus a "
+        "9-row share normalization."
+    ),
+)
+def a_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration — running share of total revenue by
+# customer rank (the 80/20 curve); the global sort runs on the POST-AGG
+# customer table, never the fact table
+# ---------------------------------------------------------------------------
+
+_APARETO_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT custkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, custkey) AS BIGINT) AS rev_rank,
+       CAST(SUM(rev) OVER (ORDER BY rev DESC, custkey
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+FROM base
+"""
+
+
+@query(
+    "a_pareto_share",
+    _APARETO_SQL,
+    doc=(
+        "Pareto/80-20 concentration curve: exact-decimal revenue per "
+        "customer, ranked desc with a custkey tiebreak, running decimal "
+        "share of total. The ordered window runs on |customers| rows "
+        "after the fact-table agg; cumulative and total sums stay "
+        "DECIMAL until ONE double division per row."
+    ),
+)
+def a_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(dec("o_totalprice", 18, 2)).alias("rev")
+    )
+    word = Window.orderBy(F.col("rev").desc(), "custkey")
+    return base.select(
+        "custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.row_number().over(word).cast("bigint").alias("rev_rank"),
+        (
+            F.sum("rev")
+            .over(word.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.sum("rev").over(Window.partitionBy()).cast("double")
+        ).alias("cum_share"),
+    )

@@ -2608,3 +2608,111 @@ def a_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stages_completed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup index-quality eval: precision/recall of the banded-LSH candidate
+# pairs vs exact 3-gram Jaccard truth — the dedup twin of the ANN
+# recall eval, and the number that tunes bands/rows/threshold
+# ---------------------------------------------------------------------------
+
+def _dd_lsh_eval_sql() -> str:
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH {_dd_minhash_cte()},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({or_cond})
+  WHERE {match_sum} >= 4
+),
+sh3 AS (SELECT doc_id, unnest({_dd_shingles(3)}) AS shingle FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.25
+),
+hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM cand JOIN truth USING (id_a, id_b)),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+SELECT n_truth, n_cand, n_hits,
+       CAST(n_hits AS DOUBLE) / CAST(NULLIF(n_cand, 0) AS DOUBLE) AS precision_lsh,
+       CAST(n_hits AS DOUBLE) / CAST(NULLIF(n_truth, 0) AS DOUBLE) AS recall_lsh
+FROM nt, nc, hits
+"""
+
+
+@query(
+    "x_lsh_dedup_eval",
+    _dd_lsh_eval_sql(),
+    doc=(
+        "Dedup index-quality eval: precision and recall of the banded "
+        "MinHash-LSH candidate set (4 bands x 4 rows, est >= 0.25) "
+        "against exact 3-gram Jaccard >= 0.25 ground truth. Composes "
+        "the two existing pair pipelines, intersects on the canonical "
+        "(id_a < id_b) key, and cross-joins three single-row counts — "
+        "the truth side is the quadratic-ish precision baseline you run "
+        "on a SAMPLE at 100TB; the metric shape is unchanged."
+    ),
+)
+def x_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import (
+        lsh_band_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signature(docs, "doc_id", "text", k=3)
+    cand = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= 4)
+        .select("id_a", "id_b")
+    )
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    hits = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(hits)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.expr("CAST(nullif(n_cand, 0) AS DOUBLE)")
+            ).alias("precision_lsh"),
+            (
+                F.col("n_hits").cast("double")
+                / F.expr("CAST(nullif(n_truth, 0) AS DOUBLE)")
+            ).alias("recall_lsh"),
+        )
+    )
