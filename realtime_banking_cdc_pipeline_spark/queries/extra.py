@@ -1389,3 +1389,165 @@ def a_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev").over(Window.partitionBy()).cast("double")
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with last-observation-carried-forward — the time-series
+# resample primitive (daily purchase series per user, LOCF across the
+# days with no purchase)
+# ---------------------------------------------------------------------------
+
+_WLOCF_SQL = """
+WITH p AS (
+  SELECT user_id, value,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+daily AS (SELECT user_id, d, value AS day_value FROM p WHERE rn = 1),
+spans AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+days AS (
+  SELECT user_id, CAST(gs.g AS BIGINT) AS d
+  FROM spans, LATERAL (SELECT unnest(generate_series(d0, d1)) AS g) gs
+)
+SELECT days.user_id, days.d,
+       last_value(daily.day_value IGNORE NULLS) OVER (
+         PARTITION BY days.user_id ORDER BY days.d
+         ROWS UNBOUNDED PRECEDING) AS locf_value,
+       (daily.user_id IS NOT NULL) AS observed
+FROM days LEFT JOIN daily ON daily.user_id = days.user_id AND daily.d = days.d
+"""
+
+
+@query(
+    "w_locf_gapfill",
+    _WLOCF_SQL,
+    doc=(
+        "Time-series resample: each user's sparse purchase history "
+        "becomes a dense daily series (sequence-explode of the per-user "
+        "span), missing days filled by last-observation-carried-forward "
+        "(ignore-nulls last over an ordered window). Per-day latest "
+        "purchase picked by a (ts, event_id) total order. The explode "
+        "is bounded by the calendar span, not the event count — at "
+        "100TB the dense grid is |users| x days, built without ever "
+        "sorting the fact table globally."
+    ),
+)
+def w_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    # latest purchase per (user, day): max over the unique (ts, event_id)
+    # total order carries its value along — one hash agg, no window
+    daily = (
+        ev.select("user_id", day.alias("d"), F.struct("ts", "event_id", "value").alias("s"))
+        .groupBy("user_id", "d")
+        .agg(F.max("s")["value"].alias("day_value"))
+    )
+    spans = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    ).withColumn("d", F.col("d").cast("bigint"))
+    joined = days.join(
+        daily.withColumn("d", F.col("d").cast("bigint")).withColumn(
+            "observed", F.lit(True)
+        ),
+        ["user_id", "d"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "d",
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.coalesce("observed", F.lit(False)).alias("observed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution ranks — percent_rank / cume_dist / ntile decile surface
+# (every ordering carries the event_id tiebreak: total order, so the
+# rank ratios are engine-independent integers-over-integers)
+# ---------------------------------------------------------------------------
+
+_WDIST_SQL = """
+SELECT event_id, event_type,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@query(
+    "w_distribution_ranks",
+    _WDIST_SQL,
+    doc=(
+        "Relative-standing window surface: percent_rank, cume_dist and "
+        "decile NTILE per event type over (value, event_id) — exact "
+        "rank integers divided once into doubles, identical across "
+        "engines because the ordering is total."
+    ),
+)
+def w_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form of rollup/cube, with COALESCE labels
+# instead of grouping_id (bit conventions differ across engines; the
+# label contract doesn't)
+# ---------------------------------------------------------------------------
+
+_AGSETS_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(user_id AS VARCHAR), 'ALL') AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), (event_type, user_id), ())
+"""
+
+
+@query(
+    "agg_grouping_sets",
+    _AGSETS_SQL,
+    doc=(
+        "GROUPING SETS over (type), (user), (type,user) and the grand "
+        "total in one pass — the general rollup/cube form. Dimensions "
+        "are labeled via COALESCE('ALL') rather than grouping_id, whose "
+        "bit order is an engine convention; no real key collides with "
+        "the label. Spark expands the sets into one Expand + hash agg."
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(user_id AS STRING), 'ALL') AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), (event_type, user_id), ())
+        """
+    )
