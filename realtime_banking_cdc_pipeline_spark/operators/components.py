@@ -189,3 +189,65 @@ def connected_components_star(
             F.least(F.coalesce("mn", F.col("id")), F.col("id")).alias("component"),
         )
     )
+
+
+PR_SCALE = 1 << 20  # fixed-point scale for cross-engine-exact PageRank
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over the symmetrized edge list, computed ENTIRELY in
+    integer fixed-point (scale 2^20) so every engine produces the
+    identical ranks — double mass-sums are order-dependent and would
+    never hash across engines.
+
+    Per iteration (all floor divisions):
+        r'(v) = ((100-d)% * (S // N)) // 100
+                + (d% * SUM_u[in-nbrs] (r(u) // deg(u))) // 100
+
+    Nodes are the edge endpoints; symmetric edges mean deg >= 1
+    everywhere, so there is no dangling mass to redistribute. The only
+    driver-side state is the node COUNT (a scalar, same class as the
+    high-water mark). Each round is one co-partitioned join + one hash
+    agg on the node key — no per-round driver collect, no global sort;
+    lineage stays bounded because iters is a small constant (ranks
+    converge geometrically; production uses 10-20 rounds with the same
+    shape, localCheckpoint'd like connected_components)."""
+    from ..caching import track_persist
+
+    sym = track_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # scalar driver state (node count), documented above
+    if n == 0:
+        sym.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "id bigint, pr_fp bigint, pr double"
+        )
+    r0 = PR_SCALE // n
+    base = ((100 - damping_pct) * r0) // 100
+    r = track_persist(deg.withColumn("r", F.lit(r0)))
+    for _ in range(iters):
+        contrib = sym.join(r.withColumnRenamed("id", "a"), "a").select(
+            F.col("b").alias("id"), F.expr("r div deg").alias("c")
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        r = deg.join(sums, "id").select(
+            "id",
+            "deg",
+            (F.lit(base) + F.expr(f"({damping_pct} * s) div 100")).alias("r"),
+        )
+    out = r.select(
+        "id",
+        F.col("r").cast("bigint").alias("pr_fp"),
+        (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+    )
+    return out

@@ -2716,3 +2716,88 @@ def x_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_lsh"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph — the iterative-algorithm surface
+# beyond components/k-means: rank mass flows along LSH similarity edges
+# in exact fixed-point, so ranks hash across engines
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def _dd_pagerank_sql() -> str:
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    rounds = []
+    for i in range(_PR_ITERS):
+        rounds.append(f"""
+r{i + 1} AS (
+  SELECT s.id, d.deg, b.b + (85 * s.s) // 100 AS r
+  FROM (SELECT e.dst AS id, SUM(r{i}.r // r{i}.deg) AS s
+        FROM edges e JOIN r{i} ON r{i}.id = e.src GROUP BY e.dst) s
+  JOIN deg d ON d.id = s.id, base b
+)""")
+    return f"""
+WITH {_dd_minhash_cte()},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({or_cond})
+  WHERE {match_sum} >= {_CLUST_MATCH_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+base AS (SELECT (15 * (1048576 // n)) // 100 AS b FROM nn),
+r0 AS (SELECT id, deg, 1048576 // nn.n AS r FROM deg, nn),
+{",".join(rounds)}
+SELECT id AS doc_id, CAST(r AS BIGINT) AS pr_fp,
+       CAST(r AS DOUBLE) / 1048576 AS pr
+FROM r{_PR_ITERS}
+"""
+
+
+@query(
+    "x_pagerank",
+    _dd_pagerank_sql(),
+    doc=(
+        f"PageRank ({_PR_ITERS} unrolled rounds, damping 0.85) over the "
+        "symmetrized LSH near-dup graph — operators/components.py:"
+        "pagerank_fixed_point. All mass arithmetic is integer "
+        "fixed-point (scale 2^20, floor divisions), because double "
+        "mass-sums are accumulation-order-dependent and would never "
+        "hash across engines; the final double is an exact divide by a "
+        "power of two. Each round is one co-partitioned join + one hash "
+        "agg; driver state is the node-count scalar."
+    ),
+)
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import pagerank_fixed_point
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signature(d, "doc_id", "text", k=3)
+    pairs = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+    return pagerank_fixed_point(pairs, src="id_a", dst="id_b", iters=_PR_ITERS).select(
+        F.col("id").alias("doc_id"), "pr_fp", "pr"
+    )
