@@ -1551,3 +1551,117 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (user_id), (event_type, user_id), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users — 3-day rolling active-user counts (the
+# batch twin of the streaming sliding window, exact distincts)
+# ---------------------------------------------------------------------------
+
+_ASLIDE_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day
+  FROM events
+),
+w AS (
+  SELECT user_id, day + gs.g AS window_day
+  FROM d, LATERAL (SELECT unnest(generate_series(0, 2)) AS g) gs
+)
+SELECT CAST(window_day AS BIGINT) AS window_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_window_events
+FROM w GROUP BY 1
+"""
+
+
+@query(
+    "a_sliding_distinct",
+    _ASLIDE_SQL,
+    doc=(
+        "3-day sliding active users: each event replicates into the 3 "
+        "windows that contain its day (bounded explode, factor = window "
+        "span), then one grouped exact distinct — the standard sliding-"
+        "window trick that turns overlap into group-by, shuffle keyed on "
+        "window_day. The streaming twin is the sliding window agg in "
+        "streaming/analytics.py."
+    ),
+)
+def a_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = ev.select(
+        "user_id",
+        F.explode(F.sequence(day, day + F.lit(2))).alias("window_day"),
+    )
+    return w.groupBy(F.col("window_day").cast("bigint").alias("window_day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_window_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths — most frequent event-type sequences per 30-min
+# session (funnel discovery: what users actually do, not what the
+# funnel definition assumes)
+# ---------------------------------------------------------------------------
+
+_ATOPPATH_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           LAG(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+    FROM events
+  )
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
+@query(
+    "a_top_paths",
+    _ATOPPATH_SQL,
+    doc=(
+        "Top-20 session paths: the 30-min sessionizer (same lag+cumsum "
+        "contract as w_sessionize) feeds a per-session ordered "
+        "event-type join ('>' separated, (ts, event_id) total order), "
+        "then one path-count agg and a TakeOrdered top-k with a path "
+        "tiebreak — funnel discovery with two exchanges beyond the "
+        "session window, and no global sort."
+    ),
+)
+def a_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sessionize
+
+    ev = events_table(spark, sf_dir)
+    s = sessionize(ev, ["user_id"], "ts", 30.0, tiebreak_cols=["event_id"])
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(20)
