@@ -24,5 +24,42 @@ from . import core  # noqa: F401,E402  (registers core operator queries)
 from . import cdc  # noqa: F401,E402  (SCD2 / incremental / sessionization)
 from . import extra  # noqa: F401,E402  (set ops, pivot, JSON, as-of join)
 from . import llmdata  # noqa: F401,E402  (dedup/similarity/text extensions)
+from . import round5  # noqa: F401,E402  (Q3/Q4/Q6 shapes, graph/ANN/corpus depth)
+
+# The driver's correctness gate executes the FIRST 50 registry entries
+# (CORRECTNESS_r0{2,3,4}.json each contain exactly the first 50 keys).
+# Queries already hash-verified by a prior driver round are pushed to the
+# back so the not-yet-driver-verified ones (and anything newly registered
+# this round) land inside the checked window — over successive rounds
+# every query gets a hard driver signal.  Names below are the union of
+# CORRECTNESS_r02/r03/r04 entries.
+_DRIVER_VERIFIED_R2_R4 = frozenset({
+    "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
+    "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
+    "a6_argmax_latest", "a_approx_sketches", "a_benford", "a_distinct_users",
+    "a_event_transitions", "a_mad_anomalies", "a_mode_per_group",
+    "a_pareto_share", "a_percentiles", "a_rfm_segments",
+    "a_time_weighted_balance", "a_value_histogram", "agg_cube_status_priority",
+    "agg_pivot_event_types", "agg_rollup_region_nation", "agg_unpivot_metrics",
+    "asof_last_view_before_purchase", "c1_scd2_replay", "c1b_scd2_apply",
+    "c3_incremental_merge", "c6_incremental_rollup", "j1_fact_dim_join",
+    "j2_two_hop_join", "j3_anti_orphans", "j5_self_join", "j6_interval_join",
+    "o1_top10_orders", "o1b_trailing_window_top", "p1_json_extract",
+    "p_scalar_suite", "p_subqueries", "q01_pricing_summary",
+    "s_tumbling_window_agg", "set_ops_cohorts", "t_profile_table",
+    "t_quality_checks", "w1_dedup_latest", "w_gap_islands", "w_range_frame",
+    "w_rolling_median", "w_running_totals", "w_sessionize", "w_topk_per_group",
+    "x_ann_cosine_topk", "x_ann_lsh_buckets", "x_ann_lsh_cosine_pairs",
+    "x_clean_normalize", "x_dedup_exact", "x_fingerprint", "x_lang_id",
+    "x_minhash_lsh_pairs", "x_minhash_signature", "x_multimodal_features",
+    "x_ngram_jaccard_pairs", "x_quality_score", "x_simhash",
+    "x_snapshot_diff", "x_token_stats",
+})
+
+_ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED_R2_R4}
+_ordered.update({n: s for n, s in QUERIES.items() if n not in _ordered})
+QUERIES.clear()
+QUERIES.update(_ordered)
+del _ordered
 
 __all__ = ["QUERIES", "QuerySpec", "query"]
