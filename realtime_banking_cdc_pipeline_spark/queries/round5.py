@@ -670,3 +670,379 @@ def c7_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_late_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_simhash_dedup_pairs — simhash near-dup pairs via pigeonhole banding:
+# hamming(a,b) <= 1 means the two 16-bit halves can't BOTH differ, so a
+# bucket join on either half finds every qualifying pair without the
+# all-pairs product
+# ---------------------------------------------------------------------------
+
+_SIMHAM_MAX = 1  # pigeonhole: 2 bands cover hamming <= 1
+
+_XSIMP_SQL = """
+WITH sh AS ({simhash_cte}),
+halves AS (
+  SELECT doc_id, simhash,
+         simhash // 65536 AS hi_half,
+         simhash % 65536 AS lo_half
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.simhash) AS sh_a, ANY_VALUE(b.simhash) AS sh_b
+  FROM halves a JOIN halves b
+    ON a.doc_id < b.doc_id
+   AND (a.hi_half = b.hi_half OR a.lo_half = b.lo_half)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {t}
+"""
+
+
+def _dd_simhash_pairs_sql() -> str:
+    from .llmdata import _dd_simhash_sql
+
+    return _XSIMP_SQL.format(simhash_cte=_dd_simhash_sql(), t=_SIMHAM_MAX)
+
+
+@query(
+    "x_simhash_dedup_pairs",
+    _dd_simhash_pairs_sql(),
+    doc=(
+        "SimHash near-dup pairs (hamming ≤ 1) found by pigeonhole "
+        "banding: split the 32-bit fingerprint into 2 halves; ≤1 "
+        "differing bit leaves at least one half identical, so one "
+        "bucket equi-join on either half is exhaustive — never an "
+        "all-pairs product. Exact hamming (bit_count of xor) refines "
+        "candidates; the fingerprint table is tiny (one long per doc), "
+        "the standard simhash-dedup shape at 100 TB."
+    ),
+)
+def x_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import simhash32
+
+    sh = read_table(spark, sf_dir, "documents")
+    sig = simhash32(sh, "doc_id", "text")
+    halves = sig.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") / F.lit(65536)).cast("long").alias("hi_half"),
+        (F.col("simhash") % F.lit(65536)).alias("lo_half"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.hi_half") == F.col("b.hi_half"))
+                | (F.col("a.lo_half") == F.col("b.lo_half"))
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.any_value(F.col("a.simhash")).alias("sh_a"),
+            F.any_value(F.col("b.simhash")).alias("sh_b"),
+        )
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _SIMHAM_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_ann_sq8_rescore — two-stage retrieval: cheap SQ8 integer scan to a
+# candidate pool, exact fixed-point cosine rerank of the pool (the
+# production compressed-index + rescore pattern)
+# ---------------------------------------------------------------------------
+
+_SQ8_POOL = 50
+
+_XSQ8R_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest(generate_series(1, 64)) AS i
+  FROM embeddings
+),
+stats AS (
+  SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+  FROM dims WHERE vec_id <> 0 GROUP BY i
+),
+codes AS (
+  SELECT d.vec_id, d.i,
+         {_SQ8_Q.format(x="d.x", mn="s.mn", mx="s.mx")} AS qv
+  FROM dims d JOIN stats s USING (i)
+),
+pool AS (
+  SELECT c.vec_id, SUM((c.qv - qq.qv) * (c.qv - qq.qv)) AS d2
+  FROM codes c JOIN codes qq ON qq.vec_id = 0 AND qq.i = c.i
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+  ORDER BY d2 ASC, c.vec_id ASC LIMIT {_SQ8_POOL}
+),
+fx AS (
+  SELECT vec_id, i, CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS v
+  FROM dims
+),
+dots AS (
+  SELECT c.vec_id,
+         SUM(c.v * q.v) AS dot, SUM(c.v * c.v) AS na
+  FROM fx c JOIN fx q ON q.vec_id = 0 AND q.i = c.i
+  WHERE c.vec_id IN (SELECT vec_id FROM pool)
+  GROUP BY c.vec_id
+),
+qn AS (SELECT SUM(v * v) AS nb FROM fx WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+FROM dots, qn
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query(
+    "x_ann_sq8_rescore",
+    _XSQ8R_SQL,
+    doc=(
+        "Two-stage retrieval: SQ8 integer L2 narrows the corpus to a "
+        f"{_SQ8_POOL}-candidate pool (4× smaller codes, pure-integer "
+        "scan), then exact fixed-point cosine reranks only the pool — "
+        "the compressed-index + rescore pattern every production vector "
+        "store uses. The rescore side is a semi-join on the pool ids, "
+        "so full-precision vectors are fetched for 50 rows, not the "
+        "corpus."
+    ),
+)
+def x_ann_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    stats = corpus.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i].cast("double")) for i in range(64)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col("embedding")[i].cast("double")) for i in range(64)]
+        ).alias("mx"),
+    )
+    coded = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.expr(_SQ8_SPARK_Q).alias("qv")
+    )
+    qq = coded.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qqv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(_SQ8_POOL)
+        .select("vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        corpus.join(F.broadcast(pool), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", cosine_against(F.col("qv"), F.col("embedding")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j7_range_band_join — non-equi theta join against a banded dimension
+# (amount-tier lookup: the classic "which fee tier / risk band" shape)
+# ---------------------------------------------------------------------------
+
+_J7_SQL = """
+SELECT b.band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN (VALUES ('low',   CAST(0 AS DOUBLE),   CAST(10 AS DOUBLE)),
+             ('mid',   CAST(10 AS DOUBLE),  CAST(50 AS DOUBLE)),
+             ('high',  CAST(50 AS DOUBLE),  CAST(100 AS DOUBLE)),
+             ('xhigh', CAST(100 AS DOUBLE), CAST(NULL AS DOUBLE))) AS b(band, lo, hi)
+  ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+GROUP BY b.band
+"""
+
+_J7_BANDS = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 50.0),
+    ("high", 50.0, 100.0),
+    ("xhigh", 100.0, None),
+]
+
+
+@query(
+    "j7_range_band_join",
+    _J7_SQL,
+    doc=(
+        "Range (theta) join against a banded dimension: the tier-lookup "
+        "shape (fee tiers, risk bands). The band table is bounded by "
+        "construction → broadcast nested-loop with a 4-row inner side, "
+        "evaluated as a map-side scan predicate; the fact side is never "
+        "shuffled. Exact-decimal value sums."
+    ),
+)
+def j7_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    bands = spark.createDataFrame(
+        _J7_BANDS,
+        StructType(
+            [
+                StructField("band", StringType(), False),
+                StructField("lo", DoubleType(), False),
+                StructField("hi", DoubleType(), True),
+            ]
+        ),
+    )
+    ev = events_table(spark, sf_dir)
+    cond = (F.col("value") >= F.col("lo")) & (
+        F.col("hi").isNull() | (F.col("value") < F.col("hi"))
+    )
+    return (
+        ev.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_vocab_coverage — tokenizer-vocab OOV audit: rank a vocab from the
+# corpus, measure per-doc out-of-vocabulary rate (fixed point)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 10
+
+_XVOC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_transform(
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''),
+    x -> lower(x))) AS term
+  FROM documents
+),
+cnts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk FROM cnts
+  ) WHERE rk <= {_VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((1048576 * CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS oov_fp
+FROM tok t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY t.doc_id
+"""
+
+
+@query(
+    "x_vocab_coverage",
+    _XVOC_SQL,
+    doc=(
+        f"Tokenizer-vocabulary OOV audit: learn a top-{_VOCAB_K} vocab "
+        "(count DESC, term ASC — fully deterministic rank), then "
+        "per-doc out-of-vocab rate in 2^20 fixed point. The vocab is "
+        "bounded by construction (top-k), so broadcasting it is safe at "
+        "any corpus size — unlike the unbounded full-vocabulary join "
+        "x_top_terms deliberately shuffles."
+    ),
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("term")
+    )
+    cnts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        cnts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.expr(
+                "CAST((1048576 * CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("oov_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_length_trim — percentile-window corpus filter (drop the length
+# tails) with a scale-safe rank-on-distinct-values percentile
+# ---------------------------------------------------------------------------
+
+_XTRIM_SQL = """
+WITH counts AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY n_chars),
+cum AS (SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum FROM counts),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+b AS (
+  SELECT MIN(CASE WHEN cum >= (n + 19) // 20 THEN n_chars END) AS lo,
+         MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN n_chars END) AS hi
+  FROM cum, tot
+)
+SELECT doc_id, n_chars FROM documents, b
+WHERE n_chars >= lo AND n_chars <= hi
+"""
+
+
+@query(
+    "x_length_trim",
+    _XTRIM_SQL,
+    doc=(
+        "Percentile-tail corpus trim (keep p5..p95 by length): the "
+        "discrete percentile comes from a cumulative sum over DISTINCT "
+        "length values (ceil-rank k = ⌈0.05n⌉ — exact integers, no "
+        "interpolated float percentile to disagree across engines). "
+        "The window orders the bounded value domain, not the corpus — "
+        "a global doc sort would be the 100 TB mistake; the bounds row "
+        "broadcasts back as a scan predicate."
+    ),
+)
+def x_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    bounds = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("n_chars"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("n_chars"))
+        ).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )

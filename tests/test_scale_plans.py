@@ -317,3 +317,64 @@ def test_round3_batch6_plan_shapes(spark):
         plan = _formatted_plan(df)
         assert shuffle_count(df) <= 4, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round5_ops_plan_shapes(spark):
+    """Round-5 operators ship the plans we'd want at 100 TB.
+
+    q03: the segment dim broadcasts, both date filters reach the scans,
+    top-10 is TakeOrdered. q04: EXISTS runs as a LEFT SEMI join. q06:
+    all predicates pushed, minimal ReadSchema. j7: the 4-row band table
+    joins as BroadcastNestedLoop (the correct physical for a tiny
+    non-equi dim — never a cartesian product). c7: the window and the
+    grouped agg share ONE user_id exchange. The retrieval trio (sq8 /
+    rescore / knn) broadcast only bounded sides (stats row, candidate
+    pool, query vectors) and take top-k via TakeOrdered/WindowGroupLimit
+    — no global sorts. The unbounded joins (unigram vocab, containment
+    sizes, simhash halves, triangle edges) carry no forced broadcast
+    hint beyond scalar singletons."""
+    from realtime_banking_cdc_pipeline_spark.plans.plan_checks import (
+        assert_broadcast_join,
+        assert_pushed_filter,
+        assert_pruned_scan,
+    )
+
+    q03 = QUERIES["q03_shipping_priority"].spark(spark, SF)
+    assert_broadcast_join(q03)
+    assert_pushed_filter(q03, "o_orderdate")
+    assert_pushed_filter(q03, "l_shipdate")
+    assert "TakeOrderedAndProject" in _formatted_plan(q03)
+
+    q04 = QUERIES["q04_order_priority"].spark(spark, SF)
+    assert "LeftSemi" in _formatted_plan(q04)
+
+    q06 = QUERIES["q06_revenue_forecast"].spark(spark, SF)
+    assert_pushed_filter(q06, "l_shipdate")
+    assert_pushed_filter(q06, "l_discount")
+    assert_pruned_scan(q06, table_cols=11, max_read_cols=4)
+
+    j7 = QUERIES["j7_range_band_join"].spark(spark, SF)
+    p = _formatted_plan(j7)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+    assert shuffle_count(QUERIES["c7_late_events"].spark(spark, SF)) == 1
+    assert shuffle_count(QUERIES["x_reservoir_sample"].spark(spark, SF)) == 1
+
+    for name in ("x_ann_sq8", "x_ann_sq8_rescore"):
+        df = QUERIES[name].spark(spark, SF)
+        p = _formatted_plan(df)
+        assert "TakeOrderedAndProject" in p, name
+        assert "CartesianProduct" not in p, name
+
+    for name in (
+        "x_knn_classify",
+        "x_triangle_count",
+        "x_containment_pairs",
+        "x_simhash_dedup_pairs",
+        "x_unigram_likelihood",
+        "x_vocab_coverage",
+        "x_length_trim",
+    ):
+        df = QUERIES[name].spark(spark, SF)
+        assert "CartesianProduct" not in _formatted_plan(df), name
