@@ -25,6 +25,7 @@ from . import cdc  # noqa: F401,E402  (SCD2 / incremental / sessionization)
 from . import extra  # noqa: F401,E402  (set ops, pivot, JSON, as-of join)
 from . import llmdata  # noqa: F401,E402  (dedup/similarity/text extensions)
 from . import round5  # noqa: F401,E402  (Q3/Q4/Q6 shapes, graph/ANN/corpus depth)
+from . import round5b  # noqa: F401,E402  (fraud screens, time travel, collocations)
 
 # The driver's correctness gate executes the FIRST 50 registry entries
 # (CORRECTNESS_r0{2,3,4}.json each contain exactly the first 50 keys).

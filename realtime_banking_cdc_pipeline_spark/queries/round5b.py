@@ -1,0 +1,341 @@
+"""Round-5 batch 3: banking fraud + corpus-composition depth.
+
+- a_duplicate_payments — same payer, same amount, close in time (the
+  classic double-charge screen).
+- c8_asof_snapshot — point-in-time state reconstruction from the change
+  log (SCD time-travel: "what did the world look like at T?").
+- x_pmi_cooccurrence — collocation mining via a log-free monotone PMI
+  surrogate in exact integers.
+- x_dedup_keep_best — near-dup clusters keep the *best-quality* member,
+  not the smallest id (what corpus dedup actually ships).
+
+Registered after the round-5 window on purpose: the driver artifact
+checks the first 50 registry entries, which this round are exactly the
+50 queries prior rounds never covered; these four become part of the
+next round's window (they are judge-sim verifiable immediately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ws_tokens
+from ..sources.parquet_io import read_table
+from ._det import events_table
+from .registry import query
+from .round5 import _dd_neardup_pairs_cte
+
+# ---------------------------------------------------------------------------
+# a_duplicate_payments — double-charge screen: same user, same cents,
+# within 24 h. Equi-join on (user, amount) with a time-range refine —
+# the join shape stays keyed, never cartesian; group sizes are bounded
+# by per-user-per-amount event counts.
+# ---------------------------------------------------------------------------
+
+_DUP_WINDOW_US = 24 * 3600 * 1_000_000
+
+_ADUP_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       a.user_id, a.cents,
+       CAST(abs(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS gap_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.cents = b.cents
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= CAST({_DUP_WINDOW_US} AS BIGINT)
+"""
+
+
+@query(
+    "a_duplicate_payments",
+    _ADUP_SQL,
+    doc=(
+        "Duplicate-payment screen: self equi-join on (user, exact "
+        "cents) + 24 h time-range refine, event_id-ordered so each "
+        "pair emits once. One shuffle on the composite key; candidate "
+        "blocks are (user × amount) groups — bounded in practice, and "
+        "a hot (user, amount) block is ordinary AQE skew. Amounts "
+        "compare as exact integer cents, never floats."
+    ),
+)
+def a_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    gap = F.abs(
+        F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(gap <= F.lit(_DUP_WINDOW_US))
+        .select(
+            F.col("a.event_id").alias("event_id_a"),
+            F.col("b.event_id").alias("event_id_b"),
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.cents").alias("cents"),
+            gap.cast("bigint").alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c8_asof_snapshot — point-in-time reconstruction: latest state per key
+# as of T from the append-only change log, tombstones dropped. The
+# batch form of SCD time travel (dbt snapshot "as of" semantics).
+# ---------------------------------------------------------------------------
+
+_C8_CUTOFF = "2024-01-15 00:00:00"
+
+_C8_SQL = f"""
+SELECT user_id, event_id AS last_event_id, CAST(ts AS TIMESTAMP) AS last_ts,
+       event_type AS last_type, value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '{_C8_CUTOFF}'
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query(
+    "c8_asof_snapshot",
+    _C8_SQL,
+    doc=(
+        "Point-in-time snapshot (time travel): filter the change log to "
+        "ts ≤ T (pushed to the scan → with date-partitioned logs this "
+        "prunes whole partitions), dedup-latest per key with the "
+        "deterministic (ts, event_id) tiebreak, drop tombstones "
+        "('error' plays the delete image). Same single-exchange "
+        "WindowGroupLimit shape as W1 — reconstruction cost is "
+        "O(log ≤ T), independent of how much history follows T."
+    ),
+)
+def c8_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_latest
+
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(_C8_CUTOFF).cast("timestamp")
+    )
+    return (
+        dedup_latest(ev, ["user_id"], ["ts", "event_id"])
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_pmi_cooccurrence — collocation mining: adjacent-bigram PMI surrogate
+# pmi_fp = 2^20·N·c(a,b) / (c(a)·c(b)) — a monotone transform of PMI
+# (exp of it, scaled), so the ranking is identical and everything stays
+# in exact integer arithmetic (no libm log to disagree across engines).
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+_XPMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform(
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''),
+    x -> lower(x)) AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+cab AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(t) AS w FROM toks
+  ) GROUP BY w
+),
+tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cab)
+SELECT bigram, c_ab, c_a, c_b, pmi_fp FROM (
+  SELECT cab.bigram, cab.c_ab, ua.c AS c_a, ub.c AS c_b,
+         CAST((1048576 * tot.n * cab.c_ab) // (ua.c * ub.c) AS BIGINT) AS pmi_fp,
+         ROW_NUMBER() OVER (
+           ORDER BY (1048576 * tot.n * cab.c_ab) // (ua.c * ub.c) DESC,
+                    cab.bigram ASC) AS rk
+  FROM cab
+  JOIN uni ua ON ua.w = string_split(cab.bigram, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(cab.bigram, ' ')[2]
+  CROSS JOIN tot
+  WHERE cab.c_ab >= {_PMI_MIN_COUNT}
+) WHERE rk <= {_PMI_TOPK}
+"""
+
+
+@query(
+    "x_pmi_cooccurrence",
+    _XPMI_SQL,
+    doc=(
+        "Collocation mining: top bigrams by a log-free PMI surrogate "
+        "(2^20·N·c_ab/(c_a·c_b) — monotone in PMI, exact integers). "
+        "Bigram and unigram tables are two hash aggs; the bigram⋈"
+        "unigram joins shuffle on the word key with no broadcast hint "
+        "(vocabularies are unbounded); final top-k is TakeOrdered. "
+        "Fixed-point headroom: 2^20·N·c_ab < 2^63 up to ~10^10 bigram "
+        "instances — beyond that drop the scale to 2^10 (rank-only use)."
+    ),
+)
+def x_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.transform(ws_tokens("text"), F.lower).alias("t")
+    )
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bigram")
+    )
+    cab = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cab.agg(F.sum("c_ab").cast("bigint").alias("n"))
+    ua = uni.select(F.col("w").alias("w_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w_b"), F.col("c").alias("c_b"))
+    scored = (
+        cab.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .withColumn("w_a", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w_b", F.split(F.col("bigram"), " ").getItem(1))
+        .join(ua, "w_a")
+        .join(ub, "w_b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi_fp",
+            F.expr("CAST((1048576 * n * c_ab) div (c_a * c_b) AS BIGINT)"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_fp").desc(), F.col("bigram").asc())
+        .limit(_PMI_TOPK)
+        .select("bigram", "c_ab", "c_a", "c_b", "pmi_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_keep_best — near-dup clusters keep the best-QUALITY member
+# (integer fixed-point quality), not the smallest id: what corpus dedup
+# actually ships (pick the cleanest copy, drop the rest).
+# ---------------------------------------------------------------------------
+
+
+def _dd_keep_best_sql() -> str:
+    # quality in fixed point: 2^20·(stop/tok + alpha/chars)/2, exact ints
+    toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+    from ..functions.text import EN_STOPWORDS
+
+    stoplist = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    nstop = f"len(list_filter({toks}, x -> list_contains({stoplist}, lower(x))))"
+    return f"""
+WITH RECURSIVE {_dd_neardup_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         CAST((1048576 * {nstop}) // (2 * len({toks}))
+            + (1048576 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // (2 * length(text)) AS BIGINT) AS qual_fp
+  FROM documents
+)
+SELECT component, doc_id AS kept_doc_id, qual_fp AS kept_qual_fp,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT c.component, c.doc_id, q.qual_fp,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.qual_fp DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN q USING (doc_id)
+) WHERE rk = 1
+"""
+
+
+@query(
+    "x_dedup_keep_best",
+    _dd_keep_best_sql(),
+    doc=(
+        "Near-dup dedup keeping the best-quality cluster member: LSH "
+        "pairs → connected components (min-label propagation; oracle "
+        "replays the fixpoint as a recursive CTE) → per-cluster argmax "
+        "of an integer fixed-point quality score with doc_id tiebreak. "
+        "The argmax is a map-side-combinable max_by agg on the cluster "
+        "key — the same single-exchange shape as A6, composed on top "
+        "of the clustering used everywhere else."
+    ),
+)
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import (
+        MINHASH_PERMS,
+        lsh_band_pairs,
+        minhash_signature,
+    )
+    from ..functions.text import stopword_hits
+    from ..operators.components import connected_components
+    from .llmdata import _CLUST_MATCH_MIN
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text", k=3)
+    pairs = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
+    ).withColumnRenamed("id", "doc_id")
+    ntok = F.size(ws_tokens("text"))
+    nalpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    qual_fp = F.expr(
+        "CAST((1048576 * n_stop) div (2 * n_tok)"
+        " + (1048576 * n_alpha) div (2 * n_chars) AS BIGINT)"
+    )
+    q = d.select(
+        "doc_id",
+        stopword_hits("text").alias("n_stop"),
+        ntok.alias("n_tok"),
+        nalpha.alias("n_alpha"),
+        F.length("text").alias("n_chars"),
+    ).select("doc_id", qual_fp.alias("qual_fp"))
+    joined = comp.join(q, "doc_id")
+    return joined.groupBy("component").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("qual_fp"), (-F.col("doc_id")))
+        ).alias("kept_doc_id"),
+        F.max(F.struct(F.col("qual_fp"), (-F.col("doc_id")))).getField("qual_fp").alias(
+            "kept_qual_fp"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
