@@ -378,3 +378,27 @@ def test_round5_ops_plan_shapes(spark):
     ):
         df = QUERIES[name].spark(spark, SF)
         assert "CartesianProduct" not in _formatted_plan(df), name
+
+
+def test_round5b_ops_plan_shapes(spark):
+    """Batch-3 shapes: the dup-payment self-join keys on (user, cents)
+    — a real join, never cartesian; c8 reuses the W1 single-exchange
+    WindowGroupLimit shape with the cutoff pushed to the scan; PMI's
+    unbounded word joins carry no forced broadcast (only the scalar
+    total rides a hint)."""
+    dup = QUERIES["a_duplicate_payments"].spark(spark, SF)
+    p = _formatted_plan(dup)
+    assert "CartesianProduct" not in p
+    assert join_count(dup) == 1
+
+    c8 = QUERIES["c8_asof_snapshot"].spark(spark, SF)
+    from realtime_banking_cdc_pipeline_spark.plans.plan_checks import (
+        assert_pushed_filter,
+    )
+    assert shuffle_count(c8) == 1
+    assert_pushed_filter(c8, "ts")
+
+    for name in ("x_pmi_cooccurrence", "x_dedup_keep_best"):
+        assert "CartesianProduct" not in _formatted_plan(
+            QUERIES[name].spark(spark, SF)
+        ), name
