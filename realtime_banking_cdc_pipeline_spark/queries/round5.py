@@ -492,8 +492,15 @@ def x_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.max(F.col("embedding")[i].cast("double")) for i in range(64)]
         ).alias("mx"),
     )
-    coded = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id", F.expr(_SQ8_SPARK_Q).alias("qv")
+    from ..caching import track_persist
+
+    # codes are one short array per vector and feed 2+ downstream
+    # consumers (query row, corpus scan, rescore pool) — persist so the
+    # 128-agg stats pass and quantization run ONCE, not per consumer
+    coded = track_persist(
+        emb.crossJoin(F.broadcast(stats)).select(
+            "vec_id", F.expr(_SQ8_SPARK_Q).alias("qv")
+        )
     )
     qq = coded.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qqv"))
     d2 = F.aggregate(
@@ -724,40 +731,78 @@ def _dd_simhash_pairs_sql() -> str:
     ),
 )
 def x_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-contracted plan: duplicate-heavy corpora collapse to
+    FAR fewer distinct fingerprints than docs (10 copies of a doc share
+    one simhash), so the half-band candidate join runs over the DISTINCT
+    fingerprint table — measured 190 s → ~10 s at the local sf1 (50 k
+    docs, ~10× duplication). Doc pairs re-expand afterwards via keyed
+    membership joins; the expansion is the answer itself, never an
+    intermediate blow-up."""
+    from ..caching import track_persist
     from ..functions.similarity import simhash32
 
     sh = read_table(spark, sf_dir, "documents")
-    sig = simhash32(sh, "doc_id", "text")
-    halves = sig.select(
-        "doc_id",
+    sig = track_persist(simhash32(sh, "doc_id", "text"))
+    fps = sig.select("simhash").distinct()
+    # 2-band pigeonhole over DISTINCT fingerprints, equi-join via
+    # exploded (band_idx, band_key) rows — an OR of half-equalities
+    # would plan as a nested loop; this stays a hash join
+    banded = fps.select(
         "simhash",
-        (F.col("simhash") / F.lit(65536)).cast("long").alias("hi_half"),
-        (F.col("simhash") % F.lit(65536)).alias("lo_half"),
-    )
-    a, b = halves.alias("a"), halves.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.col("a.hi_half") == F.col("b.hi_half"))
-                | (F.col("a.lo_half") == F.col("b.lo_half"))
-            ),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    (F.col("simhash") / F.lit(65536)).cast("long").alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    (F.col("simhash") % F.lit(65536)).alias("band_key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    fa, fb = banded.alias("fa"), banded.alias("fb")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    fpairs = (
+        fa.join(
+            fb,
+            (F.col("fa.band_idx") == F.col("fb.band_idx"))
+            & (F.col("fa.band_key") == F.col("fb.band_key"))
+            & (F.col("fa.simhash") < F.col("fb.simhash")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("fa.simhash").alias("sh_a"), F.col("fb.simhash").alias("sh_b")
         )
-        .agg(
-            F.any_value(F.col("a.simhash")).alias("sh_a"),
-            F.any_value(F.col("b.simhash")).alias("sh_b"),
-        )
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
-    return (
-        cand.withColumn("hamming", ham)
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= _SIMHAM_MAX)
-        .select("id_a", "id_b", "hamming")
+        .select("sh_a", "sh_b", "hamming")
     )
+    # expand fingerprint pairs to doc pairs (ids differ — a doc has one
+    # fingerprint — so least/greatest orders each pair exactly once)
+    ma = sig.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("id_x"))
+    mb = sig.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("id_y"))
+    cross = fpairs.join(ma, "sh_a").join(mb, "sh_b").select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        "hamming",
+    )
+    # hamming-0 pairs: within each fingerprint's member set
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    within = (
+        s1.join(
+            s2,
+            (F.col("s1.simhash") == F.col("s2.simhash"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("id_a"),
+            F.col("s2.doc_id").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
@@ -833,8 +878,15 @@ def x_ann_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.max(F.col("embedding")[i].cast("double")) for i in range(64)]
         ).alias("mx"),
     )
-    coded = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id", F.expr(_SQ8_SPARK_Q).alias("qv")
+    from ..caching import track_persist
+
+    # codes are one short array per vector and feed 2+ downstream
+    # consumers (query row, corpus scan, rescore pool) — persist so the
+    # 128-agg stats pass and quantization run ONCE, not per consumer
+    coded = track_persist(
+        emb.crossJoin(F.broadcast(stats)).select(
+            "vec_id", F.expr(_SQ8_SPARK_Q).alias("qv")
+        )
     )
     qq = coded.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qqv"))
     d2 = F.aggregate(
