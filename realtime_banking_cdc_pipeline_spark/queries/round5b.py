@@ -339,3 +339,65 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_audio_decode — REAL codec-free WAV decode through the multimodal
+# plumbing (the audio twin of x_image_decode)
+# ---------------------------------------------------------------------------
+
+_XAUD_SQL = """
+WITH m AS (
+  SELECT doc_id, 500 + doc_id % 250 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, (doc_id * 31 + unnest(generate_series(0, n - 1)) * 7) % 2001 - 1000 AS v
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak
+FROM smp GROUP BY doc_id, n
+"""
+
+
+@query(
+    "x_audio_decode",
+    _XAUD_SQL,
+    doc=(
+        "REAL audio decode, no codec library: deterministic 16-bit PCM "
+        "WAV payloads synthesized per doc (integer waveform — libm sine "
+        "would never hash across engines), RIFF chunk-walked + numpy-"
+        "summed inside mapInPandas (Arrow; payloads never shuffle). The "
+        "oracle recomputes abs-sum/energy/peak analytically from the "
+        "generative formula, so the decoder is verified byte-for-byte — "
+        "the audio twin of x_image_decode."
+    ),
+)
+def x_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from ..functions.multimodal import extract_audio_features, synthesize_wav
+
+    def _make_wav(mid, n):
+        return pd.Series(
+            [synthesize_wav(int(m), int(k)) for m, k in zip(mid, n)]
+        )
+
+    make_wav = pandas_udf(_make_wav, "binary", PandasUDFType.SCALAR)
+
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = d.select(
+        "media_id",
+        make_wav(
+            F.col("media_id"), (F.lit(500) + F.col("media_id") % 250).cast("int")
+        ).alias("payload"),
+    )
+    return extract_audio_features(media)
