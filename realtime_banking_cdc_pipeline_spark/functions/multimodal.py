@@ -278,3 +278,113 @@ def extract_audio_features(media: DataFrame, id_col: str = "media_id",
             yield out
 
     return media.mapInPandas(op, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: codec-free YUV4MPEG2 (.y4m) — real header+frame parse; frame
+# sampling is the training-data op (every k-th frame → features)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_y", T.LongType(), True),
+        T.StructField("sum_u", T.LongType(), True),
+        T.StructField("sum_v", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_y4m(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Deterministic YUV4MPEG2 (C420): byte i of frame f's Y plane is
+    (media_id + 17·f + 3·i) mod 256; U/V use offsets +101/+202 on the
+    same formula. Shared with the analytic oracle."""
+    import numpy as np
+
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        iy = np.arange(ysz, dtype=np.int64)
+        ic = np.arange(csz, dtype=np.int64)
+        out.append(((media_id + 17 * f + 3 * iy) % 256).astype(np.uint8).tobytes())
+        out.append(((media_id + 101 + 17 * f + 3 * ic) % 256).astype(np.uint8).tobytes())
+        out.append(((media_id + 202 + 17 * f + 3 * ic) % 256).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m_frames(payload: bytes, every_kth: int = 1) -> list[dict]:
+    """REAL .y4m parse: stream header (W/H/C tags), FRAME-delimited raw
+    4:2:0 planes, numpy plane sums for every k-th frame. Compressed
+    containers (mp4/webm) raise — they need codec libraries."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only raw YUV4MPEG2 decodes in-container; mp4/webm need codecs"
+        )
+    nl = payload.index(b"\n")
+    width = height = None
+    colorspace = "C420jpeg"
+    for tag in payload[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+        elif tag[:1] == b"C":
+            colorspace = tag.decode()
+    if width is None or height is None:
+        raise ValueError("missing W/H in y4m header")
+    if not colorspace.startswith("C420"):
+        raise NotImplementedError(f"only 4:2:0 ({colorspace})")
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    frame_bytes = ysz + 2 * csz
+    pos, idx, out = nl + 1, 0, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("desynchronized y4m frame marker")
+        body = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if idx % every_kth == 0:
+            planes = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+            out.append(
+                {
+                    "frame_idx": idx,
+                    "width": width,
+                    "height": height,
+                    "sum_y": int(planes[:ysz].sum()),
+                    "sum_u": int(planes[ysz : ysz + csz].sum()),
+                    "sum_v": int(planes[ysz + csz :].sum()),
+                }
+            )
+        pos = fnl + 1 + frame_bytes
+        idx += 1
+    return out
+
+
+def sample_video_frames(media: DataFrame, every_kth: int = 2,
+                        id_col: str = "media_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched frame sampling: one output row per sampled frame.
+    Payloads stay in their partitions; the row multiplier is
+    n_frames/k, the intended fan-out."""
+    import pandas as pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for feat in decode_y4m_frames(payload, every_kth):
+                    rows.append({"media_id": int(mid), **feat})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "sum_y", "sum_u", "sum_v",
+                ],
+            )
+
+    return media.mapInPandas(op, VIDEO_FRAME_SCHEMA)
