@@ -414,3 +414,81 @@ def fuzzy_del1_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 1,
+    fp_bits: int = 32,
+) -> DataFrame:
+    """All id pairs (id_a < id_b) whose fingerprints differ in at most
+    ``max_hamming`` bits — fingerprint-contracted pigeonhole banding.
+
+    ``max_hamming + 1`` contiguous bit-spans: two fingerprints within
+    the radius must agree on at least one span (pigeonhole), so an
+    equi-join on exploded (band_idx, band_key) rows over the DISTINCT
+    fingerprint table is exhaustive; exact ``bit_count(xor)`` refines.
+    Duplicate-heavy corpora collapse many ids onto few fingerprints, so
+    candidates generate in contracted space and doc pairs re-expand
+    through keyed membership joins — the only large product is the
+    output itself (measured 190 s → 9 s at the local sf1).
+    """
+    sig = track_persist(sig.select(F.col(id_col), F.col(fp_col).alias("__fp")))
+    pieces = max_hamming + 1
+    width = fp_bits // pieces
+    fps = sig.select("__fp").distinct()
+    bands = []
+    for b in range(pieces):
+        start = b * width
+        w = width if b < pieces - 1 else fp_bits - start
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                ((F.col("__fp") / F.lit(1 << start)).cast("long") % F.lit(1 << w)).alias(
+                    "band_key"
+                ),
+            )
+        )
+    banded = fps.select("__fp", F.explode(F.array(*bands)).alias("b")).select(
+        "__fp",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    fa, fb = banded.alias("fa"), banded.alias("fb")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    fpairs = (
+        fa.join(
+            fb,
+            (F.col("fa.band_idx") == F.col("fb.band_idx"))
+            & (F.col("fa.band_key") == F.col("fb.band_key"))
+            & (F.col("fa.__fp") < F.col("fb.__fp")),
+        )
+        .groupBy(F.col("fa.__fp").alias("sh_a"), F.col("fb.__fp").alias("sh_b"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("sh_a", "sh_b", "hamming")
+    )
+    ma = sig.select(F.col("__fp").alias("sh_a"), F.col(id_col).alias("id_x"))
+    mb = sig.select(F.col("__fp").alias("sh_b"), F.col(id_col).alias("id_y"))
+    cross = fpairs.join(ma, "sh_a").join(mb, "sh_b").select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        "hamming",
+    )
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    within = (
+        s1.join(
+            s2,
+            (F.col("s1.__fp") == F.col("s2.__fp"))
+            & (F.col(f"s1.{id_col}") < F.col(f"s2.{id_col}")),
+        )
+        .select(
+            F.col(f"s1.{id_col}").alias("id_a"),
+            F.col(f"s2.{id_col}").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return within.unionByName(cross)

@@ -251,3 +251,31 @@ def pagerank_fixed_point(
         (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
     )
     return out
+
+
+def triangle_counts(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-vertex triangle membership over an oriented edge list
+    (``src < dst`` per row): each triangle a<b<c enumerates exactly once
+    as (a,b)⋈(b,c)⋈(a,c) — two shuffle joins on vertex keys, then an
+    explode + hash agg. No driver-side graph state; degree-ordering the
+    orientation is the power-law skew hedge (same plan, one extra
+    degree join)."""
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col(f"p2.{src}") == F.col(f"p1.{dst}"))
+        .join(
+            p3,
+            (F.col(f"p3.{src}") == F.col(f"p1.{src}"))
+            & (F.col(f"p3.{dst}") == F.col(f"p2.{dst}")),
+        )
+        .select(
+            F.col(f"p1.{src}").alias("a"),
+            F.col(f"p1.{dst}").alias("b"),
+            F.col(f"p2.{dst}").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -252,26 +252,10 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
         .select("id_a", "id_b")
     )
-    p1 = pairs.alias("p1")
-    p2 = pairs.alias("p2")
-    p3 = pairs.alias("p3")
-    tri = (
-        p1.join(p2, F.col("p2.id_a") == F.col("p1.id_b"))
-        .join(
-            p3,
-            (F.col("p3.id_a") == F.col("p1.id_a"))
-            & (F.col("p3.id_b") == F.col("p2.id_b")),
-        )
-        .select(
-            F.col("p1.id_a").alias("a"),
-            F.col("p1.id_b").alias("b"),
-            F.col("p2.id_b").alias("c"),
-        )
-    )
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    from ..operators.components import triangle_counts
+
+    return triangle_counts(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "n_triangles"
     )
 
 
@@ -731,78 +715,15 @@ def _dd_simhash_pairs_sql() -> str:
     ),
 )
 def x_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint-contracted plan: duplicate-heavy corpora collapse to
-    FAR fewer distinct fingerprints than docs (10 copies of a doc share
-    one simhash), so the half-band candidate join runs over the DISTINCT
-    fingerprint table — measured 190 s → ~10 s at the local sf1 (50 k
-    docs, ~10× duplication). Doc pairs re-expand afterwards via keyed
-    membership joins; the expansion is the answer itself, never an
-    intermediate blow-up."""
-    from ..caching import track_persist
-    from ..functions.similarity import simhash32
+    """Delegates to functions.similarity.simhash_hamming_pairs — the
+    fingerprint-contracted banded implementation (property-tested
+    against brute-force hamming in tests/test_round5_properties.py)."""
+    from ..functions.similarity import simhash32, simhash_hamming_pairs
 
-    sh = read_table(spark, sf_dir, "documents")
-    sig = track_persist(simhash32(sh, "doc_id", "text"))
-    fps = sig.select("simhash").distinct()
-    # 2-band pigeonhole over DISTINCT fingerprints, equi-join via
-    # exploded (band_idx, band_key) rows — an OR of half-equalities
-    # would plan as a nested loop; this stays a hash join
-    banded = fps.select(
-        "simhash",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_idx"),
-                    (F.col("simhash") / F.lit(65536)).cast("long").alias("band_key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_idx"),
-                    (F.col("simhash") % F.lit(65536)).alias("band_key"),
-                ),
-            )
-        ).alias("b"),
-    ).select("simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    fa, fb = banded.alias("fa"), banded.alias("fb")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
-    fpairs = (
-        fa.join(
-            fb,
-            (F.col("fa.band_idx") == F.col("fb.band_idx"))
-            & (F.col("fa.band_key") == F.col("fb.band_key"))
-            & (F.col("fa.simhash") < F.col("fb.simhash")),
-        )
-        .groupBy(
-            F.col("fa.simhash").alias("sh_a"), F.col("fb.simhash").alias("sh_b")
-        )
-        .agg(F.count(F.lit(1)).alias("_nb"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= _SIMHAM_MAX)
-        .select("sh_a", "sh_b", "hamming")
+    sig = simhash32(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash_hamming_pairs(
+        sig, id_col="doc_id", fp_col="simhash", max_hamming=_SIMHAM_MAX
     )
-    # expand fingerprint pairs to doc pairs (ids differ — a doc has one
-    # fingerprint — so least/greatest orders each pair exactly once)
-    ma = sig.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("id_x"))
-    mb = sig.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("id_y"))
-    cross = fpairs.join(ma, "sh_a").join(mb, "sh_b").select(
-        F.least("id_x", "id_y").alias("id_a"),
-        F.greatest("id_x", "id_y").alias("id_b"),
-        "hamming",
-    )
-    # hamming-0 pairs: within each fingerprint's member set
-    s1, s2 = sig.alias("s1"), sig.alias("s2")
-    within = (
-        s1.join(
-            s2,
-            (F.col("s1.simhash") == F.col("s2.simhash"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .select(
-            F.col("s1.doc_id").alias("id_a"),
-            F.col("s2.doc_id").alias("id_b"),
-            F.lit(0).cast("bigint").alias("hamming"),
-        )
-    )
-    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,126 @@
+"""Property-based invariants for the round-5 primitives, against
+pure-Python brute force on arbitrary tiny inputs — where pigeonhole
+band bugs, orientation double-counts, and decoder offset errors live.
+
+Example counts stay small (each example runs Spark jobs)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+    simhash_hamming_pairs,
+)
+from realtime_banking_cdc_pipeline_spark.operators.components import triangle_counts
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=12
+    ),
+    radius=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_simhash_banding_is_exhaustive(spark, fps, radius):
+    """The pigeonhole band join finds EXACTLY the pairs brute-force
+    hamming does — for any fingerprints and any radius (radius+1
+    bands), including duplicate fingerprints (the contraction path)."""
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(
+            sig, id_col="doc_id", fp_col="simhash", max_hamming=radius
+        ).collect()
+    }
+    want = set()
+    for (ia, fa), (ib, fb) in combinations(rows, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= radius:
+            want.add((min(ia, ib), max(ia, ib), h))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+        ),
+        min_size=0,
+        max_size=16,
+    )
+)
+@_SETTINGS
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Per-vertex triangle membership equals the itertools count on any
+    small graph (edges normalized to a<b, self-loops dropped)."""
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj = set(norm)
+    want: dict[int, int] = {}
+    verts = sorted({v for e in norm for v in e})
+    for a, b, c in combinations(verts, 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    if not norm:
+        return  # empty edge frame: nothing to assert beyond no-crash
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(pairs, src="id_a", dst="id_b").collect()
+    }
+    assert got == want
+
+
+def test_wav_roundtrip_edge_cases():
+    """Decoder handles the odd-size word-alignment path and minimal
+    payloads; non-RIFF and compressed formats raise."""
+    import numpy as np
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.functions.multimodal import (
+        decode_audio,
+        synthesize_wav,
+    )
+
+    for mid, n in ((0, 1), (255, 3), (12345, 257)):
+        d = decode_audio(synthesize_wav(mid, n))
+        i = np.arange(n)
+        s = (mid * 31 + i * 7) % 2001 - 1000
+        assert d["n_samples"] == n
+        assert d["sum_abs"] == int(np.abs(s).sum())
+        assert d["sum_sq"] == int((s * s).sum())
+        assert d["peak"] == int(np.abs(s).max())
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS" + b"\x00" * 64)
+
+
+def test_y4m_roundtrip_edge_cases():
+    import numpy as np
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.functions.multimodal import (
+        decode_y4m_frames,
+        synthesize_y4m,
+    )
+
+    # single frame, sampling step larger than frame count, odd sizes
+    for mid, w, h, n, k in ((1, 2, 2, 1, 5), (9, 10, 6, 7, 3), (42, 4, 8, 4, 1)):
+        frames = decode_y4m_frames(synthesize_y4m(mid, w, h, n), every_kth=k)
+        assert [f["frame_idx"] for f in frames] == list(range(0, n, k))
+        ysz = w * h
+        for f in frames:
+            iy = np.arange(ysz)
+            assert f["sum_y"] == int(((mid + 17 * f["frame_idx"] + 3 * iy) % 256).sum())
+            assert (f["width"], f["height"]) == (w, h)
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
