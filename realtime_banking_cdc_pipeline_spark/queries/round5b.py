@@ -599,3 +599,149 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _TFIDF_COS_MIN)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# q05 — local supplier volume (TPC-H Q5 shape): the 6-table join
+# orchestration test (region→nation fan, customer AND supplier pinned
+# to the same nation)
+# ---------------------------------------------------------------------------
+
+_Q05_SQL = """
+SELECT n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@query(
+    "q05_local_supplier_volume",
+    _Q05_SQL,
+    doc=(
+        "TPC-H Q5 shape — the join-orchestration test: region→nation "
+        "prune broadcasts down the dim fan; orders (date-filtered, "
+        "pushed) ⋈ customer and lineitem ⋈ supplier each shuffle on "
+        "their natural keys; the local-supplier constraint "
+        "(c_nationkey = s_nationkey) evaluates inside the supplier "
+        "join. Catalyst owns the join order — the declarative form is "
+        "the point; at 100 TB bucketing orders/lineitem on the order "
+        "key removes the one big exchange."
+    ),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import dec, dsum_r2
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum_r2(rev, "revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item customer ranking (TPC-H Q10 shape): the
+# chargeback / refund-risk report
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@query(
+    "q10_returned_items",
+    _Q10_SQL,
+    doc=(
+        "TPC-H Q10 shape — the chargeback report: returnflag + date "
+        "filters pushed to the scans, fact joins shuffle on the order "
+        "key, nation broadcast, top-20 via TakeOrdered with custkey "
+        "tiebreak. Exact-decimal revenue."
+    ),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import dec, dsum_r2
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_r2(rev, "revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
