@@ -554,51 +554,102 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)
     ),
 )
 def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate contraction (the simhash-pairs trick, applied to
+    the quadratic postings join): identical texts share one
+    representative, so tf/weights/norms/dot products compute once per
+    DISTINCT text while df/N stay corpus-weighted (df = Σ multiplicity
+    of distinct texts containing the term — identical numbers to the
+    uncontracted form). Doc pairs re-expand through keyed membership
+    joins; within-representative pairs get the same cosine expression
+    evaluated at (dot=na, na, na) so every double matches the oracle's
+    uncontracted arithmetic bit-for-bit. On the local sf1 (100 copies
+    per distinct text) the uncontracted postings join did not finish in
+    500 s; contracted it is seconds, and the contraction factor grows
+    with duplication."""
+    from ..caching import track_persist
+
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.transform(ws_tokens("text"), F.lower).alias("t")
+    keyed = d.select("doc_id", F.md5("text").alias("rep"), "text")
+    members = track_persist(keyed.select("rep", "doc_id"))
+    reps = keyed.groupBy("rep").agg(
+        F.min("text").alias("text"), F.count(F.lit(1)).alias("mult")
+    )
+    toks = reps.select(
+        "rep", "mult", F.transform(ws_tokens("text"), F.lower).alias("t")
     )
     bg = toks.filter(F.size("t") >= 2).select(
-        "doc_id",
+        "rep",
+        "mult",
         F.explode(
             F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
         ).alias("term"),
     )
-    tf = bg.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = bg.groupBy("rep", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.any_value("mult").alias("mult")
+    )
+    df_ = tf.groupBy("term").agg(F.sum("mult").alias("df"))
     nn = d.agg(F.count(F.lit(1)).alias("n"))
-    w = (
+    w = track_persist(
         tf.join(df_, "term")
         .crossJoin(F.broadcast(nn))
         .select(
-            "doc_id",
+            "rep",
             "term",
             F.expr("CAST(tf * ((1048576 * n) div df) AS BIGINT)").alias("w"),
         )
     )
-    from ..caching import track_persist
-
-    w = track_persist(w)
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("bigint").alias("nrm"))
+    norms = track_persist(
+        w.groupBy("rep").agg(F.sum(F.col("w") * F.col("w")).cast("bigint").alias("nrm"))
+    )
     a, b = w.alias("a"), w.alias("b")
     dots = (
         a.join(b, "term")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .filter(F.col("a.rep") < F.col("b.rep"))
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("dot"))
     )
-    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    na = norms.select(F.col("rep").alias("rep_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("rep").alias("rep_b"), F.col("nrm").alias("nb"))
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+    rep_pairs = (
+        dots.join(na, "rep_a")
+        .join(nb, "rep_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= _TFIDF_COS_MIN)
-        .select("id_a", "id_b", "cosine")
     )
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("id_x"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("id_y"))
+    cross = rep_pairs.join(ma, "rep_a").join(mb, "rep_b").select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        "cosine",
+    )
+    # within-representative pairs: same double expression at dot=na
+    self_cos = F.col("na").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("na").cast("double")
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.rep") == F.col("m2.rep"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .join(
+            norms.select(F.col("rep").alias("rep_n"), F.col("nrm").alias("na")),
+            F.col("m1.rep") == F.col("rep_n"),
+        )
+        .withColumn("cosine", self_cos)
+        .filter(F.col("cosine") >= _TFIDF_COS_MIN)
+        .select(
+            F.col("m1.doc_id").alias("id_a"),
+            F.col("m2.doc_id").alias("id_b"),
+            "cosine",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

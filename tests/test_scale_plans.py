@@ -402,3 +402,32 @@ def test_round5b_ops_plan_shapes(spark):
         assert "CartesianProduct" not in _formatted_plan(
             QUERIES[name].spark(spark, SF)
         ), name
+
+
+def test_round5c_ops_plan_shapes(spark):
+    """Late-round-5 additions keep their shapes: q05's dim fan
+    broadcasts (nation×region prune) while the fact joins stay keyed;
+    q10 pushes returnflag+date to the scans and takes top-20 via
+    TakeOrdered; the tf-idf postings joins and the multimodal decode
+    fan-outs never go cartesian."""
+    from realtime_banking_cdc_pipeline_spark.plans.plan_checks import (
+        assert_broadcast_join,
+        assert_pushed_filter,
+    )
+
+    q05 = QUERIES["q05_local_supplier_volume"].spark(spark, SF)
+    assert_broadcast_join(q05)
+    assert_pushed_filter(q05, "o_orderdate")
+    assert "CartesianProduct" not in _formatted_plan(q05)
+
+    q10 = QUERIES["q10_returned_items"].spark(spark, SF)
+    assert_pushed_filter(q10, "l_returnflag")
+    assert_pushed_filter(q10, "o_orderdate")
+    p10 = _formatted_plan(q10)
+    assert "TakeOrderedAndProject" in p10
+    assert "CartesianProduct" not in p10
+
+    for name in ("x_tfidf_cosine_pairs", "x_audio_decode", "x_video_framesample"):
+        assert "CartesianProduct" not in _formatted_plan(
+            QUERIES[name].spark(spark, SF)
+        ), name
