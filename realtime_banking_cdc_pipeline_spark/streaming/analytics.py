@@ -93,3 +93,22 @@ def session_aggregates(
     return df.groupBy(
         F.session_window(ts_col, gap).alias("w"), F.col(key_col)
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the routine CDC pattern (attach
+    dimension attributes to a flowing fact). Spark re-evaluates the
+    static side per micro-batch, so a dim TABLE read here picks up
+    slowly-changing updates between batches for free. The broadcast
+    hint is the right default (dims are bounded); pass
+    ``hint_broadcast=False`` for an unbounded-ish static side and let
+    the planner decide. Works identically on a batch ``stream`` — the
+    tests exploit that equivalence."""
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, on=on, how=how)

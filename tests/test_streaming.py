@@ -252,3 +252,48 @@ def test_observed_metrics_ride_query_progress(spark, fixture_dir):
         assert 0 < totals["ingest"]["txn_rows"] < totals["ingest"]["rows"]
     finally:
         mon.detach(spark, m)
+
+
+def test_stream_static_enrichment_matches_batch(spark, fixture_dir):
+    """Stream-static dim join (enrich_with_dim): per-batch join against
+    a static dimension equals the batch computation — the routine CDC
+    enrichment shape (broadcast dim, left join, no state)."""
+    from realtime_banking_cdc_pipeline_spark.streaming.analytics import (
+        enrich_with_dim,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("banking.public.customers", "gold"),
+            ("banking.public.accounts", "silver"),
+            ("banking.public.transactions", "bronze"),
+        ],
+        "topic string, sla_class string",
+    )
+    stream = read_fixture_stream(spark, fixture_dir)
+    agg = (
+        enrich_with_dim(stream, dim, on="topic", how="left")
+        .groupBy("sla_class")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["sla_class"]: r["count"]
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    batch = spark.read.json(fixture_dir)
+    want = {
+        r["sla_class"]: r["count"]
+        for r in batch.join(dim, on="topic", how="left")
+        .groupBy("sla_class")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 0
