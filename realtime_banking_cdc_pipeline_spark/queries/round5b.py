@@ -796,3 +796,120 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promo revenue share (TPC-H Q14 shape): conditional aggregation
+# over a fact⋈part join (first consumer of the `part` table)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+WITH j AS (
+  SELECT CAST(l.l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS rev,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+SELECT
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS promo_revenue,
+  CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+    / CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS promo_share
+FROM j
+"""
+
+
+@query(
+    "q14_promo_revenue",
+    _Q14_SQL,
+    doc=(
+        "TPC-H Q14 shape: one-month shipdate slice (pushed) ⋈ part on "
+        "the part key, conditional decimal aggregation, single-division "
+        "share. First consumer of the `part` dimension; at scale the "
+        "part join is the classic broadcast-or-bucket decision left to "
+        "the planner."
+    ),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import dec
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    zero = F.lit(0).cast("decimal(12,2)")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        rev.alias("rev"), "p_type"
+    )
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)), 2
+    ).cast("double")
+    total = F.round(F.sum(F.col("rev")), 2).cast("double")
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (promo / total).alias("promo_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume orders (TPC-H Q18 shape): IN over a grouped-HAVING
+# subquery (decorrelates to a semi join against an aggregate)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 300
+
+_Q18_SQL = f"""
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_Q18_MIN_QTY}
+)
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query(
+    "q18_large_volume_orders",
+    _Q18_SQL,
+    doc=(
+        "TPC-H Q18 shape: IN over a grouped-HAVING subquery — the "
+        "aggregate-semi-join decorrelation (plan: lineitem groupBy → "
+        "filter → LEFT SEMI into orders, then the outer agg). Both "
+        "aggregations shuffle on the same order key, so at scale the "
+        "exchange is shared / bucketed away. Exact-decimal quantity "
+        "sums."
+    ),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import dec, dsum
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("q"))
+        .filter(F.col("q") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(dec("l_quantity", 12, 2), "sum_qty"))
+    )
