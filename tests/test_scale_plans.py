@@ -431,3 +431,8 @@ def test_round5c_ops_plan_shapes(spark):
         assert "CartesianProduct" not in _formatted_plan(
             QUERIES[name].spark(spark, SF)
         ), name
+
+    q14 = QUERIES["q14_promo_revenue"].spark(spark, SF)
+    assert_pushed_filter(q14, "l_shipdate")
+    q18 = QUERIES["q18_large_volume_orders"].spark(spark, SF)
+    assert "LeftSemi" in _formatted_plan(q18)
