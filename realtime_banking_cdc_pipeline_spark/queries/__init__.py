@@ -28,13 +28,13 @@ from . import round5  # noqa: F401,E402  (Q3/Q4/Q6 shapes, graph/ANN/corpus dept
 from . import round5b  # noqa: F401,E402  (fraud screens, time travel, collocations)
 
 # The driver's correctness gate executes the FIRST 50 registry entries
-# (CORRECTNESS_r0{2,3,4}.json each contain exactly the first 50 keys).
+# (CORRECTNESS_r0{2,3,4,5}.json each contain exactly the first 50 keys).
 # Queries already hash-verified by a prior driver round are pushed to the
 # back so the not-yet-driver-verified ones (and anything newly registered
 # this round) land inside the checked window — over successive rounds
 # every query gets a hard driver signal.  Names below are the union of
-# CORRECTNESS_r02/r03/r04 entries.
-_DRIVER_VERIFIED_R2_R4 = frozenset({
+# CORRECTNESS_r02/r03/r04/r05 entries.
+_DRIVER_VERIFIED = frozenset({
     "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
     "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
     "a6_argmax_latest", "a_approx_sketches", "a_benford", "a_distinct_users",
@@ -55,9 +55,26 @@ _DRIVER_VERIFIED_R2_R4 = frozenset({
     "x_minhash_lsh_pairs", "x_minhash_signature", "x_multimodal_features",
     "x_ngram_jaccard_pairs", "x_quality_score", "x_simhash",
     "x_snapshot_diff", "x_token_stats",
+    # CORRECTNESS_r05.json (50/50 strict-green)
+    "w_locf_gapfill", "w_distribution_ranks", "agg_grouping_sets",
+    "a_sliding_distinct", "a_top_paths", "x_dedup_clusters",
+    "x_dedup_clusters_star", "x_span_dedup", "x_domain_mix",
+    "x_image_decode", "x_contamination", "x_pack_sequences",
+    "x_pii_redact", "x_repetition", "x_split_assign", "x_top_terms",
+    "x_training_data_prep", "x_corpus_pipeline_v2", "x_ann_ivf_topk",
+    "x_ann_ivf_multiprobe", "x_ann_ivf_trained", "x_ann_ivf_trained_mp",
+    "x_label_centroids", "x_ngram_counts", "x_pq_codes", "x_ann_pq_adc",
+    "x_ann_ivfpq_topk", "x_fuzzy_pairs", "x_importance_sample",
+    "x_feature_hash_embed", "x_ann_recall_eval", "a_cohort_retention",
+    "a_funnel_stages", "x_lsh_dedup_eval", "x_pagerank",
+    "q03_shipping_priority", "q04_order_priority", "q06_revenue_forecast",
+    "x_triangle_count", "x_containment_pairs", "x_knn_classify",
+    "x_ann_sq8", "x_reservoir_sample", "x_unigram_likelihood",
+    "c7_late_events", "x_simhash_dedup_pairs", "x_ann_sq8_rescore",
+    "j7_range_band_join", "x_vocab_coverage", "x_length_trim",
 })
 
-_ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED_R2_R4}
+_ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}
 _ordered.update({n: s for n, s in QUERIES.items() if n not in _ordered})
 QUERIES.clear()
 QUERIES.update(_ordered)
