@@ -435,6 +435,8 @@ def simhash_hamming_pairs(
     through keyed membership joins — the only large product is the
     output itself (measured 190 s → 9 s at the local sf1).
     """
+    if fp_bits > 63:
+        raise ValueError("fp_bits must fit a non-negative signed long (<= 63)")
     sig = track_persist(sig.select(F.col(id_col), F.col(fp_col).alias("__fp")))
     pieces = max_hamming + 1
     width = fp_bits // pieces
@@ -443,10 +445,12 @@ def simhash_hamming_pairs(
     for b in range(pieces):
         start = b * width
         w = width if b < pieces - 1 else fp_bits - start
+        # integer bit extraction (shiftright + pmod) — float division
+        # would corrupt band keys above 2^53
         bands.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
-                ((F.col("__fp") / F.lit(1 << start)).cast("long") % F.lit(1 << w)).alias(
+                F.pmod(F.shiftright(F.col("__fp"), start), F.lit(1 << w)).alias(
                     "band_key"
                 ),
             )
@@ -492,3 +496,53 @@ def simhash_hamming_pairs(
         )
     )
     return within.unionByName(cross)
+
+
+def prefix_filter_postings(
+    w: DataFrame,
+    threshold: float,
+    id_col: str = "rep",
+    term_col: str = "term",
+    weight_col: str = "w",
+    df_col: str = "df",
+) -> DataFrame:
+    """Exact prefix filtering (AllPairs / L2AP bound) for thresholded
+    cosine over sparse postings: returns the subset of ``w``'s
+    (id, term) postings whose self-join is guaranteed to touch every
+    pair with cosine >= ``threshold``.
+
+    Terms get a single global order — rarest first, ``(df ASC, term
+    ASC)`` — and a document's *prefix* is the head of its posting list
+    under that order for which the residual L2 mass can still reach the
+    threshold: a posting at position ``i`` survives iff
+    ``sum_{j>=i} w_j^2 >= t^2 * ||w||^2``.  If two documents share NO
+    surviving term, every common term lies at-or-after one document's
+    cut, so ``cos <= sqrt(suffix_sq / nrm) < t`` — any pair at or above
+    the threshold shares a prefix posting, making the reduced self-join
+    an exact candidate generator.  Power-law high-df terms ("of the"
+    bigrams) carry near-zero idf weight, so they fall out of every
+    prefix: per-term candidate generation is bounded by the rare-term
+    posting lists instead of growing as sum(df^2) over stopword lists —
+    the property that keeps the join alive at 100 TB.
+
+    The cut is evaluated in double arithmetic against
+    ``threshold^2 * (1 - 1e-9)``: the margin strictly exceeds double
+    summation rounding, so prefixes only ever get conservatively
+    LONGER — exactness is never at risk, only a few extra candidates.
+    """
+    from pyspark.sql import Window
+
+    w2 = F.col(weight_col).cast("double") * F.col(weight_col).cast("double")
+    rev = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col(df_col).desc(), F.col(term_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy(id_col)
+    cut = float(threshold) * float(threshold) * (1.0 - 1e-9)
+    return (
+        w.withColumn("__tail_sq", F.sum(w2).over(rev))
+        .withColumn("__nrm_sq", F.sum(w2).over(whole))
+        .filter(F.col("__tail_sq") >= F.lit(cut) * F.col("__nrm_sq"))
+        .drop("__tail_sq", "__nrm_sq")
+    )

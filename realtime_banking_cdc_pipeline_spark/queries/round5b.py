@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.similarity import prefix_filter_postings
 from ..functions.text import ws_tokens
 from ..sources.parquet_io import read_table
 from ._det import events_table
@@ -546,11 +547,13 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)
         "(integer fixed-point idf — no libm log), postings inverted-"
         "index join for dot products, single-division cosine. The "
         "missing classic between shingle Jaccard and embedding cosine. "
-        "Unbounded term joins are shuffled, never hinted broadcast. At "
-        "100 TB you cap the postings by dropping ultra-high-df terms "
-        "(they carry ~zero idf weight anyway) — the standard sparse-"
-        "retrieval pruning; unnecessary at test SF and omitted so the "
-        "oracle stays exact."
+        "Unbounded term joins are shuffled, never hinted broadcast. "
+        "Candidate generation runs over PREFIX-FILTERED postings "
+        "(AllPairs/L2AP bound — exact, see "
+        "functions.similarity.prefix_filter_postings): power-law "
+        "high-df terms carry ~zero idf weight and drop out of every "
+        "prefix, so the self-join never grows as sum(df^2) over "
+        "stopword posting lists."
     ),
 )
 def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,18 +598,34 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "rep",
             "term",
+            "df",
             F.expr("CAST(tf * ((1048576 * n) div df) AS BIGINT)").alias("w"),
         )
     )
     norms = track_persist(
         w.groupBy("rep").agg(F.sum(F.col("w") * F.col("w")).cast("bigint").alias("nrm"))
     )
-    a, b = w.alias("a"), w.alias("b")
+    # Exact candidate generation over prefix postings only: any pair
+    # with cosine >= threshold must share a prefix term (L2AP bound),
+    # and high-df stopword bigrams fall out of every prefix — the
+    # quadratic-per-term hazard is bounded by rare-term posting lists.
+    pre = prefix_filter_postings(w, _TFIDF_COS_MIN).select("rep", "term")
+    pa, pb = pre.alias("pa"), pre.alias("pb")
+    cand = (
+        pa.join(pb, "term")
+        .filter(F.col("pa.rep") < F.col("pb.rep"))
+        .select(F.col("pa.rep").alias("rep_a"), F.col("pb.rep").alias("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    # exact dot products for candidates only — same bigint arithmetic
+    # the full self-join produced, so surviving doubles are bit-identical
+    wa = w.select(F.col("rep").alias("rep_a"), "term", F.col("w").alias("__wa"))
+    wb = w.select(F.col("rep").alias("rep_b"), "term", F.col("w").alias("__wb"))
     dots = (
-        a.join(b, "term")
-        .filter(F.col("a.rep") < F.col("b.rep"))
-        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("dot"))
+        cand.join(wa, "rep_a")
+        .join(wb, ["rep_b", "term"])
+        .groupBy("rep_a", "rep_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).cast("bigint").alias("dot"))
     )
     na = norms.select(F.col("rep").alias("rep_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("rep").alias("rep_b"), F.col("nrm").alias("nb"))

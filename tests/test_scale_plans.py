@@ -436,3 +436,68 @@ def test_round5c_ops_plan_shapes(spark):
     assert_pushed_filter(q14, "l_shipdate")
     q18 = QUERIES["q18_large_volume_orders"].spark(spark, SF)
     assert "LeftSemi" in _formatted_plan(q18)
+
+
+def test_prefix_filter_bounds_high_df_postings(spark):
+    """Skewed-df fixture: every doc shares one stopword term (df = n)
+    plus rare content terms. Prefix filtering must (a) drop the
+    stopword from EVERY prefix — so candidate generation is bounded by
+    rare-term posting lists, never sum(df^2) over stopword lists — and
+    (b) still surface every pair at or above the threshold (exactness:
+    candidates from prefix postings ⊇ brute-force pairs >= t)."""
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        prefix_filter_postings,
+    )
+
+    n, t = 60, 0.6
+    # doc 2i and 2i+1 share seven df=2 terms; each doc has one df=1
+    # uniq term; ALL docs share the df=n stopword "of the"
+    rows = []
+    for d in range(n):
+        g = d // 2
+        terms = [("of the", n), (f"uniq_{d}", 1)] + [
+            (f"shared_{g}_{j}", 2) for j in range(7)
+        ]
+        rows += [(f"doc_{d:03d}", term, df) for term, df in terms]
+    posts = spark.createDataFrame(rows, "rep string, term string, df long")
+    # the query's integer fixed-point idf weight
+    w = posts.withColumn(
+        "w", F.expr(f"CAST(1 * ((1048576 * {n}) div df) AS BIGINT)")
+    )
+
+    pre = prefix_filter_postings(w, t)
+    stopword_posts = pre.filter(F.col("term") == "of the").count()
+    assert stopword_posts == 0, "df=n stopword must fall out of every prefix"
+
+    pa, pb = pre.alias("pa"), pre.alias("pb")
+    cand = (
+        pa.join(pb, "term")
+        .filter(F.col("pa.rep") < F.col("pb.rep"))
+        .select(F.col("pa.rep").alias("rep_a"), F.col("pb.rep").alias("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    n_cand = cand.count()
+    assert n_cand == n // 2, f"candidates {n_cand} != {n // 2} true pairs"
+    # the unfiltered join would generate C(n,2) pairs through the stopword
+    assert n_cand < n * (n - 1) // 2
+
+    # exactness: brute-force full postings join, exact cosine >= t
+    wa = w.select(F.col("rep").alias("rep_a"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("rep").alias("rep_b"), "term", F.col("w").alias("wb"))
+    nrm = w.groupBy("rep").agg(F.sum(F.col("w") * F.col("w")).alias("nrm"))
+    brute = (
+        wa.join(wb, "term")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .join(nrm.select(F.col("rep").alias("rep_a"), F.col("nrm").alias("na")), "rep_a")
+        .join(nrm.select(F.col("rep").alias("rep_b"), F.col("nrm").alias("nb")), "rep_b")
+        .filter(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            >= t
+        )
+        .select("rep_a", "rep_b")
+    )
+    missed = brute.join(cand, ["rep_a", "rep_b"], "left_anti").count()
+    assert missed == 0, "prefix filtering must never miss a pair >= threshold"
