@@ -253,13 +253,66 @@ def pagerank_fixed_point(
     return out
 
 
-def triangle_counts(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
-    """Per-vertex triangle membership over an oriented edge list
-    (``src < dst`` per row): each triangle a<b<c enumerates exactly once
-    as (a,b)⋈(b,c)⋈(a,c) — two shuffle joins on vertex keys, then an
-    explode + hash agg. No driver-side graph state; degree-ordering the
-    orientation is the power-law skew hedge (same plan, one extra
-    degree join)."""
+def degree_oriented_edges(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Re-orient an undirected edge list low-degree → high-degree
+    (tiebreak on vertex id) — the standard power-law hedge for wedge
+    enumeration: after orientation every vertex's out-degree is
+    O(sqrt(m)), so per-vertex wedge work is bounded even when a hub
+    touches a constant fraction of all edges. Self-loops drop,
+    duplicate/reversed duplicates collapse. The (deg, id) total order
+    is acyclic, so each triangle still enumerates exactly once."""
+    from ..caching import track_persist
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = track_persist(
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias(src),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias(dst),
+        )
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    degree_orient: bool = True,
+) -> DataFrame:
+    """Per-vertex triangle membership: each triangle enumerates exactly
+    once as (a,b)⋈(b,c)⋈(a,c) under an acyclic edge orientation — two
+    shuffle joins on vertex keys, then an explode + hash agg. No
+    driver-side graph state.
+
+    By default edges are normalized (distinct, self-loops dropped) and
+    re-oriented low-degree → high-degree (:func:`degree_oriented_edges`)
+    so power-law hubs never anchor the wedge join; membership counts
+    are orientation-independent, so results are identical to the plain
+    ``src < dst`` orientation. ``degree_orient=False`` skips the two
+    degree lookups when the caller guarantees a distinct, loop-free,
+    ``src < dst``-oriented input."""
+    if degree_orient:
+        pairs = degree_oriented_edges(pairs, src, dst)
     p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
     tri = (
         p1.join(p2, F.col(f"p2.{src}") == F.col(f"p1.{dst}"))

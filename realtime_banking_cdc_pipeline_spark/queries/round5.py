@@ -236,12 +236,13 @@ FROM verts GROUP BY doc_id
     _XTRI_SQL,
     doc=(
         "Per-node triangle membership over the near-dup graph (fraud-"
-        "ring / dense-duplicate-cluster signal). Edges are oriented "
-        "id_a<id_b so each triangle enumerates exactly once via two "
-        "shuffle joins on vertex keys (the standard distributed "
-        "triangle-enumeration shape; degree-ordering the orientation "
-        "is the skew hedge at 100 TB — LSH bucket caps already bound "
-        "per-vertex degree upstream). No driver-side graph state."
+        "ring / dense-duplicate-cluster signal). Edges are re-oriented "
+        "low-degree→high-degree before the two wedge joins (the "
+        "power-law skew hedge: post-orientation out-degree is "
+        "O(sqrt(m)), so hubs never anchor the join) and each triangle "
+        "still enumerates exactly once under the acyclic (deg, id) "
+        "order. Membership counts are orientation-independent, so the "
+        "id-ordered oracle matches. No driver-side graph state."
     ),
 )
 def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,6 +10,7 @@ from itertools import combinations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from realtime_banking_cdc_pipeline_spark.functions.similarity import (
     simhash_hamming_pairs,
@@ -124,3 +125,44 @@ def test_y4m_roundtrip_edge_cases():
             assert (f["width"], f["height"]) == (w, h)
     with pytest.raises(NotImplementedError):
         decode_y4m_frames(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
+
+
+def test_degree_orientation_bounds_hub_out_degree(spark):
+    """Power-law fixture: a hub touching every leaf, plus leaf-leaf
+    edges closing triangles. With id orientation a low-id hub anchors
+    O(n^2) wedges; after low-degree→high-degree re-orientation every
+    hub edge points INTO the hub, so per-vertex wedge work stays
+    bounded — and the triangle counts are unchanged."""
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        degree_oriented_edges,
+        triangle_counts,
+    )
+
+    n = 60  # hub id 0 (lowest id = worst case for id-orientation)
+    edges = [(0, leaf) for leaf in range(1, n + 1)]
+    # close a triangle (0, 2i-1, 2i) for each leaf pair
+    edges += [(2 * i - 1, 2 * i) for i in range(1, n // 2 + 1)]
+    # duplicates + a self-loop: normalization must absorb them
+    edges += [(1, 0), (5, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    oriented = degree_oriented_edges(pairs, "id_a", "id_b")
+    out_deg = {
+        r["id_a"]: r["n"]
+        for r in oriented.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # hub (degree n) must anchor NO wedges; leaves anchor <= 2
+    assert 0 not in out_deg
+    assert max(out_deg.values()) <= 2
+
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(pairs, src="id_a", dst="id_b").collect()
+    }
+    want = {0: n // 2}
+    for i in range(1, n // 2 + 1):
+        want[2 * i - 1] = 1
+        want[2 * i] = 1
+    assert got == want
