@@ -348,6 +348,10 @@ def decode_y4m_frames(payload: bytes, every_kth: int = 1) -> list[dict]:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("desynchronized y4m frame marker")
         body = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError(
+                f"truncated y4m frame {idx}: {len(body)} of {frame_bytes} bytes"
+            )
         if idx % every_kth == 0:
             planes = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
             out.append(

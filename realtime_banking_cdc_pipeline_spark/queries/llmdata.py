@@ -602,6 +602,22 @@ def x_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUST_MATCH_MIN = 8  # same bar as the corpus-prep near-dup stage
 
 
+def neardup_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Shared near-dup edge list (id_a < id_b, est. jaccard >= 0.5):
+    MinHash signatures -> one banded self-join -> match-count filter.
+    Every graph consumer (clustering, star contraction, pagerank,
+    triangle counting, keep-best dedup) builds its edges HERE, so the
+    persisted signature frame is one shared subtree — identical
+    analyzed plans hit Spark's cache manager, and a composed pipeline
+    computes signatures once instead of once per consumer."""
+    sig = minhash_signature(d, "doc_id", "text", k=3)
+    return (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+
+
 def _dd_clusters_sql() -> str:
     bands, r = 4, MINHASH_PERMS // 4
     band_defs = ",\n  ".join(
@@ -660,12 +676,7 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     d = _docs(spark, sf_dir)
-    sig = minhash_signature(d, "doc_id", "text", k=3)
-    pairs = (
-        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
-        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
-        .select("id_a", "id_b")
-    )
+    pairs = neardup_candidate_pairs(d)
     comp = connected_components(
         pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
     ).withColumnRenamed("id", "doc_id")
@@ -695,12 +706,7 @@ def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components_star
 
     d = _docs(spark, sf_dir)
-    sig = minhash_signature(d, "doc_id", "text", k=3)
-    pairs = (
-        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
-        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
-        .select("id_a", "id_b")
-    )
+    pairs = neardup_candidate_pairs(d)
     comp = connected_components_star(
         pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
     ).withColumnRenamed("id", "doc_id")
@@ -2792,12 +2798,7 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import pagerank_fixed_point
 
     d = _docs(spark, sf_dir)
-    sig = minhash_signature(d, "doc_id", "text", k=3)
-    pairs = (
-        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
-        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
-        .select("id_a", "id_b")
-    )
+    pairs = neardup_candidate_pairs(d)
     return pagerank_fixed_point(pairs, src="id_a", dst="id_b", iters=_PR_ITERS).select(
         F.col("id").alias("doc_id"), "pr_fp", "pr"
     )

@@ -22,8 +22,6 @@ from ..functions.similarity import (
     MINHASH_PERMS,
     cosine_against,
     exploded_shingles,
-    lsh_band_pairs,
-    minhash_signature,
 )
 from ..functions.text import ws_tokens
 from ..sources.parquet_io import read_table
@@ -59,6 +57,7 @@ LIMIT 10
 @query(
     "q03_shipping_priority",
     _Q03_SQL,
+    bench=True,
     doc=(
         "TPC-H Q3 shape (J1+J2 composed): segment-filtered customer dim "
         "broadcasts into orders, orders⋈lineitem shuffles on the order "
@@ -246,14 +245,11 @@ FROM verts GROUP BY doc_id
     ),
 )
 def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d, "doc_id", "text", k=3)
-    pairs = (
-        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
-        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
-        .select("id_a", "id_b")
-    )
     from ..operators.components import triangle_counts
+    from .llmdata import neardup_candidate_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = neardup_candidate_pairs(d)
 
     return triangle_counts(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), "n_triangles"
@@ -455,6 +451,7 @@ _SQ8_SPARK_Q = (
 @query(
     "x_ann_sq8",
     _XSQ8_SQL,
+    bench=True,
     doc=(
         "Scalar-quantized (SQ8) ANN: per-dimension [min,max] learned "
         "from the corpus in ONE wide agg (128 map-side-combined "
@@ -705,6 +702,7 @@ def _dd_simhash_pairs_sql() -> str:
 @query(
     "x_simhash_dedup_pairs",
     _dd_simhash_pairs_sql(),
+    bench=True,
     doc=(
         "SimHash near-dup pairs (hamming ≤ 1) found by pigeonhole "
         "banding: split the 32-bit fingerprint into 2 halves; ≤1 "

@@ -287,6 +287,7 @@ FROM (
 @query(
     "x_dedup_keep_best",
     _dd_keep_best_sql(),
+    bench=True,
     doc=(
         "Near-dup dedup keeping the best-quality cluster member: LSH "
         "pairs → connected components (min-label propagation; oracle "
@@ -298,22 +299,12 @@ FROM (
     ),
 )
 def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import (
-        MINHASH_PERMS,
-        lsh_band_pairs,
-        minhash_signature,
-    )
     from ..functions.text import stopword_hits
     from ..operators.components import connected_components
-    from .llmdata import _CLUST_MATCH_MIN
+    from .llmdata import neardup_candidate_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d, "doc_id", "text", k=3)
-    pairs = (
-        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
-        .filter(F.col("n_matching") >= _CLUST_MATCH_MIN)
-        .select("id_a", "id_b")
-    )
+    pairs = neardup_candidate_pairs(d)
     comp = connected_components(
         pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
     ).withColumnRenamed("id", "doc_id")
@@ -542,6 +533,7 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)
 @query(
     "x_tfidf_cosine_pairs",
     _XTFC_SQL,
+    bench=True,
     doc=(
         "Sparse lexical similarity: tf-idf weighted bigram vectors "
         "(integer fixed-point idf — no libm log), postings inverted-"
