@@ -1,0 +1,374 @@
+"""Round-6 planner-stress shapes: the remaining canonical TPC-H join
+patterns over the reference's Gold-mart star schema (reference analogs:
+`models/gold/fact_transactions.sql`, `models/gold/dim_customers.sql` —
+the reference computes these marts in Snowflake SQL; here each is a
+declarative DataFrame plan Catalyst decorrelates/reorders).
+
+- q02 — correlated min-cost subquery (decorrelates to an aggregate +
+  re-join on the part key; the classic "cheapest supplier" pattern).
+- q07 — volume shipping between two nations (two nation-dim fans on
+  one fact row, OR-of-pairs predicate, per-year rollup).
+- q08 — market share (conditional share-of-total inside one ratio:
+  two exact decimal sums, single double division).
+- q09 — product profit (pattern-filtered part fan + supplier nation
+  rollup by order year; profit mixes two measure columns).
+
+Determinism follows queries/_det.py: exact decimal money sums, the
+same IEEE op order for any double expression on both engines, unique
+ORDER BY tiebreaks before every LIMIT.
+
+The testdata schema has no `partsupp` table, so q02/q09's supply-cost
+terms derive deterministically from what exists: q02's offer cost is
+the supplier's minimum observed unit price (l_extendedprice /
+l_quantity — one double division, identical in both engines), q09's
+cost term is 10% of the part's retail price per unit, in exact
+decimals. The join/decorrelation shapes — what these queries exist to
+pin — are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import read_table
+from ._det import dec, dsum_r2, sql_dec, sql_dsum_r2
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q02 — min-cost supplier (TPC-H Q2 shape): correlated scalar-min
+# subquery over a derived offers table
+# ---------------------------------------------------------------------------
+
+_Q02_REGION = "EUROPE"
+
+_Q02_SQL = f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{_Q02_REGION}'
+)
+SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, e.s_acctbal, o.cost
+FROM part p
+JOIN offers o ON o.l_partkey = p.p_partkey
+JOIN eu e ON e.s_suppkey = o.l_suppkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+  AND o.cost = (
+    SELECT MIN(o2.cost)
+    FROM offers o2 JOIN eu e2 ON e2.s_suppkey = o2.l_suppkey
+    WHERE o2.l_partkey = p.p_partkey
+  )
+ORDER BY e.s_acctbal DESC, e.n_name ASC, e.s_name ASC, p.p_partkey ASC
+LIMIT 100
+"""
+
+
+@query(
+    "q02_min_cost_supplier",
+    _Q02_SQL,
+    doc=(
+        "TPC-H Q2 shape: correlated scalar-min subquery, hand-"
+        "decorrelated the way Catalyst would — the per-part regional "
+        "minimum is ONE aggregate over the shared offers⋈region "
+        "subtree, re-joined on (partkey, cost). region/nation "
+        "broadcast (bounded by construction: 5/25 rows at any scale); "
+        "supplier and the offers aggregate shuffle on their natural "
+        "keys; TakeOrdered top-100, no global sort. Offer cost is one "
+        "double division with identical IEEE op order in both engines, "
+        "so the min-equality re-join matches bit-for-bit."
+    ),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    li = read_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q02_REGION
+    )
+    eu = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # shared subtree: regional offers feed both the min-agg and the
+    # final row set — persist so it computes once
+    eu_offers = track_persist(
+        offers.join(eu, offers.l_suppkey == eu.s_suppkey).select(
+            "l_partkey", "cost", "s_name", "s_acctbal", "n_name"
+        )
+    )
+    min_cost = eu_offers.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    return (
+        eu_offers.join(
+            min_cost,
+            (eu_offers.l_partkey == min_cost.l_partkey)
+            & (eu_offers.cost == min_cost.min_cost),
+        )
+        .drop(min_cost.l_partkey)
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — volume shipping (TPC-H Q7 shape): two nation fans on one fact
+# ---------------------------------------------------------------------------
+
+_Q07_N1, _Q07_N2 = "NATION_1", "NATION_2"
+
+_Q07_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum_r2(f"{sql_dec('volume', 12, 2)} * (CAST(1 AS DECIMAL(4,2)) - {sql_dec('disc', 4, 2)})", "revenue")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice AS volume, l.l_discount AS disc
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = '{_Q07_N1}' AND n2.n_name = '{_Q07_N2}')
+      OR (n1.n_name = '{_Q07_N2}' AND n2.n_name = '{_Q07_N1}'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q07_volume_shipping",
+    _Q07_SQL,
+    doc=(
+        "TPC-H Q7 shape: the same fact row fans to TWO nation dims "
+        "(supplier's and customer's) with an OR-of-pairs predicate — "
+        "the join-reorder stress where filtering both broadcast dims "
+        "FIRST shrinks the orders⋈lineitem shuffle to the two nations' "
+        "rows. Shipdate range pushes to the scan; exact decimal "
+        "revenue; year() evaluates identically in both engines."
+    ),
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(_Q07_N1, _Q07_N2)
+    )
+    supp = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nk") == F.col("s_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nk") == F.col("c_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    return (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == _Q07_N1) & (F.col("cust_nation") == _Q07_N2))
+            | ((F.col("supp_nation") == _Q07_N2) & (F.col("cust_nation") == _Q07_N1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            dsum_r2(rev, "revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — market share (TPC-H Q8 shape): conditional share-of-total
+# ---------------------------------------------------------------------------
+
+_Q08_NATION = "NATION_5"
+_Q08_REGION = "ASIA"
+_Q08_TYPE = "PROMO"
+
+_Q08_SQL = f"""
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = '{_Q08_NATION}' THEN vol ELSE CAST(0 AS DECIMAL(16,4)) END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS mkt_share,
+       {sql_dsum_r2("vol", "total_revenue")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST({sql_dec('l.l_extendedprice', 12, 2)} * (CAST(1 AS DECIMAL(4,2)) - {sql_dec('l.l_discount', 4, 2)}) AS DECIMAL(16,4)) AS vol,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{_Q08_REGION}' AND p.p_type = '{_Q08_TYPE}'
+)
+GROUP BY o_year
+"""
+
+
+@query(
+    "q08_market_share",
+    _Q08_SQL,
+    doc=(
+        "TPC-H Q8 shape: one nation's share of a region's PROMO revenue "
+        "per order year — a conditional sum over the same rows as the "
+        "total, so ONE aggregation computes both (no self-join, no "
+        "second pass). Both sums are exact decimals rounded to scale 2; "
+        "the share is a single double division, bit-identical across "
+        "engines. nation/region broadcast; part/supplier/customer fans "
+        "shuffle on natural keys."
+    ),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q08_TYPE)
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q08_REGION
+    )
+    # customer-side region restriction (broadcast dim fan)
+    nc = nation.join(
+        F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey")
+    ).select(F.col("n_nationkey").alias("cnk"))
+    ns = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    vol = (
+        dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    ).cast("decimal(16,4)")
+    zero = F.lit(0).cast("decimal(16,4)")
+    rows = (
+        li.join(p.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("cnk") == F.col("c_nationkey"))
+        .join(F.broadcast(ns), F.col("snk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    nat_sum = F.round(
+        F.sum(F.when(F.col("supp_nation") == _Q08_NATION, F.col("vol")).otherwise(zero)),
+        2,
+    ).cast("double")
+    tot_sum = F.round(F.sum(F.col("vol")), 2).cast("double")
+    return rows.groupBy("o_year").agg(
+        (nat_sum / tot_sum).alias("mkt_share"),
+        dsum_r2(F.col("vol"), "total_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — product profit (TPC-H Q9 shape): pattern-filtered part fan,
+# supplier-nation × order-year rollup
+# ---------------------------------------------------------------------------
+
+_Q09_PATTERN = "%bolt%"
+
+_Q09_SQL = f"""
+SELECT n_name, o_year,
+       {sql_dsum_r2("amount", "profit")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         {sql_dec('l.l_extendedprice', 12, 2)} * (CAST(1 AS DECIMAL(4,2)) - {sql_dec('l.l_discount', 4, 2)})
+           - CAST(0.10 AS DECIMAL(4,2)) * {sql_dec('p.p_retailprice', 12, 2)} * {sql_dec('l.l_quantity', 12, 2)}
+           AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '{_Q09_PATTERN}'
+)
+GROUP BY n_name, o_year
+"""
+
+
+@query(
+    "q09_product_profit",
+    _Q09_SQL,
+    doc=(
+        "TPC-H Q9 shape: profit per supplier nation per order year for "
+        "pattern-matched parts. The LIKE filter prunes part BEFORE the "
+        "fact join (predicate pushdown on the dim); profit mixes two "
+        "measure columns in one exact-decimal expression (supply cost = "
+        "10%% of retail per unit — the schema has no partsupp); nation "
+        "broadcasts; the rollup is one hash agg on (nation, year)."
+    ),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(_Q09_PATTERN)
+    ).select("p_partkey", "p_retailprice")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    one = F.lit(1).cast("decimal(4,2)")
+    cost_rate = F.lit(0.10).cast("decimal(4,2)")
+    amount = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2)) - (
+        cost_rate * dec("p_retailprice", 12, 2) * dec("l_quantity", 12, 2)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            dsum_r2(amount, "profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )

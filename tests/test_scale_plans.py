@@ -501,3 +501,30 @@ def test_prefix_filter_bounds_high_df_postings(spark):
     )
     missed = brute.join(cand, ["rep_a", "rep_b"], "left_anti").count()
     assert missed == 0, "prefix filtering must never miss a pair >= threshold"
+
+
+def test_q02_decorrelated_min_shares_subtree(spark):
+    """Q2 shape: the correlated min must be ONE aggregate over the
+    persisted regional-offers subtree (not a re-evaluated copy), with
+    the bounded dims broadcast."""
+    df = QUERIES["q02_min_cost_supplier"].spark(spark, SF)
+    plan = _formatted_plan(df)
+    assert_broadcast_join(df, min_count=2)  # nation + region fans
+    assert "InMemoryTableScan" in plan, "shared offers subtree not persisted"
+    assert_pushed_filter(df, "p_type")
+    assert "TakeOrderedAndProject" in plan, "top-100 must not global-sort"
+
+
+def test_q07_dims_filter_before_fact_shuffle(spark):
+    df = QUERIES["q07_volume_shipping"].spark(spark, SF)
+    assert_broadcast_join(df, min_count=2)  # both nation fans
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_q08_q09_dim_pushdown_and_broadcast(spark):
+    q08 = QUERIES["q08_market_share"].spark(spark, SF)
+    assert_broadcast_join(q08, min_count=2)
+    assert_pushed_filter(q08, "p_type")
+    q09 = QUERIES["q09_product_profit"].spark(spark, SF)
+    assert_broadcast_join(q09, min_count=1)
+    assert_pushed_filter(q09, "p_name")
