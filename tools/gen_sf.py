@@ -16,12 +16,19 @@ timestamps (the values are µs-granular per TESTDATA, so this is
 lossless), which BOTH engines then read natively
 (queries/_det.py:events_table handles either encoding).
 
-documents/embeddings replicate with offset ids and UNCHANGED payloads:
-a corpus where every text has K exact copies is a legitimate (web-crawl
--like) dedup workload — the dedup/LSH benches get denser candidate
-sets at sfN, which is the stress direction we want.
+documents/embeddings replicate with offset ids and, by default,
+UNCHANGED payloads: a corpus where every text has K exact copies is a
+legitimate (web-crawl-like) dedup workload — the dedup/LSH benches get
+denser candidate sets at sfN, which is one stress direction.
 
-Usage: python tools/gen_sf.py [factor=10] [out=/root/repo/.localdata/sf1]
+``--perturb`` switches to the SPARSE-duplicate regime: replica 0 keeps
+the original payloads, replicas 1..K-1 get deterministic token-level
+edits (~5% of tokens mutated, keyed on (doc_id, replica, position) —
+no RNG) and embeddings get per-dimension ±0.5% scaling. Exact-text
+contraction then does NOT collapse the corpus, so the near-dup pair
+ops (minhash/simhash/tfidf) are stressed where contraction can't help.
+
+Usage: python tools/gen_sf.py [factor=10] [out=/root/repo/.localdata/sf1] [--perturb]
 """
 
 from __future__ import annotations
@@ -48,7 +55,32 @@ KEYED = {
 COPY_ONCE = ("region", "nation")  # fixed-size dims don't scale (TPC-H rule)
 
 
-def amplify(factor: int, out_dir: str) -> None:
+# token-level mutation for --perturb replicas: ~RATE% of tokens get a
+# '~' suffix edit, chosen by a deterministic hash of (doc, replica,
+# position, token) — near-dup (not exact-dup) copies
+_PERTURB_TOKEN_RATE = 5
+
+
+def _perturbed_text_sql(space: str) -> str:
+    key = f"CAST(doc_id AS VARCHAR) || '-' || CAST(__r AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '-' || x"
+    return f"""CASE WHEN __r = 0 THEN text ELSE
+      array_to_string(
+        list_transform(string_split(text, ' '),
+          (x, i) -> CASE WHEN hash({key}) % 100 < {_PERTURB_TOKEN_RATE}
+                    THEN x || '~' ELSE x END),
+        ' ')
+    END AS text"""
+
+
+def _perturbed_embedding_sql() -> str:
+    key = "CAST(vec_id AS VARCHAR) || '-' || CAST(__r AS VARCHAR) || '-' || CAST(i AS VARCHAR)"
+    return f"""CASE WHEN __r = 0 THEN embedding ELSE
+      list_transform(embedding,
+        (x, i) -> CAST(x * (1.0 + (CAST(hash({key}) % 11 AS DOUBLE) - 5.0) / 1000.0) AS FLOAT))
+    END AS embedding"""
+
+
+def amplify(factor: int, out_dir: str, perturb: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
@@ -71,22 +103,33 @@ def amplify(factor: int, out_dir: str) -> None:
             f"{col} + __r * {space_size[space]} AS {col}"
             for col, space in cols.items()
         )
-        con.execute(
-            f"""COPY (
-  SELECT * EXCLUDE (__r) REPLACE ({repl})
+        if perturb and t == "documents":
+            repl += ", " + _perturbed_text_sql("doc")
+        elif perturb and t == "embeddings":
+            repl += ", " + _perturbed_embedding_sql()
+        inner = f"""SELECT * EXCLUDE (__r) REPLACE ({repl})
   FROM (SELECT s.*, r.range AS __r
-        FROM '{SRC}/{t}.parquet' s, range({factor}) r)
-) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"""
+        FROM '{SRC}/{t}.parquet' s, range({factor}) r)"""
+        if perturb and t == "documents":
+            # n_chars tracks the mutated text (it's the last column, so
+            # exclude-and-append preserves schema order)
+            inner = f"SELECT * EXCLUDE (n_chars), length(text) AS n_chars FROM ({inner})"
+        con.execute(
+            f"COPY ({inner}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
         n = con.execute(f"SELECT COUNT(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"  {t}: {n} rows (x{factor})")
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
-    amplify(factor, out)
-    print(f"wrote {out}")
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    perturb = "--perturb" in sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else (
+        "/root/repo/.localdata/sf1p" if perturb else "/root/repo/.localdata/sf1"
+    )
+    amplify(factor, out, perturb=perturb)
+    print(f"wrote {out}" + (" (perturbed payloads)" if perturb else ""))
 
 
 if __name__ == "__main__":
