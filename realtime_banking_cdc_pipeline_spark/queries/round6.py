@@ -372,3 +372,429 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (TPC-H Q13 shape): left outer
+# join with a join-side predicate, then a distribution over group sizes
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query(
+    "q13_customer_distribution",
+    _Q13_SQL,
+    doc=(
+        "TPC-H Q13 shape: LEFT OUTER join with the predicate on the "
+        "JOIN side (not a WHERE — customers with only urgent orders "
+        "must survive with count 0), then a second aggregation over "
+        "the group sizes. Two hash aggs, one outer shuffle join on the "
+        "customer key; all-integer outputs."
+    ),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier by period revenue (TPC-H Q15 shape): aggregate
+# reused as both the ranking input and the scalar-max subquery
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM({sql_dec('l_extendedprice', 12, 2)} * (CAST(1 AS DECIMAL(4,2)) - {sql_dec('l_discount', 4, 2)})), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query(
+    "q15_top_supplier",
+    _Q15_SQL,
+    doc=(
+        "TPC-H Q15 shape: a period-revenue aggregate consumed TWICE — "
+        "as the join input and as the scalar-max subquery — so the "
+        "frame is persisted and computes once (the view-reuse pattern "
+        "Q15 exists to test). The max comparison happens on the EXACT "
+        "decimal (cast to double only for output), so ties and "
+        "equality are engine-independent; shipdate range pushes to "
+        "the scan."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    revenue = track_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(F.sum(rev), 2).alias("total_rev")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity revenue (TPC-H Q17 shape): correlated average
+# subquery, decorrelated to a per-part aggregate + exact-integer compare
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#1"
+
+_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum_r2(sql_dec('l.l_extendedprice', 12, 2), "yearly_total")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN per_part a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = '{_Q17_BRAND}'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_q
+"""
+
+
+@query(
+    "q17_small_quantity_revenue",
+    _Q17_SQL,
+    doc=(
+        "TPC-H Q17 shape: 'lines below 20% of the part's average "
+        "quantity' — the correlated AVG decorrelates to ONE per-part "
+        "aggregate re-joined on the part key, and the fractional "
+        "threshold qty < 0.2·(sum/cnt) is rewritten as the exact "
+        "integer comparison 5·qty·cnt < sum (quantities are integral), "
+        "so no engine ever divides. Brand filter pushes to the part "
+        "scan and shrinks the fact join."
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pp_key") == F.col("l_partkey"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("cnt")
+            < F.col("sum_q")
+        )
+        .agg(
+            dsum_r2(dec("l_extendedprice", 12, 2), "yearly_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — disjunctive multi-table predicates (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT {sql_dsum_r2(f"{sql_dec('l.l_extendedprice', 12, 2)} * (CAST(1 AS DECIMAL(4,2)) - {sql_dec('l.l_discount', 4, 2)})", "revenue")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@query(
+    "q19_disjunctive_predicates",
+    _Q19_SQL,
+    doc=(
+        "TPC-H Q19 shape: an OR of per-branch conjunctions spanning "
+        "BOTH join sides. The per-side implied filters (brand IN "
+        "(...), quantity <= 30) are derivable and Catalyst pushes the "
+        "part-side disjunction into the dim scan; the cross-side "
+        "residual evaluates post-join. One fact shuffle, exact "
+        "decimal revenue."
+    ),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(
+            dsum_r2(rev, "revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — nested semi-joins (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+_Q20_NATION = "NATION_3"
+_Q20_MIN_QTY = 50
+
+_Q20_SQL = f"""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = '{_Q20_NATION}'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > {_Q20_MIN_QTY}
+  )
+ORDER BY s.s_suppkey
+"""
+
+
+@query(
+    "q20_heavy_shippers",
+    _Q20_SQL,
+    doc=(
+        "TPC-H Q20 shape: nested semi-join — suppliers (in one "
+        "nation) that moved > threshold units of any pattern-matched "
+        "part in a year. The inner block is dim-filter → fact join → "
+        "grouped HAVING, then LEFT SEMI into supplier; lineitem "
+        "columns never reach the outer row set. Integer quantity "
+        "sums; shipdate range pushed to the scan."
+    ),
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    heavy = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("tot_q"))
+        .filter(F.col("tot_q") > _Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q20_NATION
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    return (
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — global-average filter + anti-join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_Q22_CUTOFF = "2001-01-01 00:00:00"
+
+_Q22_SQL = f"""
+WITH thresh AS (
+  SELECT CAST(SUM({sql_dec('c_acctbal', 12, 2)}) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE)
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_dsum_r2(sql_dec('c.c_acctbal', 12, 2), "total_acctbal")}
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN thresh
+WHERE c.c_acctbal > thresh.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY n.n_name
+"""
+
+
+@query(
+    "q22_dormant_rich_customers",
+    _Q22_SQL,
+    doc=(
+        "TPC-H Q22 shape: a global scalar (average positive balance — "
+        "exact decimal sum, ONE double division) broadcast-filters "
+        "customers, then an ANTI join against recent orders finds the "
+        "dormant ones, rolled up per nation. The anti join shuffles on "
+        "the customer key with the date filter pushed to the orders "
+        "scan; the scalar rides a 1-row broadcast, never a shuffle."
+    ),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal", 12, 2)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum_r2(dec("c_acctbal", 12, 2), "total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_ngram_novelty — training-data curation: how much of a document's
+# n-gram mass is unique to it corpus-wide (boilerplate/template text
+# scores near 0, fresh text near 1)
+# ---------------------------------------------------------------------------
+
+_XNOV_K = 3
+
+
+def _xnov_sql() -> str:
+    from .llmdata import _DD_TOKS, _dd_shingles
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dd_shingles(_XNOV_K)}) AS shingle FROM toks),
+df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_unique
+  FROM sh s JOIN df d USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       CAST(n_unique AS DOUBLE) / n_shingles AS novelty
+FROM per_doc
+"""
+
+
+@query(
+    "x_ngram_novelty",
+    _xnov_sql(),
+    doc=(
+        "Per-document n-gram novelty: the fraction of a doc's distinct "
+        "3-gram shingles appearing in NO other document (df = 1 over "
+        "the corpus-wide inverted index). Boilerplate and template "
+        "text score near 0 — the curation signal that catches near-"
+        "duplicate MASS the pairwise ops price per-pair. Two hash "
+        "aggregations + one shuffle join on the shingle key (unbounded "
+        "vocabulary — never broadcast); one double division at the "
+        "end. The shingle explode is the same fan-out every sketch op "
+        "shares, so at 100 TB this rides the already-materialized "
+        "shingle table."
+    ),
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import exploded_shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d, "doc_id", "text", _XNOV_K)
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    per_doc = (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, F.lit(1))).cast("bigint").alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
+    )
