@@ -515,9 +515,12 @@ w AS (
   SELECT t.doc_id, t.term, CAST(t.tf * ((1048576 * nn.n) // d.df) AS BIGINT) AS w
   FROM tf t JOIN df d USING (term), nn
 ),
-norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm FROM w GROUP BY doc_id),
+norms AS (
+  SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS nrm FROM w GROUP BY doc_id
+),
 dots AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -594,8 +597,14 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(tf * ((1048576 * n) div df) AS BIGINT)").alias("w"),
         )
     )
+    # norm/dot accumulators are exact DECIMAL(38,0) (oracle: HUGEINT):
+    # w ~ 2^20·n/df, so w² overflows a long once n reaches ~10^4 with
+    # df=1 terms — observed at the local sf1 under ANSI mode. Decimal
+    # keeps Σw² exact to 10^38 (headroom past n=10^9 distinct docs);
+    # cosine remains one double division at the end.
+    w2 = F.col("w").cast("decimal(19,0)")
     norms = track_persist(
-        w.groupBy("rep").agg(F.sum(F.col("w") * F.col("w")).cast("bigint").alias("nrm"))
+        w.groupBy("rep").agg(F.sum(w2 * w2).cast("decimal(38,0)").alias("nrm"))
     )
     # Exact candidate generation over prefix postings only: any pair
     # with cosine >= threshold must share a prefix term (L2AP bound),
@@ -609,15 +618,22 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa.rep").alias("rep_a"), F.col("pb.rep").alias("rep_b"))
         .dropDuplicates(["rep_a", "rep_b"])
     )
-    # exact dot products for candidates only — same bigint arithmetic
-    # the full self-join produced, so surviving doubles are bit-identical
+    # exact dot products for candidates only — same exact-integer
+    # arithmetic the full self-join produced, so surviving doubles are
+    # bit-identical
     wa = w.select(F.col("rep").alias("rep_a"), "term", F.col("w").alias("__wa"))
     wb = w.select(F.col("rep").alias("rep_b"), "term", F.col("w").alias("__wb"))
     dots = (
         cand.join(wa, "rep_a")
         .join(wb, ["rep_b", "term"])
         .groupBy("rep_a", "rep_b")
-        .agg(F.sum(F.col("__wa") * F.col("__wb")).cast("bigint").alias("dot"))
+        .agg(
+            F.sum(
+                F.col("__wa").cast("decimal(19,0)") * F.col("__wb").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
     )
     na = norms.select(F.col("rep").alias("rep_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("rep").alias("rep_b"), F.col("nrm").alias("nb"))

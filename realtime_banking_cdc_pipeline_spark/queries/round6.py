@@ -798,3 +798,301 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q11 — revenue concentration (TPC-H Q11 shape): grouped aggregate
+# kept only where it exceeds a fraction of the GLOBAL total
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION_DEN = 2000  # keep parts with > 1/2000 of total revenue
+
+
+def _q11_sql() -> str:
+    rev = f"{sql_dec('l_extendedprice', 12, 2)} * (CAST(1 AS DECIMAL(4,2)) - {sql_dec('l_discount', 4, 2)})"
+    return f"""
+WITH pr AS (
+  SELECT l_partkey, ROUND(SUM({rev}), 2) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev) AS total FROM pr)
+SELECT pr.l_partkey, CAST(pr.rev AS DOUBLE) AS part_revenue
+FROM pr, tot
+WHERE pr.rev * {_Q11_FRACTION_DEN} > tot.total
+"""
+
+
+@query(
+    "q11_revenue_concentration",
+    _q11_sql(),
+    doc=(
+        "TPC-H Q11 shape: per-part revenue kept only where it beats a "
+        "fraction of the GLOBAL total — the grouped-aggregate-vs-"
+        "scalar-subquery pattern. The per-part aggregate is persisted "
+        "and consumed twice (rows + global sum); the scalar rides a "
+        "1-row broadcast; the fraction test is exact decimal×integer, "
+        "no division anywhere."
+    ),
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    li = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
+    pr = track_persist(
+        li.groupBy("l_partkey").agg(F.round(F.sum(rev), 2).alias("rev"))
+    )
+    tot = pr.agg(F.sum("rev").alias("total"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev") * _Q11_FRACTION_DEN > F.col("total"))
+        .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — late shipments by priority class (TPC-H Q12 shape):
+# fact-fact join + conditional counts
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY ship_year
+"""
+
+
+@query(
+    "q12_late_shipments",
+    _Q12_SQL,
+    doc=(
+        "TPC-H Q12 shape: orders⋈lineitem on the natural key with a "
+        "cross-table lateness predicate (shipdate > orderdate + 90d, "
+        "evaluated inside the join), split into high/low-priority "
+        "conditional counts per ship year — one shuffle, one hash agg, "
+        "all-integer outputs."
+    ),
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier variety (TPC-H Q16 shape): NOT-IN anti-join +
+# COUNT(DISTINCT) per attribute combination
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 5, 9, 13)
+
+_Q16_SQL = f"""
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN {_Q16_SIZES}
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE)
+  )
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@query(
+    "q16_supplier_variety",
+    _Q16_SQL,
+    doc=(
+        "TPC-H Q16 shape: how many DISTINCT suppliers serve each "
+        "(brand, size) combo, excluding a blacklist — NOT IN becomes "
+        "an ANTI join (keys are non-null by construction, so no "
+        "null-semantics trap), the dim filters push to the part scan, "
+        "and COUNT(DISTINCT) expands to a two-level aggregate that "
+        "partial-aggregates map-side."
+    ),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(*_Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_tfidf_topk_terms — keyword extraction: each document's top-3
+# unigram tf-idf terms (integer fixed-point weights, exact tiebreaks)
+# ---------------------------------------------------------------------------
+
+_XKEY_TOPK = 3
+
+
+def _xkey_sql() -> str:
+    from .llmdata import _DD_TOKS
+
+    w_expr = "t.tf * ((1048576 * nn.n) // d.df)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_DD_TOKS}, x -> lower(x)) AS t FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id, term, w, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT t.doc_id, t.term, CAST({w_expr} AS BIGINT) AS w,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY {w_expr} DESC, t.term ASC) AS rk
+  FROM tf t JOIN df d USING (term), nn
+) WHERE rk <= {_XKEY_TOPK}
+"""
+
+
+@query(
+    "x_tfidf_topk_terms",
+    _xkey_sql(),
+    doc=(
+        "Per-document keyword extraction: top-3 unigram tf-idf terms "
+        "with integer fixed-point idf (2^20·n div df — no libm log) "
+        "and (weight DESC, term ASC) deterministic tiebreaks. The "
+        "per-doc rank prunes to WindowGroupLimit (top-k per partition "
+        "key, never a global sort); the tf⋈df join shuffles on the "
+        "term key with no broadcast hint — vocabulary is unbounded."
+    ),
+)
+def x_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.transform(ws_tokens("text"), F.lower)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    weighted = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("CAST(tf * ((1048576 * n) div df) AS BIGINT)").alias("w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rk") <= _XKEY_TOPK)
+        .select("doc_id", "term", "w", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_quality_stratified_trim — per-domain quality floor: drop each
+# source's bottom quartile (domain-relative, unlike a global cut —
+# a clean domain never starves a noisy one)
+# ---------------------------------------------------------------------------
+
+
+def _xstrat_sql() -> str:
+    from .llmdata import _DD_NSTOP, _DD_NTOK
+
+    qual = (
+        f"CAST((1048576 * {_DD_NSTOP}) // (2 * {_DD_NTOK})"
+        " + (1048576 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))"
+        "   // (2 * length(text)) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT doc_id, source, {qual} AS qual_fp FROM documents)
+SELECT doc_id, source, qual_fp FROM (
+  SELECT doc_id, source, qual_fp,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY qual_fp ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM q
+) WHERE 4 * rk > cnt
+"""
+
+
+@query(
+    "x_quality_stratified_trim",
+    _xstrat_sql(),
+    doc=(
+        "Domain-stratified quality trim: drop each source's bottom "
+        "quality quartile (integer fixed-point score, (score, doc_id) "
+        "total order). The quartile is the exact integer rank rule "
+        "4·rank > count — no interpolated percentile to disagree "
+        "across engines. One shuffle on the source key; per-domain "
+        "windows, so a pristine domain never starves a noisy one the "
+        "way a global cut does."
+    ),
+)
+def x_quality_stratified_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import stopword_hits, ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        stopword_hits("text").alias("n_stop"),
+        F.size(ws_tokens("text")).alias("n_tok"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_chars"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST((1048576 * n_stop) div (2 * n_tok)"
+            " + (1048576 * n_alpha) div (2 * n_chars) AS BIGINT)"
+        ).alias("qual_fp"),
+    )
+    by_src = Window.partitionBy("source")
+    rk = F.row_number().over(
+        by_src.orderBy(F.col("qual_fp").asc(), F.col("doc_id").asc())
+    )
+    cnt = F.count(F.lit(1)).over(by_src)
+    return (
+        q.withColumn("rk", rk)
+        .withColumn("cnt", cnt)
+        .filter(F.lit(4) * F.col("rk") > F.col("cnt"))
+        .select("doc_id", "source", "qual_fp")
+    )
