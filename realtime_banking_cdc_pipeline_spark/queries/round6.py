@@ -1096,3 +1096,116 @@ def x_quality_stratified_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(4) * F.col("rk") > F.col("cnt"))
         .select("doc_id", "source", "qual_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (TPC-H Q21 shape):
+# EXISTS + NOT EXISTS over a fact self-reference → semi + anti join
+# ---------------------------------------------------------------------------
+
+_Q21_REGION = "EUROPE"
+
+_Q21_SQL = f"""
+WITH lw AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lw l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{_Q21_REGION}'
+  AND l1.late
+  AND EXISTS (
+    SELECT 1 FROM lw l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lw l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late
+  )
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 100
+"""
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    _Q21_SQL,
+    doc=(
+        "TPC-H Q21 shape — the canonical EXISTS + NOT-EXISTS planner "
+        "stress: late lines on completed multi-supplier orders where "
+        "this supplier was the ONLY late one. The correlated "
+        "subqueries become a LEFT SEMI join (another supplier exists "
+        "on the order) and a LEFT ANTI join (no OTHER supplier was "
+        "late), both on the shared l_orderkey equi-key with the "
+        "supplier-inequality as a residual condition — so all three "
+        "fact legs reuse ONE hash-partitioning on orderkey (the "
+        "orders⋈lineitem lateness subtree is persisted and feeds all "
+        "three). nation/region broadcast (25/5 rows at any scale); "
+        "supplier shuffles on its natural key; TakeOrdered top-100. "
+        "Lateness derives from shipdate vs orderdate because the "
+        "testdata carries no commit/receipt dates — the semi/anti "
+        "decorrelation shape this query exists to pin is unchanged."
+    ),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lw = track_persist(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+    )
+    l1 = lw.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = lw.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lw.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    only_late = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q21_REGION
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        only_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

@@ -528,3 +528,19 @@ def test_q08_q09_dim_pushdown_and_broadcast(spark):
     q09 = QUERIES["q09_product_profit"].spark(spark, SF)
     assert_broadcast_join(q09, min_count=1)
     assert_pushed_filter(q09, "p_name")
+
+
+def test_q21_semi_anti_share_orderkey_exchange(spark):
+    """Q21 shape: EXISTS/NOT-EXISTS must plan as LEFT SEMI + LEFT ANTI
+    joins over the persisted lateness subtree — never a correlated
+    re-execution or a cartesian — with the status filter pushed to the
+    orders scan and top-100 via TakeOrdered."""
+    df = QUERIES["q21_suppliers_kept_waiting"].spark(spark, SF)
+    plan = _formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "lateness subtree not persisted"
+    assert "TakeOrderedAndProject" in plan
+    assert_pushed_filter(df, "o_orderstatus")
+    assert_broadcast_join(df, min_count=2)  # nation + region fans
