@@ -102,6 +102,33 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def banded_keys(
+    sig: DataFrame, id_col: str, num_perm: int = MINHASH_PERMS, bands: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_key) rows for a signature frame — the narrow
+    representation every LSH join runs on. The band join carries ONLY
+    these three columns; the 2×num_perm signature columns rejoin AFTER
+    pair dedup, so the wide rows never ride the (potentially skewed)
+    bucket-join shuffle."""
+    r = num_perm // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "-", *[F.col(f"sig_{b * r + i}") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_entries).alias("band")).select(
+        F.col(id_col),
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
 def lsh_band_pairs(
     sig: DataFrame,
     id_col: str,
@@ -120,28 +147,9 @@ def lsh_band_pairs(
     the corpus; at 100 TB you'd checkpoint them to a table anyway).
     Bucket skew is handled by AQE's skew-join splitting.
     """
-    r = num_perm // bands
     if cache:
         sig = track_persist(sig)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "-", *[F.col(f"sig_{b * r + i}") for i in range(r)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    # The band join carries ONLY (id, band_idx, band_key) — the 2×num_perm
-    # signature columns rejoin AFTER pair dedup, so the wide rows never
-    # ride the (potentially skewed) bucket-join shuffle.
-    banded = sig.select(F.col(id_col), F.explode(band_entries).alias("band")).select(
-        F.col(id_col),
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_key").alias("band_key"),
-    )
+    banded = banded_keys(sig, id_col, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, ["band_idx", "band_key"])

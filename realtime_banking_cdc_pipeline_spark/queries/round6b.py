@@ -1,0 +1,359 @@
+"""Round-6 LLM-data additions: semantic dedup over embedding clusters
+(SemDeDup, Abbas et al. 2023, arXiv:2303.09540) and BM25 lexical
+retrieval — the two standard corpus-curation ops the registry did not
+yet cover (reference analog: the curation stages its Silver marts feed,
+`models/silver/*.sql`; the reference has no embedding ops at all — these
+are the training-data-pipeline extensions the survey calls for).
+
+Determinism follows queries/_det.py house rules: every similarity /
+score is exact integer fixed-point arithmetic (2^20 scale) with at most
+one trailing double division written in the same IEEE op order on both
+engines; no libm log anywhere (BM25's idf uses the exact rational
+(N - df + 1/2)/(df + 1/2), fixed-point-quantized, instead of its ln —
+same ordering intent, cross-engine exact; swap ln back in at deployment
+where bit-equality across engines is not required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_against
+from ..functions.text import ws_tokens
+from ..sources.parquet_io import read_table
+from .llmdata import _IVF_CENTROIDS, _dd_ivf_sql, _emb, _nearest_cell, _FXQ
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# x_semdedup — SemDeDup: k-means-cell-scoped embedding near-dup removal
+# ---------------------------------------------------------------------------
+
+# Fixture threshold: the driver embeddings are near-orthogonal random
+# vectors (within-cell cosine tops out ~0.49 at sf0.01), so the fixture
+# bar sits where the machinery has real work; production semantic dedup
+# on trained text embeddings runs ~0.95+ (SemDeDup paper table 1), and
+# the amplified sfN replicas (gen_sf.py: exact / perturbed copies,
+# cos ≈ 1.0) are exactly that regime.
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def _dd_semdedup_sql() -> str:
+    fx = _FXQ.format
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {_IVF_CENTROIDS}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+          FROM e, c),
+dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+         FROM pairs GROUP BY 1, 2),
+norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
+scored AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
+),
+ranked AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
+cells AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+m AS (SELECT cells.vec_id, cells.cid, e.embedding
+      FROM cells JOIN e USING (vec_id)),
+mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+              unnest(x.embedding) AS a, unnest(y.embedding) AS b
+       FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pdots AS (SELECT cid, i, j, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+          FROM mp GROUP BY 1, 2, 3),
+dropped AS (
+  SELECT DISTINCT p.j AS vec_id
+  FROM pdots p JOIN norms na ON na.vec_id = p.i
+               JOIN norms nb ON nb.vec_id = p.j
+  WHERE CAST(p.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+        >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT m.vec_id, m.cid AS cell,
+       (dropped.vec_id IS NULL) AS keep
+FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
+"""
+
+
+@query(
+    "x_semdedup",
+    _dd_semdedup_sql(),
+    doc=(
+        "SemDeDup (arXiv:2303.09540): assign every embedding to its "
+        "nearest coarse-quantizer cell, compare pairs ONLY within a "
+        "cell, and drop any vector whose cosine to a lower-id cell-"
+        "mate reaches the threshold (deterministic keep-lowest-id "
+        "variant of the paper's keep-one rule). The all-pairs problem "
+        "never materializes: candidate pairs are bounded by "
+        "sum(cell_size^2), and cell size is a free knob (k scales with "
+        "corpus size, k ~ N/target_cell — the paper runs 50k clusters "
+        "over LAION). Centroids broadcast (k x dim, bounded by "
+        "construction); the within-cell self-join shuffles ids+vectors "
+        "on cid once; the dup verdict is one distinct + left anti "
+        "shape. Cosines are exact fixed-point dots with one trailing "
+        "double division — bit-identical across engines, so the "
+        "threshold compare cannot straddle."
+    ),
+)
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+    )
+    m = track_persist(
+        _nearest_cell(scored).join(emb, "vec_id").select("vec_id", "cid", "embedding")
+    )
+    a = m.select(
+        F.col("cid").alias("ca"),
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+    )
+    b = m.select(
+        F.col("cid").alias("cb"),
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .filter(
+            cosine_against(F.col("ea"), F.col("eb")) >= _SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return m.join(dropped, "vec_id", "left_outer").select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.col("__dropped").isNull().alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_bm25_search — BM25 top-k lexical retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("spark", "window", "merge")
+_BM25_K = 20
+_BM25_SCALE = 1 << 20
+# k1 = 1.2 = 6/5, b = 0.75 = 3/4 (the standard Robertson defaults),
+# kept as exact rationals so the whole score is integer arithmetic.
+
+
+def _dd_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS tl,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ({terms}) GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term,
+               CAST(({_BM25_SCALE} * (2 * corpus.n - 2 * df.df + 1))
+                    // (2 * df.df + 1) AS BIGINT) AS idf_fp
+        FROM df, corpus),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(
+           (idf.idf_fp * (({_BM25_SCALE} * 44 * tf.tf * corpus.tl)
+              // (20 * corpus.tl * tf.tf + 6 * corpus.tl + 18 * dl.dl * corpus.n)))
+           // {_BM25_SCALE}
+         ) AS BIGINT) AS score_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY 1
+)
+SELECT doc_id, n_hit, score_fp
+FROM scored
+ORDER BY score_fp DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+@query(
+    "x_bm25_search",
+    _dd_bm25_sql(),
+    doc=(
+        "BM25 top-k retrieval (k1=6/5, b=3/4 as exact rationals): "
+        "tf/df/doc-length statistics are three map-side-combined "
+        "aggregates; the tf pass filters to the query's terms BEFORE "
+        "aggregating, so the inverted-index slice — not the corpus — "
+        "is what flows into scoring; the per-term idf and corpus "
+        "scalars broadcast (bounded: |query| rows / one row); top-k "
+        "is TakeOrdered, no global sort. The tf saturation term "
+        "tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is multiplied through "
+        "by 20*TL into a single exact integer rational, then "
+        "fixed-point-quantized — deterministic across engines where "
+        "libm ln/double sums are not (the ln-idf of textbook BM25 is "
+        "a monotone reweighting swapped in at deployment). Fixed-"
+        "point products stay under 2^63 to ~10^10 corpus tokens; "
+        "beyond that, widen the accumulators to DECIMAL(38,0) as the "
+        "tfidf norms do."
+    ),
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("bigint").alias("tl"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = df.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.expr(
+            f"CAST(({_BM25_SCALE} * (2 * n - 2 * df + 1)) div (2 * df + 1) AS BIGINT)"
+        ).alias("idf_fp"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((idf_fp * (({_BM25_SCALE} * 44 * tf * tl)"
+                " div (20 * tl * tf + 6 * tl + 18 * dl * n)))"
+                f" div {_BM25_SCALE} AS BIGINT)"
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+            F.sum("contrib").cast("bigint").alias("score_fp"),
+        )
+        .select("doc_id", "n_hit", "score_fp")
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(_BM25_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_bigram_likelihood — interpolated bigram-LM doc score
+# ---------------------------------------------------------------------------
+
+_BLM_SCALE = 1 << 20
+# interpolation lambda = 3/4 bigram, 1/4 unigram, as exact rationals:
+# p(w2|w1) = (3*B(w1,w2)*C + U(w2)*U(w1)) / (4*U(w1)*C)
+
+_XBLM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform(
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''),
+    x -> lower(x)) AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                        i -> t[i-1] || ' ' || t[i])) AS bg
+  FROM toks
+),
+uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+bt AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS bf FROM big GROUP BY 1, 2),
+bc AS (SELECT bg, CAST(SUM(bf) AS BIGINT) AS b FROM bt GROUP BY 1),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS u FROM uni GROUP BY 1),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM uni),
+p AS (
+  SELECT bc.bg,
+         CAST(({_BLM_SCALE} * (3 * bc.b * total.c + u2.u * u1.u))
+              // (4 * u1.u * total.c) AS BIGINT) AS p_fp
+  FROM bc
+  JOIN uc u1 ON u1.w = string_split(bc.bg, ' ')[1]
+  JOIN uc u2 ON u2.w = string_split(bc.bg, ' ')[2],
+  total
+)
+SELECT bt.doc_id,
+       CAST(SUM(bt.bf) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(bt.bf * p.p_fp) AS BIGINT) // CAST(SUM(bt.bf) AS BIGINT) AS BIGINT) AS score_fp
+FROM bt JOIN p ON p.bg = bt.bg
+GROUP BY bt.doc_id
+"""
+
+
+@query(
+    "x_bigram_likelihood",
+    _XBLM_SQL,
+    doc=(
+        "Interpolated bigram-LM doc score (KenLM-filter proxy: CCNet/"
+        "Gopher-style fluency signal, learned from the corpus itself): "
+        "p(w2|w1) = 3/4 * B(w1,w2)/U(w1) + 1/4 * U(w2)/C as ONE exact "
+        "integer rational per bigram, 2^20 fixed point, mean over each "
+        "doc's bigram positions. Three map-side-combined count aggs "
+        "(doc-bigram, corpus-bigram, corpus-unigram); the bigram->"
+        "unigram probability joins shuffle on their term keys with NO "
+        "broadcast hint (vocab is unbounded — the x_top_terms rule); "
+        "the token-total is the only broadcast scalar. Products stay "
+        "under 2^63 to ~10^6-token corpora per the header analysis; "
+        "widen accumulators to DECIMAL(38,0) past that."
+    ),
+)
+def x_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.transform(ws_tokens("text"), F.lower).alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(2, size(t)), i -> concat_ws(' ', t[i-2], t[i-1]))")
+        ).alias("bg"),
+    )
+    uni = toks.select("doc_id", F.explode("t").alias("w"))
+    bt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).cast("bigint").alias("bf"))
+    bc = bt.groupBy("bg").agg(F.sum("bf").cast("bigint").alias("b"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    total = uni.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
+    p = (
+        bc.withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bg",
+            F.expr(
+                f"CAST(({_BLM_SCALE} * (3 * b * c + u2 * u1))"
+                " div (4 * u1 * c) AS BIGINT)"
+            ).alias("p_fp"),
+        )
+    )
+    return (
+        bt.join(p, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(CAST(SUM(bf * p_fp) AS BIGINT) div CAST(SUM(bf) AS BIGINT) AS BIGINT)"
+            ).alias("score_fp"),
+        )
+    )

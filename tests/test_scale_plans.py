@@ -544,3 +544,22 @@ def test_q21_semi_anti_share_orderkey_exchange(spark):
     assert "TakeOrderedAndProject" in plan
     assert_pushed_filter(df, "o_orderstatus")
     assert_broadcast_join(df, min_count=2)  # nation + region fans
+
+
+def test_semdedup_and_bm25_plan_shapes(spark):
+    """SemDeDup: centroids broadcast, the within-cell self-join is an
+    equi-join on cid (never cartesian), cell assignment persisted once
+    for both sides. BM25: idf/corpus-scalar sides broadcast (bounded),
+    top-k via TakeOrdered, and the term filter reaches the token
+    explode before aggregation."""
+    sd = QUERIES["x_semdedup"].spark(spark, SF)
+    p = _formatted_plan(sd)
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, "cell-assignment subtree not persisted"
+    assert_broadcast_join(sd)
+
+    bm = QUERIES["x_bm25_search"].spark(spark, SF)
+    pb = _formatted_plan(bm)
+    assert "CartesianProduct" not in pb
+    assert "TakeOrderedAndProject" in pb
+    assert_broadcast_join(bm, min_count=2)  # idf + corpus scalars

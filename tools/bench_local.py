@@ -1,0 +1,47 @@
+"""Ad-hoc local benchmark for a named query subset at an arbitrary
+sf_dir — the tool behind the BENCH_LOCAL_* artifacts (bench.py is the
+driver-facing headline set; this one answers "how does operator X
+behave at the amplified sf1 / sf1-perturbed regimes").
+
+Usage: python tools/bench_local.py <sf_dir> <query> [query ...]
+Prints one JSON line {query: sec} (single timed pass on a warm JVM,
+noop sink, caches released between queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from realtime_banking_cdc_pipeline_spark.caching import release_caches  # noqa: E402
+from realtime_banking_cdc_pipeline_spark.queries import QUERIES  # noqa: E402
+from realtime_banking_cdc_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    spark = get_spark("bench-local")
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        release_caches()
+        print(json.dumps({name: timings[name]}), flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "queries_sec": timings}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
