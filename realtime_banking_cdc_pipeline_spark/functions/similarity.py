@@ -519,22 +519,25 @@ def prefix_filter_postings(
     (id, term) postings whose self-join is guaranteed to touch every
     pair with cosine >= ``threshold``.
 
-    Terms get a single global order — rarest first, ``(df ASC, term
-    ASC)`` — and a document's *prefix* is the head of its posting list
-    under that order for which the residual L2 mass can still reach the
-    threshold: a posting at position ``i`` survives iff
-    ``sum_{j>=i} w_j^2 >= t^2 * ||w||^2``.  If two documents share NO
-    surviving term, every common term lies at-or-after one document's
-    cut, so ``cos <= sqrt(suffix_sq / nrm) < t`` — any pair at or above
-    the threshold shares a prefix posting, making the reduced self-join
-    an exact candidate generator.  Power-law high-df terms ("of the"
-    bigrams) carry near-zero idf weight, so they fall out of every
-    prefix: per-term candidate generation is bounded by the rare-term
-    posting lists instead of growing as sum(df^2) over stopword lists —
-    the property that keeps the join alive at 100 TB.
+    Terms get a single global order — commonest first, ``(df DESC,
+    term DESC)`` — and each document DROPS the head of its posting
+    list holding (just under) ``t`` of its squared-L2 mass, keeping
+    the rare-term remainder.  Exactness: if two documents share NO
+    kept posting, every shared term lies in both dropped heads, so by
+    Cauchy-Schwarz over the two heads ``cos <= sqrt(headA_sq/nrmA_sq)
+    * sqrt(headB_sq/nrmB_sq) < sqrt(t)*sqrt(t) = t`` — any pair at or
+    above the threshold shares a kept posting, making the reduced
+    self-join an exact candidate generator.  (An earlier version cut
+    at ``t^2``, which the same argument shows is needlessly
+    conservative — it proves ``cos < t^2``; cutting at ``t`` drops
+    strictly more mass and stays exact.)  Power-law high-df terms
+    ("of the" bigrams) carry near-zero idf weight, so they fall out
+    of every prefix: per-term candidate generation is bounded by the
+    rare-term posting lists instead of growing as sum(df^2) over
+    stopword lists — the property that keeps the join alive at 100 TB.
 
     The cut is evaluated in double arithmetic against
-    ``threshold^2 * (1 - 1e-9)``: the margin strictly exceeds double
+    ``threshold * (1 - 1e-9)``: the margin strictly exceeds double
     summation rounding, so prefixes only ever get conservatively
     LONGER — exactness is never at risk, only a few extra candidates.
     """
@@ -547,7 +550,7 @@ def prefix_filter_postings(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     whole = Window.partitionBy(id_col)
-    cut = float(threshold) * float(threshold) * (1.0 - 1e-9)
+    cut = float(threshold) * (1.0 - 1e-9)
     return (
         w.withColumn("__tail_sq", F.sum(w2).over(rev))
         .withColumn("__nrm_sq", F.sum(w2).over(whole))

@@ -495,6 +495,16 @@ def x_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TFIDF_COS_MIN = 0.6
+# Word 4-gram shingles, not bigrams: the term space must GROW with the
+# corpus for idf-weighted prefix filtering to have anything to cut.
+# Bigrams over a bounded vocabulary saturate — every term's df rises
+# linearly with corpus size and the postings self-join grows as
+# sum(df^2) even after prefix filtering (measured: 647 s at the
+# perturbed sf1, where the 43k distinct texts shared ~3.5k distinct
+# bigrams at df~1400). 4-gram shingles keep df at the duplication
+# factor (SCALE.md round-6 measurements), which is also the standard
+# near-dup shingle width (same k as the MinHash/Jaccard ops above).
+_TFIDF_SHINGLE = 4
 
 _XTFC_SQL = f"""
 WITH toks AS (
@@ -504,9 +514,9 @@ WITH toks AS (
   FROM documents
 ),
 bg AS (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
-                i -> t[i] || ' ' || t[i + 1])) AS term
-  FROM toks WHERE len(t) >= 2
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - {_TFIDF_SHINGLE - 1}),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS term
+  FROM toks WHERE len(t) >= {_TFIDF_SHINGLE}
 ),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
 df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -538,17 +548,19 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)
     _XTFC_SQL,
     bench=True,
     doc=(
-        "Sparse lexical similarity: tf-idf weighted bigram vectors "
-        "(integer fixed-point idf — no libm log), postings inverted-"
-        "index join for dot products, single-division cosine. The "
-        "missing classic between shingle Jaccard and embedding cosine. "
-        "Unbounded term joins are shuffled, never hinted broadcast. "
-        "Candidate generation runs over PREFIX-FILTERED postings "
-        "(AllPairs/L2AP bound — exact, see "
+        "Sparse lexical similarity: tf-idf weighted word-4-gram "
+        "shingle vectors (integer fixed-point idf — no libm log), "
+        "postings inverted-index join for dot products, single-"
+        "division cosine. The missing classic between shingle Jaccard "
+        "and embedding cosine. Unbounded term joins are shuffled, "
+        "never hinted broadcast. Candidate generation runs over "
+        "PREFIX-FILTERED postings (AllPairs/L2AP bound — exact, see "
         "functions.similarity.prefix_filter_postings): power-law "
         "high-df terms carry ~zero idf weight and drop out of every "
-        "prefix, so the self-join never grows as sum(df^2) over "
-        "stopword posting lists."
+        "prefix, and the 4-gram term space grows with the corpus so "
+        "df stays at the duplication factor — the self-join never "
+        "grows as sum(df^2) over saturated posting lists (the bigram "
+        "variant's measured failure mode, SCALE.md round 6)."
     ),
 )
 def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,11 +587,14 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = reps.select(
         "rep", "mult", F.transform(ws_tokens("text"), F.lower).alias("t")
     )
-    bg = toks.filter(F.size("t") >= 2).select(
+    bg = toks.filter(F.size("t") >= _TFIDF_SHINGLE).select(
         "rep",
         "mult",
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+            F.expr(
+                f"transform(sequence(0, size(t) - {_TFIDF_SHINGLE}), "
+                "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2], t[i + 3]))"
+            )
         ).alias("term"),
     )
     tf = bg.groupBy("rep", "term").agg(
