@@ -357,3 +357,143 @@ def x_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_diverse — SemDeDup with the paper's keep rule: per dup
+# COMPONENT, keep the member LEAST similar to its cell centroid
+# ---------------------------------------------------------------------------
+
+
+def _dd_semdedup_diverse_sql() -> str:
+    fx = _FXQ.format
+    return f"""
+WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {_IVF_CENTROIDS}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+          FROM e, c),
+dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+         FROM pairs GROUP BY 1, 2),
+norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
+scored AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
+),
+ranked AS (
+  SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
+cells AS (SELECT vec_id, cid, cos AS ccos FROM ranked WHERE rn = 1),
+m AS (SELECT cells.vec_id, cells.cid, cells.ccos, e.embedding
+      FROM cells JOIN e USING (vec_id)),
+mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+              unnest(x.embedding) AS a, unnest(y.embedding) AS b
+       FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pdots AS (SELECT cid, i, j, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+          FROM mp GROUP BY 1, 2, 3),
+dup AS (
+  SELECT p.i, p.j
+  FROM pdots p JOIN norms na ON na.vec_id = p.i
+               JOIN norms nb ON nb.vec_id = p.j
+  WHERE CAST(p.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+        >= {_SEMDEDUP_THRESHOLD}
+),
+edges AS (SELECT i AS src, j AS dst FROM dup UNION SELECT j, i FROM dup),
+reach(id, label) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT g.dst, r.label FROM reach r JOIN edges g ON g.src = r.id
+),
+comp AS (SELECT id AS vec_id, MIN(label) AS component FROM reach GROUP BY id),
+pick AS (
+  SELECT vec_id, component, ROW_NUMBER() OVER (
+    PARTITION BY component ORDER BY m.ccos ASC, vec_id ASC) AS prn
+  FROM comp JOIN m USING (vec_id)
+)
+SELECT m.vec_id, m.cid AS cell, pick.component, (pick.prn = 1) AS keep
+FROM m JOIN pick ON pick.vec_id = m.vec_id
+"""
+
+
+@query(
+    "x_semdedup_diverse",
+    _dd_semdedup_diverse_sql(),
+    doc=(
+        "SemDeDup with the paper's keep rule: threshold pairs within "
+        "each cell form dup COMPONENTS (A~B~C chains collapse even "
+        "when A!~C — min-label propagation, the x_dedup_clusters "
+        "machinery; the oracle computes the same fixpoint with a "
+        "recursive CTE), and each component keeps its member LEAST "
+        "similar to the cell centroid (arXiv:2303.09540 §3: keeping "
+        "low-centroid-similarity examples maximizes retained "
+        "diversity). Tiebreak: lowest vec_id. Cell-bounded pair "
+        "generation as in x_semdedup; the component loop runs "
+        "O(within-cell dup-chain diameter) bounded join+agg rounds "
+        "with checkpointed labels; the final keep is ONE row_number "
+        "window per component. Assignment cosine reuses the same "
+        "fixed-point dot, so the argmin compare is bit-identical "
+        "across engines."
+    ),
+)
+def x_semdedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import track_persist
+    from ..operators.components import connected_components
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+    )
+    win = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+        ).alias("w")
+    )
+    cells = win.select(
+        "vec_id", (-F.col("w.nc")).alias("cid"), F.col("w.c").alias("ccos")
+    )
+    m = track_persist(
+        cells.join(emb, "vec_id").select("vec_id", "cid", "ccos", "embedding")
+    )
+    a = m.select(
+        F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+    )
+    b = m.select(
+        F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+    )
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .filter(cosine_against(F.col("ea"), F.col("eb")) >= _SEMDEDUP_THRESHOLD)
+        .select("i", "j")
+    )
+    comp = connected_components(
+        dup, src="i", dst="j", nodes=m.select("vec_id")
+    ).withColumnRenamed("id", "vec_id")
+    prn = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col("ccos").asc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        m.select("vec_id", "cid", "ccos")
+        .join(comp, "vec_id")
+        .withColumn("prn", prn)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "component",
+            (F.col("prn") == 1).alias("keep"),
+        )
+    )

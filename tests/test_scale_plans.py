@@ -558,6 +558,9 @@ def test_semdedup_and_bm25_plan_shapes(spark):
     assert "InMemoryTableScan" in p, "cell-assignment subtree not persisted"
     assert_broadcast_join(sd)
 
+    sdd = QUERIES["x_semdedup_diverse"].spark(spark, SF)
+    assert "CartesianProduct" not in _formatted_plan(sdd)
+
     bm = QUERIES["x_bm25_search"].spark(spark, SF)
     pb = _formatted_plan(bm)
     assert "CartesianProduct" not in pb
