@@ -497,3 +497,89 @@ def x_semdedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prn") == 1).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_quality_classifier — hashed-feature linear model serving
+# ---------------------------------------------------------------------------
+
+_QCLF_BUCKETS = 4096
+_QCLF_SCALE = 1 << 20
+
+
+def _dd_qclf_sql() -> str:
+    def md5l(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+    return f"""
+WITH model AS (
+  SELECT b.bucket,
+         ({md5l("'qw-' || CAST(b.bucket AS VARCHAR)")}
+          % {2 * _QCLF_SCALE + 1}) - {_QCLF_SCALE} AS w
+  FROM (SELECT unnest(range({_QCLF_BUCKETS})) AS bucket) b
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, {md5l('term')} % {_QCLF_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+)
+SELECT f.doc_id,
+       CAST(SUM(f.tf) AS BIGINT) AS n_feats,
+       CAST(SUM(f.tf * m.w) AS BIGINT) AS margin_fp,
+       (SUM(f.tf * m.w) >= 0) AS keep
+FROM feat f JOIN model m USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@query(
+    "x_quality_classifier",
+    _dd_qclf_sql(),
+    doc=(
+        "Hashed-feature linear classifier serving — the fastText-style "
+        "quality-filter shape CCNet/LLaMA-class pipelines run over "
+        "every document: tokens hash into a FIXED bucket space "
+        f"({_QCLF_BUCKETS} buckets, hashing trick), the weight vector "
+        "is a bounded-by-construction table BROADCAST to every "
+        "executor (the one join a model-scoring pass needs), and the "
+        "margin is one map-side-combined integer aggregate per doc. "
+        "Weights here derive deterministically from md5 so both "
+        "engines materialize the identical model without a file "
+        "artifact; swap in trained weights via the same bounded "
+        "broadcast at deployment. Fixed-point integer margins hash "
+        "across engines; sign gives the keep verdict."
+    ),
+)
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import md5_long
+
+    model = spark.range(_QCLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            md5_long(F.concat(F.lit("qw-"), F.col("id").cast("string")), 8)
+            % F.lit(2 * _QCLF_SCALE + 1)
+            - F.lit(_QCLF_SCALE)
+        ).alias("w"),
+    )
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("term")
+    )
+    feat = tok.groupBy(
+        "doc_id", (md5_long(F.col("term"), 8) % _QCLF_BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    return (
+        feat.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("margin_fp"),
+            (F.sum(F.col("tf") * F.col("w")) >= 0).alias("keep"),
+        )
+    )
