@@ -583,3 +583,183 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("tf") * F.col("w")) >= 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_chunk_documents — context-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32   # window (tokens)
+_CHUNK_S = 24   # stride => 8-token overlap
+
+_XCHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), ' +'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         1 + CASE WHEN len(t) > {_CHUNK_W}
+                  THEN (len(t) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                  ELSE 0 END AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, n,
+         unnest(range(n_chunks)) AS chunk_idx
+  FROM meta
+)
+SELECT c.doc_id,
+       CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(c.chunk_idx * {_CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, c.n - c.chunk_idx * {_CHUNK_S}) AS BIGINT) AS n_tok,
+       md5(array_to_string(
+         m.t[c.chunk_idx * {_CHUNK_S} + 1 :
+             c.chunk_idx * {_CHUNK_S} + {_CHUNK_W}], ' ')) AS chunk_fp
+FROM chunks c JOIN meta m USING (doc_id)
+"""
+
+
+@query(
+    "x_chunk_documents",
+    _XCHUNK_SQL,
+    doc=(
+        f"Context-window chunking (window {_CHUNK_W} tokens, stride "
+        f"{_CHUNK_S} -> {_CHUNK_W - _CHUNK_S}-token overlap): every "
+        "doc explodes into its training chunks — the RAG/pretraining "
+        "fan-out op. Pure JVM: one tokenize, one sequence explode, one "
+        "slice per chunk; no shuffle at all (narrow map+generate over "
+        "the scan — chunks inherit the doc's partition, which is "
+        "exactly what a 100 TB chunking pass wants). Chunk identity is "
+        "an md5 fingerprint of the joined tokens, so downstream chunk-"
+        "level dedup composes without carrying text twice."
+    ),
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.transform(ws_tokens("text"), F.lower).alias("t")
+    ).withColumn("n", F.size("t"))
+    n_chunks = F.lit(1) + F.when(
+        F.col("n") > _CHUNK_W,
+        F.expr(f"(n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}"),
+    ).otherwise(F.lit(0))
+    return (
+        toks.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * _CHUNK_S).cast("bigint").alias("start_tok"),
+            F.least(
+                F.lit(_CHUNK_W), F.col("n") - F.col("chunk_idx") * _CHUNK_S
+            ).cast("bigint").alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("t"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W
+                    ),
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_temperature_mix — temperature-reweighted language mixture sampling
+# ---------------------------------------------------------------------------
+
+_TMIX_K = 200  # total sample budget
+# temperature T = 1/2: sampling weight ~ p^(1/T) = p^2 — exact integer
+# rationals (any rational 1/T works the same way; irrational powers
+# would need libm pow and could never hash across engines)
+
+
+def _dd_tmix_sql() -> str:
+    return f"""
+WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s FROM cnt),
+alloc0 AS (
+  SELECT lang, c,
+         ({_TMIX_K} * c * c) // tot.s AS base,
+         ({_TMIX_K} * c * c) % tot.s AS rem
+  FROM cnt, tot
+),
+deficit AS (SELECT {_TMIX_K} - CAST(SUM(base) AS BIGINT) AS d FROM alloc0),
+alloc AS (
+  SELECT lang, c,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                          <= deficit.d THEN 1 ELSE 0 END AS quota
+  FROM alloc0, deficit
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC,
+                                     d.doc_id ASC) AS rk
+  FROM documents d
+)
+SELECT r.doc_id, r.lang, CAST(a.quota AS BIGINT) AS lang_quota
+FROM ranked r JOIN alloc a USING (lang)
+WHERE r.rk <= a.quota
+"""
+
+
+@query(
+    "x_temperature_mix",
+    _dd_tmix_sql(),
+    doc=(
+        "Temperature-reweighted mixture sampling (the multilingual "
+        "rebalancing op every LLM data recipe runs — upweight tails, "
+        f"T=1/2 here so weight ~ share^2): a {_TMIX_K}-doc budget is "
+        "apportioned across languages by exact largest-remainder "
+        "integer allocation (no floating point, no RNG), then each "
+        "language takes its quota by deterministic md5 rank — the "
+        "same RNG-free reservoir the sampling ops use. Language "
+        "counts/quotas are one tiny agg (bounded: one row per "
+        "language, broadcast); the per-language take is one "
+        "WindowGroupLimit pass, no global sort. Rational temperatures "
+        "p^(1/T) keep the arithmetic exact at any corpus size."
+    ),
+)
+def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s"))
+    alloc0 = cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(f"({_TMIX_K} * c * c) div s").alias("base"),
+        F.expr(f"({_TMIX_K} * c * c) % s").alias("rem"),
+    )
+    deficit = alloc0.agg(
+        (F.lit(_TMIX_K) - F.sum("base")).cast("bigint").alias("d")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    )
+    alloc = (
+        alloc0.crossJoin(F.broadcast(deficit))
+        .withColumn("rn", rn)
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("d"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", rk)
+        .join(F.broadcast(alloc), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("quota").alias("lang_quota"))
+    )
