@@ -763,3 +763,174 @@ def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", F.col("quota").alias("lang_quota"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x_rank_fusion_rrf — hybrid retrieval: reciprocal-rank fusion of the
+# BM25 ranking with a unigram-LM fluency ranking over the SAME
+# candidate set
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60       # the standard RRF smoothing constant
+_RRF_TOPN = 20
+
+
+def _dd_rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS tl,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ({terms}) GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term,
+               CAST(({_BM25_SCALE} * (2 * corpus.n - 2 * df.df + 1))
+                    // (2 * df.df + 1) AS BIGINT) AS idf_fp
+        FROM df, corpus),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(SUM(
+           (idf.idf_fp * (({_BM25_SCALE} * 44 * tf.tf * corpus.tl)
+              // (20 * corpus.tl * tf.tf + 6 * corpus.tl + 18 * dl.dl * corpus.n)))
+           // {_BM25_SCALE}
+         ) AS BIGINT) AS bm_fp
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY 1
+),
+atf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM atf GROUP BY 1),
+vtotal AS (SELECT CAST(SUM(cnt) AS BIGINT) AS vn FROM vocab),
+p AS (SELECT term, CAST(({_BM25_SCALE} * cnt) // vtotal.vn AS BIGINT) AS p_fp
+      FROM vocab, vtotal),
+lm AS (
+  SELECT a.doc_id,
+         CAST(CAST(SUM(a.tf * p.p_fp) AS BIGINT)
+              // CAST(SUM(a.tf) AS BIGINT) AS BIGINT) AS lm_fp
+  FROM atf a JOIN p USING (term)
+  WHERE a.doc_id IN (SELECT doc_id FROM bm)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT bm.doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm.bm_fp DESC, bm.doc_id ASC) AS r_bm,
+         ROW_NUMBER() OVER (ORDER BY lm.lm_fp DESC, bm.doc_id ASC) AS r_lm
+  FROM bm JOIN lm USING (doc_id)
+)
+SELECT doc_id,
+       CAST(r_bm AS BIGINT) AS r_bm,
+       CAST(r_lm AS BIGINT) AS r_lm,
+       CAST(({_BM25_SCALE} // ({_RRF_K} + r_bm))
+            + ({_BM25_SCALE} // ({_RRF_K} + r_lm)) AS BIGINT) AS rrf_fp
+FROM ranked
+ORDER BY rrf_fp DESC, doc_id ASC
+LIMIT {_RRF_TOPN}
+"""
+
+
+@query(
+    "x_rank_fusion_rrf",
+    _dd_rrf_sql(),
+    doc=(
+        "Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25 "
+        "lexical ranking and a unigram-LM fluency ranking are fused as "
+        "sum(1/(k+rank)) in 2^20 fixed point (exact integer — RRF "
+        "needs no score calibration, which is exactly why it is the "
+        "standard hybrid fusion). BOTH rankings are computed only over "
+        "the bounded candidate set (docs matching the query's terms — "
+        "the inverted-index slice), so the rank windows sort "
+        "|candidates| rows, never the corpus: the at-scale shape of "
+        "every hybrid search stack (fuse per-query top-k lists, not "
+        "global orderings). Corpus-wide LM statistics still shuffle on "
+        "unbounded term keys with no broadcast hint."
+    ),
+)
+def x_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import track_persist
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("bigint").alias("tl"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = df.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.expr(
+            f"CAST(({_BM25_SCALE} * (2 * n - 2 * df + 1)) div (2 * df + 1) AS BIGINT)"
+        ).alias("idf_fp"),
+    )
+    bm = track_persist(
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((idf_fp * (({_BM25_SCALE} * 44 * tf * tl)"
+                " div (20 * tl * tf + 6 * tl + 18 * dl * n)))"
+                f" div {_BM25_SCALE} AS BIGINT)"
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("bm_fp"))
+    )
+    atf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    vocab = atf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    vtotal = vocab.agg(F.sum("cnt").cast("bigint").alias("vn"))
+    p = vocab.crossJoin(F.broadcast(vtotal)).select(
+        "term", F.expr(f"CAST(({_BM25_SCALE} * cnt) div vn AS BIGINT)").alias("p_fp")
+    )
+    lm = (
+        atf.join(bm.select("doc_id"), "doc_id", "left_semi")
+        .join(p, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(tf * p_fp) AS BIGINT)"
+                " div CAST(SUM(tf) AS BIGINT) AS BIGINT)"
+            ).alias("lm_fp")
+        )
+    )
+    r_bm = F.row_number().over(
+        Window.orderBy(F.col("bm_fp").desc(), F.col("doc_id").asc())
+    )
+    r_lm = F.row_number().over(
+        Window.orderBy(F.col("lm_fp").desc(), F.col("doc_id").asc())
+    )
+    return (
+        bm.join(lm, "doc_id")
+        .withColumn("r_bm", r_bm.cast("bigint"))
+        .withColumn("r_lm", r_lm.cast("bigint"))
+        .select(
+            "doc_id",
+            "r_bm",
+            "r_lm",
+            F.expr(
+                f"CAST(({_BM25_SCALE} div ({_RRF_K} + r_bm))"
+                f" + ({_BM25_SCALE} div ({_RRF_K} + r_lm)) AS BIGINT)"
+            ).alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPN)
+    )
