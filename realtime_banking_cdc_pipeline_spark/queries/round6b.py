@@ -934,3 +934,92 @@ def x_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_fp").desc(), F.col("doc_id").asc())
         .limit(_RRF_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# a_structuring_screen — AML structuring (smurfing) detection: bursts
+# of small payments that together cross a reporting threshold
+# ---------------------------------------------------------------------------
+
+_STRUCT_WINDOW_US = 24 * 3600 * 1_000_000
+_STRUCT_SMALL_CENTS = 10_000   # each payment individually under $100
+_STRUCT_MIN_N = 3              # at least 3 small payments in-window
+_STRUCT_SUM_CENTS = 12_000     # summing to >= $120
+
+_ASTRUCT_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT event_id, user_id, us, cents,
+         CAST(COUNT(CASE WHEN cents < {_STRUCT_SMALL_CENTS} THEN 1 END)
+              OVER fr AS BIGINT) AS n_small_24h,
+         CAST(COALESCE(SUM(CASE WHEN cents < {_STRUCT_SMALL_CENTS} THEN cents END)
+              OVER fr, 0) AS BIGINT) AS sum_small_cents_24h
+  FROM e
+  WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN {_STRUCT_WINDOW_US} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, us, n_small_24h, sum_small_cents_24h
+FROM w
+WHERE n_small_24h >= {_STRUCT_MIN_N}
+  AND sum_small_cents_24h >= {_STRUCT_SUM_CENTS}
+"""
+
+
+@query(
+    "a_structuring_screen",
+    _ASTRUCT_SQL,
+    doc=(
+        "AML structuring/smurfing screen (reference analog: the fraud "
+        "marts its Gold layer feeds): per payer, a 24 h RANGE frame "
+        "over event time counts sub-threshold payments and their "
+        "running sum; a row triggers when >= 3 small payments total "
+        ">= the report line. ONE window shuffle on user_id (the frame "
+        "is integer-microsecond RANGE, so identical-timestamp peers "
+        "aggregate identically in both engines — no ROWS-frame order "
+        "ambiguity); amounts are exact integer cents. At scale this "
+        "is the event-time-partitioned single-pass every velocity "
+        "rule compiles to — no self-join, no state explosion, late "
+        "data handled by the streaming twin's watermark "
+        "(sliding_velocity)."
+    ),
+)
+def a_structuring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._det import events_table
+
+    e = (
+        events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_STRUCT_WINDOW_US, 0)
+    )
+    small = F.when(F.col("cents") < _STRUCT_SMALL_CENTS, F.col("cents"))
+    return (
+        e.withColumn(
+            "n_small_24h",
+            F.count(F.when(F.col("cents") < _STRUCT_SMALL_CENTS, 1)).over(fr).cast("bigint"),
+        )
+        .withColumn(
+            "sum_small_cents_24h",
+            F.coalesce(F.sum(small).over(fr), F.lit(0)).cast("bigint"),
+        )
+        .filter(
+            (F.col("n_small_24h") >= _STRUCT_MIN_N)
+            & (F.col("sum_small_cents_24h") >= _STRUCT_SUM_CENTS)
+        )
+        .select("event_id", "user_id", "us", "n_small_24h", "sum_small_cents_24h")
+    )
