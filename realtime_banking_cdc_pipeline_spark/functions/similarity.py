@@ -263,6 +263,16 @@ def _fx_dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def fx_dot(a: Column, b: Column) -> Column:
+    """Public exact fixed-point dot (see _fx_dot). Precompute
+    ``fx_dot(v, v)`` ONCE per vector and divide by
+    ``sqrt(na * nb)`` at pair time — inside a pairwise join,
+    ``cosine_against`` re-derives both norms per PAIR (3x the array
+    work), which is the difference between O(pairs) and O(3*pairs)
+    higher-order-function evaluations."""
+    return _fx_dot(a, b)
+
+
 def cosine_against(query_vec: Column, vec: Column) -> Column:
     """cosine(query, vec) with deterministic cross-engine arithmetic:
     integer dot/norms, then the same double expression order."""

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine_against
+from ..functions.similarity import cosine_against, fx_dot
 from ..functions.text import ws_tokens
 from ..sources.parquet_io import read_table
 from .llmdata import _IVF_CENTROIDS, _dd_ivf_sql, _emb, _nearest_cell, _FXQ
@@ -84,6 +84,7 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
 @query(
     "x_semdedup",
     _dd_semdedup_sql(),
+    bench=True,
     doc=(
         "SemDeDup (arXiv:2303.09540): assign every embedding to its "
         "nearest coarse-quantizer cell, compare pairs ONLY within a "
@@ -113,24 +114,35 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
     )
+    # per-member squared norm computed ONCE (pair-time cosine is then a
+    # single cross dot + one division — not three array reductions)
     m = track_persist(
-        _nearest_cell(scored).join(emb, "vec_id").select("vec_id", "cid", "embedding")
+        _nearest_cell(scored)
+        .join(emb, "vec_id")
+        .select("vec_id", "cid", "embedding")
+        .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
     )
     a = m.select(
         F.col("cid").alias("ca"),
         F.col("vec_id").alias("i"),
         F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
     )
     b = m.select(
         F.col("cid").alias("cb"),
         F.col("vec_id").alias("j"),
         F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    pair_cos = fx_dot(F.col("eb"), F.col("ea")).cast("double") / F.sqrt(
+        F.col("ea_nn_prod")
     )
     dropped = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
-        .filter(
-            cosine_against(F.col("ea"), F.col("eb")) >= _SEMDEDUP_THRESHOLD
+        .withColumn(
+            "ea_nn_prod", F.col("na").cast("double") * F.col("nb").cast("double")
         )
+        .filter(pair_cos >= _SEMDEDUP_THRESHOLD)
         .select(F.col("j").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))
@@ -193,6 +205,7 @@ LIMIT {_BM25_K}
 @query(
     "x_bm25_search",
     _dd_bm25_sql(),
+    bench=True,
     doc=(
         "BM25 top-k retrieval (k1=6/5, b=3/4 as exact rationals): "
         "tf/df/doc-length statistics are three map-side-combined "
@@ -463,19 +476,24 @@ def x_semdedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", (-F.col("w.nc")).alias("cid"), F.col("w.c").alias("ccos")
     )
     m = track_persist(
-        cells.join(emb, "vec_id").select("vec_id", "cid", "ccos", "embedding")
+        cells.join(emb, "vec_id")
+        .select("vec_id", "cid", "ccos", "embedding")
+        .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
     )
     a = m.select(
         F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
-        F.col("embedding").alias("ea"),
+        F.col("embedding").alias("ea"), F.col("nn").alias("na"),
     )
     b = m.select(
         F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
-        F.col("embedding").alias("eb"),
+        F.col("embedding").alias("eb"), F.col("nn").alias("nb"),
+    )
+    pair_cos = fx_dot(F.col("eb"), F.col("ea")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
     )
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
-        .filter(cosine_against(F.col("ea"), F.col("eb")) >= _SEMDEDUP_THRESHOLD)
+        .filter(pair_cos >= _SEMDEDUP_THRESHOLD)
         .select("i", "j")
     )
     comp = connected_components(
