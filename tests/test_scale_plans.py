@@ -566,3 +566,35 @@ def test_semdedup_and_bm25_plan_shapes(spark):
     assert "CartesianProduct" not in pb
     assert "TakeOrderedAndProject" in pb
     assert_broadcast_join(bm, min_count=2)  # idf + corpus scalars
+
+
+def test_round6_ops_plan_shapes(spark):
+    """Round-6 batch: chunking is a pure narrow map+generate (ZERO
+    exchanges — the plan a 100 TB chunking pass needs); the classifier
+    broadcasts only the bounded model table; temperature-mix broadcasts
+    only per-language scalars; RRF takes top-k without a global sort;
+    the structuring screen is one window pass with the event-type
+    filter pushed to the scan."""
+    p = _formatted_plan(QUERIES["x_chunk_documents"].spark(spark, SF))
+    assert "Exchange" not in p, "chunking must not shuffle"
+
+    clf = QUERIES["x_quality_classifier"].spark(spark, SF)
+    assert_broadcast_join(clf)
+    assert "CartesianProduct" not in _formatted_plan(clf)
+
+    tm = QUERIES["x_temperature_mix"].spark(spark, SF)
+    assert_broadcast_join(tm, min_count=1)
+
+    rrf = QUERIES["x_rank_fusion_rrf"].spark(spark, SF)
+    prrf = _formatted_plan(rrf)
+    assert "TakeOrderedAndProject" in prrf
+    assert "CartesianProduct" not in prrf
+
+    st = QUERIES["a_structuring_screen"].spark(spark, SF)
+    pst = _formatted_plan(st)
+    assert "Window" in pst
+    assert "CartesianProduct" not in pst
+    assert_pushed_filter(st, "event_type")
+
+    blm = QUERIES["x_bigram_likelihood"].spark(spark, SF)
+    assert "CartesianProduct" not in _formatted_plan(blm)
