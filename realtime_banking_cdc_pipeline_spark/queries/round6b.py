@@ -1,9 +1,19 @@
-"""Round-6 LLM-data additions: semantic dedup over embedding clusters
-(SemDeDup, Abbas et al. 2023, arXiv:2303.09540) and BM25 lexical
-retrieval — the two standard corpus-curation ops the registry did not
-yet cover (reference analog: the curation stages its Silver marts feed,
-`models/silver/*.sql`; the reference has no embedding ops at all — these
-are the training-data-pipeline extensions the survey calls for).
+"""Round-6 LLM-data + fraud-analytics additions (reference analog: the
+curation/fraud stages its Silver/Gold marts feed, `models/silver/*.sql`,
+`models/gold/fact_transactions.sql`; the reference has no embedding or
+retrieval ops at all — these are the training-data-pipeline extensions
+the survey calls for):
+
+- x_semdedup / x_semdedup_diverse — cluster-scoped embedding dedup
+  (SemDeDup, Abbas et al. 2023, arXiv:2303.09540), keep-lowest-id and
+  keep-least-prototypical-per-component variants.
+- x_bm25_search — BM25 lexical retrieval (log-free rational idf).
+- x_bigram_likelihood — interpolated bigram-LM fluency scoring.
+- x_quality_classifier — hashed-feature linear model serving.
+- x_chunk_documents — context-window chunking (shuffle-free).
+- x_temperature_mix — temperature-reweighted mixture sampling.
+- x_rank_fusion_rrf — hybrid retrieval via reciprocal-rank fusion.
+- a_structuring_screen — AML smurfing detection (range-frame burst).
 
 Determinism follows queries/_det.py house rules: every similarity /
 score is exact integer fixed-point arithmetic (2^20 scale) with at most
