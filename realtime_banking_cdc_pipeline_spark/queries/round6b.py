@@ -1051,3 +1051,142 @@ def a_structuring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "us", "n_small_24h", "sum_small_cents_24h")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_source_reputation — source-level quality aggregation + verdict
+# ---------------------------------------------------------------------------
+
+_SREP_SCALE = 1 << 20
+_SREP_MIN_MEAN = 450_000  # keep sources whose mean quality >= ~0.43
+
+
+def _dd_srep_sql() -> str:
+    toks = "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')"
+    stop = (
+        "len(list_filter(list_transform({t}, x -> lower(x)),"
+        " x -> list_contains({sl}, x)))"
+    )
+    from .llmdata import _DD_STOPLIST
+
+    nstop = stop.format(t=toks, sl=_DD_STOPLIST)
+    return f"""
+WITH q AS (
+  SELECT source,
+         CAST(({_SREP_SCALE} * {nstop}) // (2 * len({toks})) AS BIGINT)
+         + CAST(({_SREP_SCALE} * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                // (2 * length(text)) AS BIGINT) AS q_fp
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q_fp) // COUNT(*) AS BIGINT) AS mean_q_fp,
+       (SUM(q_fp) // COUNT(*) >= {_SREP_MIN_MEAN}) AS keep_source
+FROM q GROUP BY source
+"""
+
+
+@query(
+    "x_source_reputation",
+    _dd_srep_sql(),
+    doc=(
+        "Source-level reputation gate (the RefinedWeb/CCNet domain-"
+        "blocklist shape, learned from the corpus instead of curated): "
+        "per-doc fixed-point quality (stopword + alpha ratios — the "
+        "same 2^20 integer signal the stratified trim uses) aggregates "
+        "to a per-source mean in ONE map-side-combined hash agg; the "
+        "verdict is a pure integer compare. One shuffle on source; at "
+        "100 TB the source cardinality (~domains) is millions of rows "
+        "— still a trivial aggregate, and the keep set then broadcasts "
+        "back as a join filter over the corpus."
+    ),
+)
+def x_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stopword_hits, ws_tokens as _wst
+
+    d = read_table(spark, sf_dir, "documents")
+    q_fp = (
+        F.expr(f"CAST(({_SREP_SCALE} * n_stop) div (2 * n_tok) AS BIGINT)")
+        + F.expr(
+            f"CAST(({_SREP_SCALE} * n_alpha) div (2 * n_chars) AS BIGINT)"
+        )
+    )
+    q = d.select(
+        "source",
+        stopword_hits("text").alias("n_stop"),
+        F.size(_wst("text")).alias("n_tok"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_chars"),
+    ).select("source", q_fp.alias("q_fp"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(q_fp) div COUNT(*) AS BIGINT)").alias("mean_q_fp"),
+        F.expr(f"SUM(q_fp) div COUNT(*) >= {_SREP_MIN_MEAN}").alias("keep_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_embedding_outliers — norm-percentile embedding hygiene
+# ---------------------------------------------------------------------------
+
+_EOUT_LO_PCT = 5    # flag below p5 or above p95 of squared-norm
+_EOUT_HI_PCT = 95
+
+
+def _dd_eout_sql() -> str:
+    fx = _FXQ.format
+    return f"""
+WITH norms AS (
+  SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM norms),
+ranked AS (
+  SELECT vec_id, nn,
+         ROW_NUMBER() OVER (ORDER BY nn ASC, vec_id ASC) AS rk
+  FROM norms
+)
+SELECT r.vec_id, CAST(r.nn AS BIGINT) AS norm_sq_fp,
+       (r.rk * 100 <= {_EOUT_LO_PCT} * n.cnt
+        OR r.rk * 100 > {_EOUT_HI_PCT} * n.cnt) AS is_outlier
+FROM ranked r, n
+"""
+
+
+@query(
+    "x_embedding_outliers",
+    _dd_eout_sql(),
+    doc=(
+        "Embedding hygiene: flag vectors whose exact integer squared "
+        "norm falls in the tail percentiles (degenerate/corrupt "
+        "embeddings — the standard pre-index filter). Discrete integer "
+        "rank percentiles (rank*100 <= p*count) — no float percentile "
+        "interpolation to disagree across engines. NOTE the global "
+        "rank window here is the sf-fixture form; at 100 TB the cut "
+        "points come from approx_percentile / the length-trim cumsum "
+        "shape (one agg + broadcast two scalars) rather than a global "
+        "sort — x_length_trim demonstrates that exact distributed "
+        "form; this op pins the verdict semantics."
+    ),
+)
+def x_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id", fx_dot(F.col("embedding"), F.col("embedding")).alias("nn")
+    )
+    n = norms.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rk = F.row_number().over(Window.orderBy(F.col("nn").asc(), F.col("vec_id").asc()))
+    return (
+        norms.withColumn("rk", rk)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            F.col("nn").cast("bigint").alias("norm_sq_fp"),
+            (
+                (F.col("rk") * 100 <= _EOUT_LO_PCT * F.col("cnt"))
+                | (F.col("rk") * 100 > _EOUT_HI_PCT * F.col("cnt"))
+            ).alias("is_outlier"),
+        )
+    )
