@@ -332,3 +332,47 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(id, core_degree) for every vertex of the k-core: the maximal
+    subgraph where every vertex keeps degree >= k after iteratively
+    peeling weaker vertices (fraud-ring / dense-dup-cluster extraction).
+
+    Each round is one degree aggregate + two anti joins (drop edges
+    touching peeled vertices), with eager localCheckpoint bounding the
+    lineage — the same iterative shape as connected_components. Rounds
+    needed = peeling depth (<= graph degeneracy ordering length; small
+    for LSH dup graphs). Raises after ``max_iter`` rounds without
+    convergence so the unrolled-CTE oracle (same round count) can never
+    silently diverge. Input may contain duplicates/self-loops — the
+    symmetrized edge set is de-duplicated and de-looped first.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+        weak = deg.filter(F.col("c") < k).select("a").localCheckpoint(eager=True)
+        if weak.isEmpty():
+            return deg.select(
+                F.col("a").alias("id"), F.col("c").cast("bigint").alias("core_degree")
+            )
+        sym = (
+            sym.join(weak.withColumnRenamed("a", "w"), F.col("a") == F.col("w"), "left_anti")
+            .join(weak.withColumnRenamed("a", "w"), F.col("b") == F.col("w"), "left_anti")
+        ).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"k_core did not converge within {max_iter} peeling rounds — "
+        "raise max_iter (and the oracle's unroll count) for this graph"
+    )

@@ -1190,3 +1190,72 @@ def x_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_kcore — k-core of the near-dup graph (dense-cluster extraction)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 10  # must match k_core(max_iter=...) — Spark raises if
+                    # the graph needs more, so the unrolled oracle can
+                    # never silently diverge
+
+
+def _dd_kcore_sql() -> str:
+    from .round5 import _dd_neardup_pairs_cte
+
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    # 10-round chain referencing its predecessor 3x per round would
+    # otherwise expand the pairs subtree 3^10 times (observed as an
+    # open-file explosion on the parquet scan)
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, COUNT(*) AS c FROM {prev} GROUP BY a) WHERE c < {_KCORE_K}),
+e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e
+         WHERE e.a NOT IN (SELECT a FROM w{i})
+           AND e.b NOT IN (SELECT a FROM w{i}))"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_dd_neardup_pairs_cte()},
+e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+{chain}
+SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY a
+"""
+
+
+@query(
+    "x_kcore",
+    _dd_kcore_sql(),
+    doc=(
+        f"{_KCORE_K}-core of the LSH near-dup graph: iteratively peel "
+        "vertices of insufficient degree until the dense residue "
+        "remains — the standard dense-cluster / fraud-ring extraction "
+        "(boilerplate farms and template spam form exactly these "
+        "cores in web corpora). Shares the banded-minhash pairs "
+        "subtree with pagerank/triangles. Per round: ONE degree hash "
+        "agg + two anti joins, labels localCheckpoint'd — rounds = "
+        "peeling depth, and the operator RAISES past "
+        f"{_KCORE_ROUNDS} rounds so the {_KCORE_ROUNDS}-round "
+        "unrolled-CTE oracle can never silently diverge from a "
+        "non-converged run."
+    ),
+)
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import k_core
+    from .llmdata import _docs, neardup_candidate_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = neardup_candidate_pairs(d)
+    return (
+        k_core(pairs, _KCORE_K, src="id_a", dst="id_b", max_iter=_KCORE_ROUNDS)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "core_degree")
+    )

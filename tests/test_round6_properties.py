@@ -53,3 +53,53 @@ def test_semdedup_matches_numpy_bruteforce(spark):
     for v, (c, keep) in got.items():
         assert c == cell[v], f"cell mismatch for {v}"
         assert keep == (v not in dropped), f"keep mismatch for {v}"
+
+
+def test_k_core_matches_python_peeling(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from realtime_banking_cdc_pipeline_spark.operators.components import k_core
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(edges):
+        # python brute force: peel until fixpoint
+        adj = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        while True:
+            deg: dict[int, int] = {}
+            for a, b in adj:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {v for v, c in deg.items() if c < 2}
+            if not weak:
+                break
+            adj = {(a, b) for a, b in adj if a not in weak and b not in weak}
+        expect = deg if adj else {}
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src BIGINT, dst BIGINT"
+        )
+        got = {
+            r.id: r.core_degree
+            for r in k_core(df.filter("src != dst"), 2).collect()
+        } if adj or edges else {}
+        if not adj:
+            # Spark side returns empty when everything peels
+            assert all(
+                v == 0 for v in got.values()
+            ) or got == {}, got
+        else:
+            assert got == expect
+
+    run()
