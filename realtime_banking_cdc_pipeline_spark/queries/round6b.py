@@ -1259,3 +1259,151 @@ def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
         .select("doc_id", "core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_merges — byte-pair-encoding merge induction (tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _dd_bpe_sql() -> str:
+    toks = "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')"
+    rounds = []
+    prev = "s0"
+    for i in range(1, _BPE_MERGES + 1):
+        rounds.append(f"""
+pc{i} AS MATERIALIZED (
+  SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, unnest(list_transform(range(1, len(sy)),
+                 j -> sy[j] || '  ' || sy[j + 1])) AS p
+    FROM (SELECT freq, string_split({prev}.seq, '  ') AS sy FROM {prev})
+    WHERE len(sy) >= 2
+  ) GROUP BY p
+),
+m{i} AS MATERIALIZED (
+  SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+  FROM pc{i} QUALIFY rn = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT token, freq,
+         trim(replace(' ' || {prev}.seq || ' ',
+                      ' ' || m{i}.pair || ' ',
+                      ' ' || replace(m{i}.pair, '  ', '') || ' ')) AS seq
+  FROM {prev}, m{i}
+)""")
+        prev = f"s{i}"
+    chain = ",".join(rounds)
+    merges = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, replace(pair, '  ', ' ') AS merged_pair,"
+        f" cnt AS pair_count FROM m{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+tf AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+                    FROM tok GROUP BY token),
+s0 AS MATERIALIZED (
+  SELECT token, freq,
+         array_to_string(list_transform(range(1, length(token) + 1),
+                         i -> substr(token, i, 1)), '  ') AS seq
+  FROM tf
+),{chain}
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, merged_pair, pair_count
+FROM ({merges})
+ORDER BY merge_rank
+"""
+
+
+@query(
+    "x_bpe_merges",
+    _dd_bpe_sql(),
+    doc=(
+        f"BPE merge induction (first {_BPE_MERGES} merges of tokenizer "
+        "training, Sennrich et al. 2016): token sequences start as "
+        "characters; each round counts adjacent symbol pairs weighted "
+        "by token frequency, picks the most frequent (deterministic "
+        "count-then-lexicographic tiebreak), and applies the merge "
+        "with an anchored literal replace (space-padded, leftmost "
+        "non-overlapping in both engines). Everything runs on the "
+        "DISTINCT-token table weighted by tf — the exact-duplicate "
+        "contraction again: corpus size only enters through the one "
+        "token-frequency aggregate, so a 100 TB corpus trains from a "
+        "vocab-sized table. Each round is one explode+agg and one "
+        "broadcast of a single merge row; at real merge counts (30k+) "
+        "the loop runs driver-side with the same per-round plan."
+    ),
+)
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.transform(ws_tokens("text"), F.lower)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # symbols separated by TWO spaces: the anchored single-space-padded
+    # replace pattern then never overlaps a neighbouring occurrence
+    # (each match consumes one space of each flanking separator), so
+    # leftmost non-overlapping replace — identical in both engines —
+    # applies the merge to EVERY occurrence, exactly like the canonical
+    # greedy left-to-right BPE pass
+    seqs = tf.select(
+        "token",
+        "freq",
+        F.concat_ws(
+            "  ",
+            F.expr("transform(sequence(1, length(token)), i -> substr(token, i, 1))"),
+        ).alias("seq"),
+    )
+    out = []
+    for rank in range(1, _BPE_MERGES + 1):
+        sy = F.split(F.col("seq"), "  ")
+        pairs = (
+            seqs.select("freq", sy.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(sy) - 2),"
+                        " j -> concat(sy[j], '  ', sy[j + 1]))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        out.append(
+            best.select(
+                F.lit(rank).cast("bigint").alias("merge_rank"),
+                F.replace(F.col("pair"), F.lit("  "), F.lit(" ")).alias(
+                    "merged_pair"
+                ),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        merged = F.replace(F.col("pair"), F.lit("  "), F.lit(""))
+        seqs = (
+            seqs.crossJoin(F.broadcast(best))
+            .select(
+                "token",
+                "freq",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), merged, F.lit(" ")),
+                    )
+                ).alias("seq"),
+            )
+        )
+        from ..caching import track_persist
+
+        seqs = track_persist(seqs)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("merge_rank")

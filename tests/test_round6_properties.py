@@ -103,3 +103,50 @@ def test_k_core_matches_python_peeling(spark):
             assert got == expect
 
     run()
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """x_bpe_merges' replace-based merge application must equal the
+    canonical BPE algorithm (count pairs weighted by token freq, merge
+    ALL occurrences left-to-right, repeat) run in plain python over the
+    same corpus."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
+    from realtime_banking_cdc_pipeline_spark.queries.round6b import _BPE_MERGES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    freq = collections.Counter(
+        w for r in docs for w in r.text.strip().lower().split() if w
+    )
+    seqs = {tok: tuple(tok) for tok in freq}
+    expect = []
+    for rank in range(1, _BPE_MERGES + 1):
+        counts = collections.Counter()
+        for tok, sy in seqs.items():
+            for j in range(len(sy) - 1):
+                counts[(sy[j], sy[j + 1])] += freq[tok]
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        expect.append((rank, f"{a} {b}", cnt))
+        merged = a + b
+        new = {}
+        for tok, sy in seqs.items():
+            out, j = [], 0
+            while j < len(sy):
+                if j + 1 < len(sy) and sy[j] == a and sy[j + 1] == b:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(sy[j])
+                    j += 1
+            new[tok] = tuple(out)
+        seqs = new
+
+    got = [
+        (r.merge_rank, r.merged_pair, r.pair_count)
+        for r in QUERIES["x_bpe_merges"].spark(spark, SF).collect()
+    ]
+    assert got == expect
