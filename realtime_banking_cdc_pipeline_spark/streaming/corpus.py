@@ -98,11 +98,24 @@ def ingest_batch(
     num_perm: int = MINHASH_PERMS,
     bands: int = 4,
     match_min: int = _MATCH_MIN_DEFAULT,
+    epoch_id: int | None = None,
 ) -> DataFrame:
     """Gate ONE micro-batch of documents (`doc_id`, `text`) against the
-    signature store, returning the surviving rows; appends every batch
-    signature to the store. Pure DataFrame logic so the same function
-    serves foreachBatch and direct batch calls (the tests run both)."""
+    signature store, returning the surviving rows; writes every batch
+    signature into the store. Pure DataFrame logic so the same function
+    serves foreachBatch and direct batch calls (the tests run both).
+
+    EXACTLY-ONCE under foreachBatch replay: foreachBatch is
+    at-least-once — a batch whose store write committed but whose
+    checkpoint did not will RE-RUN, and with a plain append the retry
+    would find its own signatures in the store and drop every doc as a
+    self-duplicate. With ``epoch_id`` set (the streaming wrapper passes
+    Spark's monotone batch id), each batch owns the store partition
+    ``epoch=<id>``: the gate compares only against STRICTLY EARLIER
+    epochs, and the partition write is an overwrite — a replay
+    recomputes the identical verdict and the store ends up with exactly
+    one copy. Without ``epoch_id`` (direct batch calls) the store is a
+    flat append and the caller owns retry semantics."""
     spark = batch_docs.sparkSession
     sigs = minhash_signature(batch_docs, "doc_id", "text", k, num_perm)
     sigs.persist()
@@ -115,6 +128,8 @@ def ingest_batch(
     dropped = dropped_within
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)
+        if epoch_id is not None and "epoch" in store.columns:
+            store = store.filter(F.col("epoch") < epoch_id).drop("epoch")
         dropped_vs_store = (
             _match_pairs(store, sigs, num_perm, bands, match_min)
             .select(F.col("id_b").alias("doc_id"))
@@ -126,7 +141,12 @@ def ingest_batch(
     # it): eager localCheckpoint cuts the lineage executor-side — the
     # verdict never flows through the driver.
     survivors = survivors.localCheckpoint(eager=True)
-    sigs.write.mode("append").parquet(store_path)
+    if epoch_id is not None:
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"epoch={int(epoch_id)}")
+        )
+    else:
+        sigs.write.mode("append").parquet(store_path)
     sigs.unpersist()
     return survivors
 
@@ -146,9 +166,13 @@ def start_corpus_ingest(
     availableNow drains the backlog then stops — the batch-parity mode
     the tests use; drop it for a continuous tail."""
 
-    def on_batch(batch_df: DataFrame, _epoch: int) -> None:
-        kept = ingest_batch(batch_df, store_path, **gate_kwargs)
-        kept.write.mode("append").parquet(out_path)
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        kept = ingest_batch(batch_df, store_path, epoch_id=epoch, **gate_kwargs)
+        # survivors land in their own epoch partition too, so a batch
+        # replay overwrites rather than duplicating output rows
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={int(epoch)}")
+        )
 
     stream = (
         spark.readStream.schema(schema)

@@ -101,3 +101,25 @@ def test_readstream_foreachbatch_ingest(spark, tmp_path):
 
     expected = _survivor_ids(ingest_batch(docs, str(tmp_path / "store_ref")))
     assert _survivor_ids(spark.read.parquet(out)) == expected
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch (same epoch)
+    must produce the identical survivor set and leave exactly ONE copy
+    of its signatures in the store — the epoch-partition overwrite
+    contract. Without it, a retry would self-match against its own
+    signatures and drop the whole batch."""
+    docs = _docs_with_neardups(spark).cache()
+    store = str(tmp_path / "store")
+    first = docs.filter(F.col("doc_id") < 20)
+    second = docs.filter(F.col("doc_id") >= 20)
+
+    k0 = _survivor_ids(ingest_batch(first, store, epoch_id=0))
+    k0_replay = _survivor_ids(ingest_batch(first, store, epoch_id=0))
+    assert k0_replay == k0, "replayed epoch must not self-match"
+    assert spark.read.parquet(store).count() == first.count()
+
+    k1 = _survivor_ids(ingest_batch(second, store, epoch_id=1))
+    ref = _survivor_ids(ingest_batch(docs, str(tmp_path / "store_ref")))
+    assert sorted(k0 + k1) == ref
+    docs.unpersist()
