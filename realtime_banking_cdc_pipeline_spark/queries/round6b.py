@@ -1161,12 +1161,14 @@ FROM ranked r, n
         "norm falls in the tail percentiles (degenerate/corrupt "
         "embeddings — the standard pre-index filter). Discrete integer "
         "rank percentiles (rank*100 <= p*count) — no float percentile "
-        "interpolation to disagree across engines. NOTE the global "
-        "rank window here is the sf-fixture form; at 100 TB the cut "
-        "points come from approx_percentile / the length-trim cumsum "
-        "shape (one agg + broadcast two scalars) rather than a global "
-        "sort — x_length_trim demonstrates that exact distributed "
-        "form; this op pins the verdict semantics."
+        "interpolation to disagree across engines. EXACT global ranks "
+        "are computed DISTRIBUTED, never via one global sort window: "
+        "rank = (cumulative count of coarser norm-buckets, a cumsum "
+        "over the bounded bucket table, broadcast back) + (row_number "
+        "within the row's bucket, an ordinary partitioned window). "
+        "The only global ordering touches ~2^14 bucket rows regardless "
+        "of corpus size — the two-level shape every exact distributed "
+        "selection uses."
     ),
 )
 def x_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,12 +1177,21 @@ def x_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     norms = emb.select(
         "vec_id", fx_dot(F.col("embedding"), F.col("embedding")).alias("nn")
-    )
+    ).withColumn("b", F.expr("nn div 4294967296"))  # 2^32 → ≤ ~2^14 buckets
+    bstats = norms.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bstats.withColumn(
+        "cum_prev", F.coalesce(F.sum("bc").over(wcum), F.lit(0))
+    ).select("b", "cum_prev")
     n = norms.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    rk = F.row_number().over(Window.orderBy(F.col("nn").asc(), F.col("vec_id").asc()))
+    rk_in = F.row_number().over(
+        Window.partitionBy("b").orderBy(F.col("nn").asc(), F.col("vec_id").asc())
+    )
     return (
-        norms.withColumn("rk", rk)
+        norms.withColumn("rk_in", rk_in)
+        .join(F.broadcast(cum), "b")
         .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.col("cum_prev") + F.col("rk_in"))
         .select(
             "vec_id",
             F.col("nn").cast("bigint").alias("norm_sq_fp"),
