@@ -1418,3 +1418,60 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# t_freshness_skew — cross-table staleness probe
+# ---------------------------------------------------------------------------
+
+_TFRESH_SQL = """
+WITH hw AS (
+  SELECT 'orders' AS tbl, epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS max_us
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', epoch_us(CAST(MAX(l_shipdate) AS TIMESTAMP)) FROM lineitem
+  UNION ALL
+  SELECT 'events', MAX(epoch_us(ts)) FROM events
+),
+ref AS (SELECT MAX(max_us) AS ref_us FROM hw)
+SELECT hw.tbl,
+       CAST(hw.max_us AS BIGINT) AS high_water_us,
+       CAST(ref.ref_us - hw.max_us AS BIGINT) AS staleness_us
+FROM hw, ref
+"""
+
+
+@query(
+    "t_freshness_skew",
+    _TFRESH_SQL,
+    doc=(
+        "Pipeline freshness probe (the dbt source-freshness check the "
+        "reference README promises, made deterministic): each table's "
+        "event-time high-water mark vs the freshest table — staleness "
+        "as exact integer microseconds, no wall clock anywhere (a "
+        "wall-clock 'now' could never hash across engines or reruns). "
+        "Three MAX aggregates read parquet footer stats where "
+        "available; the union is 3 rows; zero shuffles beyond the "
+        "scalar aggs. The CDC twin is a3_high_water_mark per entity; "
+        "this is the cross-SOURCE lag view an operator pages on."
+    ),
+)
+def t_freshness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._det import events_table
+
+    o = read_table(spark, sf_dir, "orders").agg(
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("max_us")
+    ).select(F.lit("orders").alias("tbl"), "max_us")
+    li = read_table(spark, sf_dir, "lineitem").agg(
+        F.unix_micros(F.max("l_shipdate").cast("timestamp")).alias("max_us")
+    ).select(F.lit("lineitem").alias("tbl"), "max_us")
+    ev = events_table(spark, sf_dir).agg(
+        F.max(F.unix_micros("ts")).alias("max_us")
+    ).select(F.lit("events").alias("tbl"), "max_us")
+    hw = o.unionByName(li).unionByName(ev)
+    ref = hw.agg(F.max("max_us").alias("ref_us"))
+    return hw.crossJoin(F.broadcast(ref)).select(
+        "tbl",
+        F.col("max_us").cast("bigint").alias("high_water_us"),
+        (F.col("ref_us") - F.col("max_us")).cast("bigint").alias("staleness_us"),
+    )
