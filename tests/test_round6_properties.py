@@ -150,3 +150,78 @@ def test_bpe_merges_match_python_reference(spark):
         for r in QUERIES["x_bpe_merges"].spark(spark, SF).collect()
     ]
     assert got == expect
+
+
+def test_temperature_mix_quotas_exact(spark):
+    """Largest-remainder allocation: per-language quotas must sum to
+    exactly the budget, each quota <= group size at this fixture, and
+    the sampled rows must be each language's md5-rank prefix."""
+    import hashlib
+
+    from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
+    from realtime_banking_cdc_pipeline_spark.queries.round6b import _TMIX_K
+
+    docs = [
+        (r.doc_id, r.lang)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    ]
+    from collections import Counter
+
+    cnt = Counter(lang for _, lang in docs)
+    s = sum(c * c for c in cnt.values())
+    base = {l: (_TMIX_K * c * c) // s for l, c in cnt.items()}
+    rem = {l: (_TMIX_K * c * c) % s for l, c in cnt.items()}
+    deficit = _TMIX_K - sum(base.values())
+    for l in sorted(rem, key=lambda l: (-rem[l], l))[:deficit]:
+        base[l] += 1
+    assert sum(base.values()) == _TMIX_K
+
+    got = QUERIES["x_temperature_mix"].spark(spark, SF).collect()
+    per_lang = Counter(r.lang for r in got)
+    assert dict(per_lang) == {l: q for l, q in base.items() if q > 0}
+    # md5-rank prefix per language
+    for lang in per_lang:
+        ranked = sorted(
+            (d for d, l in docs if l == lang),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        expect_ids = set(ranked[: base[lang]])
+        assert {r.doc_id for r in got if r.lang == lang} == expect_ids
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Window/stride chunking invariants: chunk 0 starts at 0, strides
+    are constant, the last chunk reaches the final token, and chunk
+    fingerprints match md5 of the token slice."""
+    import hashlib
+
+    from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
+    from realtime_banking_cdc_pipeline_spark.queries.round6b import (
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    toks = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = QUERIES["x_chunk_documents"].spark(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, chunks in by_doc.items():
+        t = toks[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * _CHUNK_S
+            piece = t[c.start_tok : c.start_tok + _CHUNK_W]
+            assert c.n_tok == len(piece)
+            assert c.chunk_fp == hashlib.md5(" ".join(piece).encode()).hexdigest()
+        last = chunks[-1]
+        assert last.start_tok + last.n_tok == len(t), "last chunk must reach the end"
+        if len(chunks) > 1:
+            assert chunks[-2].start_tok + _CHUNK_W < len(t) + _CHUNK_S
