@@ -28,6 +28,7 @@ from . import round5  # noqa: F401,E402  (Q3/Q4/Q6 shapes, graph/ANN/corpus dept
 from . import round5b  # noqa: F401,E402  (fraud screens, time travel, collocations)
 from . import round6  # noqa: F401,E402  (TPC-H Q2/Q7/Q8/Q9 planner-stress shapes)
 from . import round6b  # noqa: F401,E402  (SemDeDup, BM25 retrieval)
+from . import round6c  # noqa: F401,E402  (decontamination, export manifests)
 
 # The driver's correctness gate executes the FIRST 50 registry entries
 # (CORRECTNESS_r0{2,3,4,5}.json each contain exactly the first 50 keys).

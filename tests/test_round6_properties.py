@@ -225,3 +225,137 @@ def test_chunks_reconstruct_documents(spark):
         assert last.start_tok + last.n_tok == len(t), "last chunk must reach the end"
         if len(chunks) > 1:
             assert chunks[-2].start_tok + _CHUNK_W < len(t) + _CHUNK_S
+
+
+# ---------------------------------------------------------------------------
+# Round-6c: decontamination / curriculum / batching vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_cross_corpus_dedup_matches_python_minhash(spark):
+    """Recompute the decontamination verdicts in pure python (md5
+    minhash + banding, byte-identical spec) and compare every flag."""
+    import hashlib
+
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+    from realtime_banking_cdc_pipeline_spark.queries.round6c import (
+        _XCCD_MIN_MATCH,
+        _XCCD_MOD,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def shingles(text, k=3):
+        toks = [t for t in text.strip().split() if t]
+        if len(toks) <= k - 1:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def sig(text):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+            for s in shingles(text)
+        ]
+        return [
+            min((a * h + b) % MINHASH_PRIME for h in hs)
+            for a, b in minhash_coeffs(MINHASH_PERMS)
+        ]
+
+    sigs = {i: sig(t) for i, t in docs.items()}
+    r = MINHASH_PERMS // 4
+    bands = {
+        i: {tuple(s[b * r : (b + 1) * r]) for b in range(4)}
+        for i, s in sigs.items()
+    }
+    bench = [i for i in docs if i % _XCCD_MOD == 0]
+    train = [i for i in docs if i % _XCCD_MOD != 0]
+    bench_texts = {docs[i] for i in bench}
+
+    expect = {}
+    for i in train:
+        exact = docs[i] in bench_texts
+        near = any(
+            bands[i] & bands[j]
+            and sum(x == y for x, y in zip(sigs[i], sigs[j])) >= _XCCD_MIN_MATCH
+            for j in bench
+        )
+        expect[i] = (int(exact), int(near), int(not exact and not near))
+
+    got = {
+        row.doc_id: (row.exact_dup, row.near_dup, row.keep)
+        for row in QUERIES["x_cross_corpus_dedup"].spark(spark, SF).collect()
+    }
+    assert got == expect
+    # identical text => identical signature => near flag always covers exact
+    assert all(n >= e for e, n, _ in got.values())
+
+
+def test_curriculum_order_is_the_global_sort_rank(spark):
+    """The cell-cumsum construction must equal ROW_NUMBER() OVER
+    (ORDER BY difficulty, doc_id) computed naively."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    diff = {r.doc_id: len([t for t in r.text.strip().split() if t]) for r in docs}
+    order = sorted(diff, key=lambda i: (diff[i], i))
+    pos = {i: p + 1 for p, i in enumerate(order)}
+    n = len(order)
+
+    got = QUERIES["x_curriculum_order"].spark(spark, SF).collect()
+    assert len(got) == n
+    for row in got:
+        assert row.difficulty == diff[row.doc_id]
+        assert row.pos == pos[row.doc_id]
+        assert row.phase == ((row.pos - 1) * 4) // n
+
+
+def test_length_bucket_batching_waste_accounting(spark):
+    """Batches must partition each (band, shard) in length order with
+    exact padding-waste; total waste equals the python recomputation."""
+    import hashlib
+
+    from realtime_banking_cdc_pipeline_spark.queries.round6c import (
+        _XLBB_BAND,
+        _XLBB_BATCH,
+        _XLBB_MAX_BUCKET,
+        _XLBB_SHARDS,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    rows = []
+    for r in docs:
+        ntok = len([t for t in r.text.strip().split() if t])
+        shard = (
+            int(hashlib.md5(f"batch-v1:{r.doc_id}".encode()).hexdigest()[:7], 16)
+            % _XLBB_SHARDS
+        )
+        rows.append((min(ntok // _XLBB_BAND, _XLBB_MAX_BUCKET), shard, ntok, r.doc_id))
+
+    expect = {}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for b, s, n, i in rows:
+        groups[(b, s)].append((n, i))
+    for (b, s), members in groups.items():
+        members.sort()
+        for bi in range(0, len(members), _XLBB_BATCH):
+            batch = members[bi : bi + _XLBB_BATCH]
+            lens = [n for n, _ in batch]
+            expect[(b, s, bi // _XLBB_BATCH)] = (
+                len(batch),
+                min(lens),
+                max(lens),
+                len(batch) * max(lens) - sum(lens),
+            )
+
+    got = {
+        (r.bucket, r.shard, r.batch_idx): (r.n_docs, r.min_len, r.max_len, r.pad_waste)
+        for r in QUERIES["x_length_bucket_batching"].spark(spark, SF).collect()
+    }
+    assert got == expect

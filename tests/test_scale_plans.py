@@ -598,3 +598,41 @@ def test_round6_ops_plan_shapes(spark):
 
     blm = QUERIES["x_bigram_likelihood"].spark(spark, SF)
     assert "CartesianProduct" not in _formatted_plan(blm)
+
+
+def test_round6c_ops_plan_shapes(spark):
+    """Round-6 third batch: decontamination never self-joins or
+    shuffles the train corpus beyond its signature groupBy + matched-id
+    distinct (the bench side broadcasts); curriculum ordering has NO
+    range partitioning (no global sort of the corpus — the only global
+    window runs on the metadata-sized cell table); manifests are pure
+    hash aggregation; batching windows partition by (band, shard)."""
+    ccd = QUERIES["x_cross_corpus_dedup"].spark(spark, SF)
+    p = _formatted_plan(ccd)
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 2, "bench bands + texts must broadcast"
+    assert shuffle_count(ccd) <= 3, "train side: sig groupBy + distinct (+ flag join)"
+
+    cur = QUERIES["x_curriculum_order"].spark(spark, SF)
+    pc = _formatted_plan(cur)
+    assert "rangepartitioning" not in pc, "global sort of the corpus is the anti-pattern"
+    assert shuffle_count(cur) <= 2
+
+    man = QUERIES["x_dataset_manifest"].spark(spark, SF)
+    assert shuffle_count(man) <= 2  # hash agg + distinct-expand phase
+    assert "CartesianProduct" not in _formatted_plan(man)
+
+    lbb = QUERIES["x_length_bucket_batching"].spark(spark, SF)
+    plb = _formatted_plan(lbb)
+    assert shuffle_count(lbb) <= 1, "one (band, shard) exchange feeds window + agg"
+    assert "Exchange SinglePartition" not in plb
+
+    adr = QUERIES["a_dormant_reactivation"].spark(spark, SF)
+    pa = _formatted_plan(adr)
+    assert shuffle_count(adr) <= 1 and "Window" in pa
+
+    dft = QUERIES["t_event_type_drift"].spark(spark, SF)
+    pd_ = _formatted_plan(dft)
+    assert "CartesianProduct" not in pd_
+    # the two scalar frames ride broadcast nested-loop joins (1 row each)
+    assert pd_.count("BroadcastExchange") >= 2
