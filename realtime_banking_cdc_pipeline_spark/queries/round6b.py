@@ -1279,7 +1279,11 @@ def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 3
 
 
-def _dd_bpe_sql() -> str:
+def _dd_bpe_chain() -> str:
+    """WITH-chain body: corpus token frequencies + `_BPE_MERGES` rounds
+    of pair-count / pick-merge / apply-merge, ending at s{_BPE_MERGES}
+    (the distinct-token table tokenized by the induced merges). Shared
+    by the merge-induction oracle and the apply oracle (round6c)."""
     toks = "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')"
     rounds = []
     prev = "s0"
@@ -1307,13 +1311,7 @@ s{i} AS MATERIALIZED (
 )""")
         prev = f"s{i}"
     chain = ",".join(rounds)
-    merges = " UNION ALL ".join(
-        f"SELECT {i} AS merge_rank, replace(pair, '  ', ' ') AS merged_pair,"
-        f" cnt AS pair_count FROM m{i}"
-        for i in range(1, _BPE_MERGES + 1)
-    )
-    return f"""
-WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+    return f"""tok AS (SELECT unnest({toks}) AS token FROM documents),
 tf AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
                     FROM tok GROUP BY token),
 s0 AS MATERIALIZED (
@@ -1321,7 +1319,17 @@ s0 AS MATERIALIZED (
          array_to_string(list_transform(range(1, length(token) + 1),
                          i -> substr(token, i, 1)), '  ') AS seq
   FROM tf
-),{chain}
+),{chain}"""
+
+
+def _dd_bpe_sql() -> str:
+    merges = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, replace(pair, '  ', ' ') AS merged_pair,"
+        f" cnt AS pair_count FROM m{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH {_dd_bpe_chain()}
 SELECT CAST(merge_rank AS BIGINT) AS merge_rank, merged_pair, pair_count
 FROM ({merges})
 ORDER BY merge_rank
@@ -1348,6 +1356,17 @@ ORDER BY merge_rank
     ),
 )
 def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = _bpe_train(spark, sf_dir)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run `_BPE_MERGES` induction rounds; return (per-round best-merge
+    single-row frames, final distinct-token seqs frame). Shared by
+    merge induction and corpus tokenization (round6c x_bpe_apply)."""
     d = read_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(F.transform(ws_tokens("text"), F.lower)).alias("token"))
@@ -1414,10 +1433,7 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..caching import track_persist
 
         seqs = track_persist(seqs)
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("merge_rank")
+    return out, seqs
 
 
 # ---------------------------------------------------------------------------

@@ -561,3 +561,148 @@ def t_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_apply — tokenize the corpus with the induced BPE merges
+# ---------------------------------------------------------------------------
+
+
+def _dd_bpe_apply_sql() -> str:
+    from .round6b import _BPE_MERGES, _dd_bpe_chain
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')"
+    return f"""
+WITH {_dd_bpe_chain()},
+dtok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+j AS (
+  SELECT doc_id, CAST(len(string_split(s{_BPE_MERGES}.seq, '  ')) AS BIGINT) AS n_sub
+  FROM dtok JOIN s{_BPE_MERGES} USING (token)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       CAST((100 * SUM(n_sub)) // COUNT(*) AS BIGINT) AS subwords_per_100w
+FROM j GROUP BY doc_id
+"""
+
+
+@query(
+    "x_bpe_apply",
+    _dd_bpe_apply_sql(),
+    doc=(
+        "Corpus tokenization with the induced BPE merges: the "
+        "induction loop's final state IS the tokenizer — a "
+        "distinct-token table mapping each word to its subword "
+        "sequence — so applying it corpus-wide is one vocab-keyed "
+        "join (the exact-duplicate contraction again: merges never "
+        "re-run per document, and a 100 TB corpus tokenizes through "
+        "a vocab-sized lookup shuffled on the token key, never "
+        "broadcast — heavy-tailed vocabularies outgrow broadcast). "
+        "Per-doc subword fertility (subwords per 100 words) is the "
+        "standard tokenizer-fit diagnostic, exact-integer div."
+    ),
+)
+def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round6b import _bpe_train
+
+    _, seqs = _bpe_train(spark, sf_dir)
+    vocab = seqs.select(
+        "token", F.size(F.split(F.col("seq"), "  ")).cast("bigint").alias("n_sub")
+    )
+    d = read_table(spark, sf_dir, "documents")
+    dtok = d.select(
+        "doc_id", F.explode(F.transform(ws_tokens("text"), F.lower)).alias("token")
+    )
+    return (
+        dtok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.expr("(100 * n_subwords) div n_words")
+            .cast("bigint")
+            .alias("subwords_per_100w"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# w_event_rate_spike — hourly rate anomaly vs trailing per-user baseline
+# ---------------------------------------------------------------------------
+
+_WERS_TRAIL_H = 72  # trailing baseline window (hours, exclusive of current)
+_WERS_FACTOR = 3  # spike = current-hour count >= 3x trailing hourly mean
+_WERS_FLOOR = 3  # and at least this many events in the hour
+
+_WERS_SQL = f"""
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, hour_id, n,
+         CAST(COALESCE(SUM(n) OVER tw, 0) AS BIGINT) AS trail_n,
+         CAST(COUNT(n) OVER tw AS BIGINT) AS trail_hours
+  FROM h
+  WINDOW tw AS (PARTITION BY user_id ORDER BY hour_id
+                RANGE BETWEEN {_WERS_TRAIL_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, CAST(hour_id AS BIGINT) AS hour_id, n, trail_n, trail_hours
+FROM w
+WHERE trail_hours > 0
+  AND n >= {_WERS_FLOOR}
+  AND n * trail_hours >= {_WERS_FACTOR} * trail_n
+"""
+
+
+@query(
+    "w_event_rate_spike",
+    _WERS_SQL,
+    doc=(
+        "Hourly activity-rate anomaly: a user-hour spikes when its "
+        "event count is >= 3x the user's trailing 72 h hourly mean "
+        "(active hours only) and clears an absolute floor. One "
+        "hash agg to user-hour grain, then one user-partitioned "
+        "RANGE frame over integer hour ids — the comparison is "
+        "cross-multiplied (n * trail_hours >= 3 * trail_n) so no "
+        "division ever happens: exact integers end to end. The "
+        "velocity-monitoring twin of the structuring screen (sum-"
+        "based) — this one is rate-based."
+    ),
+)
+def w_event_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    h = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+        )
+        .groupBy("user_id", "hour_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_id")
+        .rangeBetween(-_WERS_TRAIL_H, -1)
+    )
+    w = h.select(
+        "user_id",
+        F.col("hour_id").cast("bigint").alias("hour_id"),
+        "n",
+        F.coalesce(F.sum("n").over(tw), F.lit(0)).cast("bigint").alias("trail_n"),
+        F.count("n").over(tw).cast("bigint").alias("trail_hours"),
+    )
+    return w.filter(
+        (F.col("trail_hours") > 0)
+        & (F.col("n") >= _WERS_FLOOR)
+        & (F.col("n") * F.col("trail_hours") >= _WERS_FACTOR * F.col("trail_n"))
+    )

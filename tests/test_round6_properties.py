@@ -359,3 +359,50 @@ def test_length_bucket_batching_waste_accounting(spark):
         for r in QUERIES["x_length_bucket_batching"].spark(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_bpe_apply_fertility_matches_python_tokenizer(spark):
+    """x_bpe_apply's per-doc subword counts must equal tokenizing every
+    document with the canonical python BPE (same induction as the
+    merge test, then greedy left-to-right application per word)."""
+    import collections
+
+    from realtime_banking_cdc_pipeline_spark.queries.round6b import _BPE_MERGES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    freq = collections.Counter(
+        w for r in docs for w in r.text.strip().lower().split() if w
+    )
+    seqs = {tok: tuple(tok) for tok in freq}
+    for _ in range(_BPE_MERGES):
+        counts = collections.Counter()
+        for tok, sy in seqs.items():
+            for j in range(len(sy) - 1):
+                counts[(sy[j], sy[j + 1])] += freq[tok]
+        (a, b), _cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        new = {}
+        for tok, sy in seqs.items():
+            out, j = [], 0
+            while j < len(sy):
+                if j + 1 < len(sy) and sy[j] == a and sy[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(sy[j])
+                    j += 1
+            new[tok] = tuple(out)
+        seqs = new
+
+    expect = {}
+    for r in docs:
+        words = [w for w in r.text.strip().lower().split() if w]
+        if not words:
+            continue
+        n_sub = sum(len(seqs[w]) for w in words)
+        expect[r.doc_id] = (len(words), n_sub, (100 * n_sub) // len(words))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.subwords_per_100w)
+        for r in QUERIES["x_bpe_apply"].spark(spark, SF).collect()
+    }
+    assert got == expect

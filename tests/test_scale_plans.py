@@ -636,3 +636,19 @@ def test_round6c_ops_plan_shapes(spark):
     assert "CartesianProduct" not in pd_
     # the two scalar frames ride broadcast nested-loop joins (1 row each)
     assert pd_.count("BroadcastExchange") >= 2
+
+
+def test_bpe_apply_and_rate_spike_plan_shapes(spark):
+    """Tokenizer application joins the corpus tokens against the
+    vocab-sized seqs table SHUFFLED on the token key (heavy-tailed
+    vocabularies outgrow broadcast — the x_top_terms rule); the rate
+    spike is one user-hour agg + one user window, nothing global."""
+    bpe = QUERIES["x_bpe_apply"].spark(spark, SF)
+    p = _formatted_plan(bpe)
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+
+    spk = QUERIES["w_event_rate_spike"].spark(spark, SF)
+    ps = _formatted_plan(spk)
+    assert shuffle_count(spk) <= 2 and "Window" in ps
+    assert "Exchange SinglePartition" not in ps
