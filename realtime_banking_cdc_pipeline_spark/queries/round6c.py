@@ -201,13 +201,15 @@ def x_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Cell = (difficulty value, contiguous doc_id range). The global order
 # (difficulty, doc_id) restricted to a cell is just doc_id order, so
-# pos = (# rows in earlier cells) + rank-within-cell. The cell-count
-# table is metadata-sized (corpus_rows / cell_size rows: size the id
-# range so cells hold ~1M docs and 100 B docs make a 100 k-row table),
-# so the cumsum window over it is a bounded single-partition window —
-# the full corpus only ever sees cell-partitioned windows and one
-# metadata join.
-_XCUR_RANGE = 64  # fixture id-range width; ~1M at deployment
+# pos = (# rows in earlier cells) + rank-within-cell. The range width
+# ADAPTS to the id span (width = max(64, span/128)) so the cell table
+# stays metadata-sized at any corpus size — a fixed width made the
+# cell table corpus-sized at the local sf10 (90.7 s for 500 k docs;
+# adaptive: the cumsum window sees <= 128 x |difficulty values| rows).
+# Width only changes the construction, never the result: the property
+# test pins equality with the naive global ROW_NUMBER at every width.
+_XCUR_RANGE = 64  # minimum id-range width
+_XCUR_MAX_RANGES = 128  # id-span divisor: at most this many ranges
 
 
 def _dd_xcur_sql() -> str:
@@ -243,10 +245,17 @@ FROM r
 )
 def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.size(ws_tokens("text")).cast("bigint").alias("difficulty"),
-        F.expr(f"doc_id div {_XCUR_RANGE}").alias("rng"),
+    span = d.agg(F.max("doc_id").alias("__max_id"))  # one-row broadcast
+    t = (
+        d.crossJoin(F.broadcast(span))
+        .select(
+            "doc_id",
+            F.size(ws_tokens("text")).cast("bigint").alias("difficulty"),
+            F.expr(
+                f"doc_id div greatest({_XCUR_RANGE},"
+                f" (__max_id + 1) div {_XCUR_MAX_RANGES})"
+            ).alias("rng"),
+        )
     )
     cells = t.groupBy("difficulty", "rng").agg(F.count(F.lit(1)).alias("n"))
     w_cells = (

@@ -616,7 +616,7 @@ def test_round6c_ops_plan_shapes(spark):
     cur = QUERIES["x_curriculum_order"].spark(spark, SF)
     pc = _formatted_plan(cur)
     assert "rangepartitioning" not in pc, "global sort of the corpus is the anti-pattern"
-    assert shuffle_count(cur) <= 2
+    assert shuffle_count(cur) <= 3  # id-span scalar + cell counts + cell window
 
     man = QUERIES["x_dataset_manifest"].spark(spark, SF)
     assert shuffle_count(man) <= 2  # hash agg + distinct-expand phase
