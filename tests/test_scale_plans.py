@@ -607,6 +607,10 @@ def test_round6c_ops_plan_shapes(spark):
     range partitioning (no global sort of the corpus — the only global
     window runs on the metadata-sized cell table); manifests are pure
     hash aggregation; batching windows partition by (band, shard)."""
+    # pin the canonical fresh plan: cached signature subtrees from other
+    # tests inflate size stats and legitimately flip the unhinted flag
+    # join to SMJ, which is not what this pin is about
+    spark.catalog.clearCache()
     ccd = QUERIES["x_cross_corpus_dedup"].spark(spark, SF)
     p = _formatted_plan(ccd)
     assert "CartesianProduct" not in p
