@@ -166,3 +166,30 @@ def test_degree_orientation_bounds_hub_out_degree(spark):
         want[2 * i - 1] = 1
         want[2 * i] = 1
     assert got == want
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 48) - 1), min_size=2, max_size=10
+    ),
+    radius=st.integers(min_value=1, max_value=2),
+)
+@_SETTINGS
+def test_simhash_banding_exact_above_double_precision(spark, fps, radius):
+    """fp_bits=48: band keys must stay exact past 2^32 (the integer
+    shiftright/pmod path — a float-division derivation would corrupt
+    keys above 2^53 and silently drop pairs for wide fingerprints)."""
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(
+            sig, id_col="doc_id", fp_col="simhash", max_hamming=radius, fp_bits=48
+        ).collect()
+    }
+    want = set()
+    for (ia, fa), (ib, fb) in combinations(rows, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= radius:
+            want.add((min(ia, ib), max(ia, ib), h))
+    assert got == want
