@@ -37,6 +37,12 @@ from . import round6c  # noqa: F401,E402  (decontamination, export manifests)
 # this round) land inside the checked window — over successive rounds
 # every query gets a hard driver signal.  Names below are the union of
 # CORRECTNESS_r02/r03/r04/r05 entries.
+#
+# ROUND-7 FIRST TASK: add the 50 names from CORRECTNESS_r06.json to this
+# set (round 6 sized its new-query batch to exactly fill the window, so
+# all 50 should be strict-green — the in-session mirror sweep was
+# 164/164, see CORRECTNESS_LOCAL_r06_full.json), then register any new
+# round-7 queries BEFORE the driver runs.
 _DRIVER_VERIFIED = frozenset({
     "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
     "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
