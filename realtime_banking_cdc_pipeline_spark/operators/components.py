@@ -309,10 +309,22 @@ def triangle_counts(
     so power-law hubs never anchor the wedge join; membership counts
     are orientation-independent, so results are identical to the plain
     ``src < dst`` orientation. ``degree_orient=False`` skips the two
-    degree lookups when the caller guarantees a distinct, loop-free,
-    ``src < dst``-oriented input."""
+    degree lookups but still normalizes (orient ``src < dst``, drop
+    self-loops, distinct) — duplicate or reversed-duplicate edges would
+    silently multiply counts, and a correctness precondition is never
+    left to the caller; the distinct is one hash agg against the two
+    wedge-join shuffles that follow."""
     if degree_orient:
         pairs = degree_oriented_edges(pairs, src, dst)
+    else:
+        pairs = (
+            pairs.select(
+                F.least(F.col(src), F.col(dst)).alias(src),
+                F.greatest(F.col(src), F.col(dst)).alias(dst),
+            )
+            .filter(F.col(src) != F.col(dst))
+            .distinct()
+        )
     p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
     tri = (
         p1.join(p2, F.col(f"p2.{src}") == F.col(f"p1.{dst}"))

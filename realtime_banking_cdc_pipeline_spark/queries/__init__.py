@@ -29,6 +29,7 @@ from . import round5b  # noqa: F401,E402  (fraud screens, time travel, collocati
 from . import round6  # noqa: F401,E402  (TPC-H Q2/Q7/Q8/Q9 planner-stress shapes)
 from . import round6b  # noqa: F401,E402  (SemDeDup, BM25 retrieval)
 from . import round6c  # noqa: F401,E402  (decontamination, export manifests)
+from . import round7  # noqa: F401,E402  (ExactSubstr substring dedup)
 
 # The driver's correctness gate executes the FIRST 50 registry entries
 # (CORRECTNESS_r0{2,3,4,5}.json each contain exactly the first 50 keys).
@@ -38,11 +39,10 @@ from . import round6c  # noqa: F401,E402  (decontamination, export manifests)
 # every query gets a hard driver signal.  Names below are the union of
 # CORRECTNESS_r02/r03/r04/r05 entries.
 #
-# ROUND-7 FIRST TASK: add the 50 names from CORRECTNESS_r06.json to this
-# set (round 6 sized its new-query batch to exactly fill the window, so
-# all 50 should be strict-green — the in-session mirror sweep was
-# 164/164, see CORRECTNESS_LOCAL_r06_full.json), then register any new
-# round-7 queries BEFORE the driver runs.
+# As of round 7 every registered query has a driver hash signal
+# (r02–r06 unions below), so the window now REGRESSION-RE-PROVES the
+# oldest-registered 50 (core/cdc modules — the judge's directive #4)
+# while any newly-registered round-7 queries still sort to the front.
 _DRIVER_VERIFIED = frozenset({
     "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
     "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
@@ -81,6 +81,25 @@ _DRIVER_VERIFIED = frozenset({
     "x_ann_sq8", "x_reservoir_sample", "x_unigram_likelihood",
     "c7_late_events", "x_simhash_dedup_pairs", "x_ann_sq8_rescore",
     "j7_range_band_join", "x_vocab_coverage", "x_length_trim",
+    # CORRECTNESS_r06.json (50/50 strict-green)
+    "a_dormant_reactivation", "a_duplicate_payments", "a_structuring_screen",
+    "c8_asof_snapshot", "q02_min_cost_supplier", "q05_local_supplier_volume",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q11_revenue_concentration", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_volume_orders", "q19_disjunctive_predicates",
+    "q20_heavy_shippers", "q21_suppliers_kept_waiting",
+    "q22_dormant_rich_customers", "t_event_type_drift", "t_freshness_skew",
+    "w_event_rate_spike", "x_audio_decode", "x_bigram_likelihood",
+    "x_bm25_search", "x_bpe_apply", "x_bpe_merges", "x_chunk_documents",
+    "x_cross_corpus_dedup", "x_curriculum_order", "x_dataset_manifest",
+    "x_dedup_keep_best", "x_embedding_outliers", "x_kcore",
+    "x_length_bucket_batching", "x_ngram_novelty", "x_pmi_cooccurrence",
+    "x_quality_classifier", "x_quality_stratified_trim", "x_rank_fusion_rrf",
+    "x_semdedup", "x_semdedup_diverse", "x_source_reputation",
+    "x_temperature_mix", "x_tfidf_cosine_pairs", "x_tfidf_topk_terms",
+    "x_video_framesample",
 })
 
 _ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}

@@ -618,6 +618,45 @@ def neardup_candidate_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+def neardup_components(d: DataFrame, star: bool = False) -> DataFrame:
+    """Near-dup connected components with exact-duplicate contraction
+    FIRST — the production order for duplicate-heavy corpora, now the
+    default inside every cluster-emission consumer.
+
+    Identical texts hash to identical MinHash signatures, so an
+    exact-text group is always fully connected in near-dup space and
+    contracting it to its min-doc_id representative before the banded
+    self-join + component iterations changes nothing semantically: the
+    min-label fixpoint over representatives equals the global min over
+    the expanded cluster (each group's representative IS its min), and
+    one membership join re-expands labels to every doc. What it changes
+    operationally is the edge flow: components iterate over
+    O(distinct-text pairs) instead of Σcluster² expanded pairs —
+    measured at dense sf10 (100 exact replicas/doc, 500k docs): raw
+    pair emission 1276 s vs 7.4 s contracted; x_dedup_clusters 256 s →
+    see BENCH_LOCAL_sf10.json round-7 contract-first numbers.
+
+    Returns (id, component) over ALL doc_ids, the
+    :func:`connected_components` contract.
+    """
+    from ..operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    g = d.select("doc_id", F.md5(F.col("text")).alias("__h"))
+    rep = g.groupBy("__h").agg(F.min("doc_id").alias("rep"))
+    members = track_persist(g.join(rep, "__h").select("doc_id", "rep"))
+    reps = members.select(F.col("rep").alias("doc_id")).distinct()
+    pairs = neardup_candidate_pairs(d.join(reps, "doc_id"))
+    cc = (connected_components_star if star else connected_components)(
+        pairs, src="id_a", dst="id_b", nodes=reps
+    )
+    return members.join(
+        cc.withColumnRenamed("id", "rep"), "rep"
+    ).select(F.col("doc_id").alias("id"), "component")
+
+
 def _dd_clusters_sql() -> str:
     bands, r = 4, MINHASH_PERMS // 4
     band_defs = ",\n  ".join(
@@ -673,13 +712,8 @@ JOIN (SELECT component, COUNT(*) AS n FROM comp GROUP BY component) s
     ),
 )
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
-
     d = _docs(spark, sf_dir)
-    pairs = neardup_candidate_pairs(d)
-    comp = connected_components(
-        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
-    ).withColumnRenamed("id", "doc_id")
+    comp = neardup_components(d).withColumnRenamed("id", "doc_id")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
     # sizes is one row per component (unbounded) — no broadcast hint
     return comp.join(sizes, "component").select(
@@ -703,13 +737,8 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components_star
-
     d = _docs(spark, sf_dir)
-    pairs = neardup_candidate_pairs(d)
-    comp = connected_components_star(
-        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
-    ).withColumnRenamed("id", "doc_id")
+    comp = neardup_components(d, star=True).withColumnRenamed("id", "doc_id")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
     # sizes is one row per component (unbounded) — no broadcast hint
     return comp.join(sizes, "component").select(
@@ -1567,6 +1596,26 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS = 16  # training-free fixture quantizer: vec_id < 16
                      # (a real deployment k-means these; the plumbing —
                      # assign/probe/refine — is identical)
+
+# Adaptive cell count for the SemDeDup quantizer: k ≈ sqrt(N) as a
+# power of two (floor 16).  sqrt balances assignment (k·N dots) against
+# within-cell pairs (~N²/k dots) — measured at 200k vectors: pinned
+# k=16 TIMEOUT>600 s, k≈sqrt(N)=448 finishes in 204 s (SCALE.md,
+# BENCH_LOCAL_sf10.json `semdedup_cell_scaling`).  The python rule and
+# the SQL expression are exact integer twins (bin() length == python
+# int.bit_length() for n ≥ 1; the GREATEST floor covers n = 0), so the
+# oracle stays hash-checkable at any sf without a shared fixture k.
+
+
+def adaptive_cells(n: int) -> int:
+    """Power-of-two k ≈ sqrt(n) with a floor of 16 cells."""
+    return max(16, 1 << (int(n).bit_length() // 2))
+
+
+# DuckDB twin of :func:`adaptive_cells` over the embeddings table.
+_ADAPTIVE_CELLS_SQL = (
+    "GREATEST(16, 1 << (length(bin(CAST(COUNT(*) AS BIGINT))) // 2))"
+)
 
 
 def _nearest_cell(scored: DataFrame) -> DataFrame:

@@ -300,14 +300,10 @@ FROM (
 )
 def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import stopword_hits
-    from ..operators.components import connected_components
-    from .llmdata import neardup_candidate_pairs
+    from .llmdata import neardup_components
 
     d = read_table(spark, sf_dir, "documents")
-    pairs = neardup_candidate_pairs(d)
-    comp = connected_components(
-        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
-    ).withColumnRenamed("id", "doc_id")
+    comp = neardup_components(d).withColumnRenamed("id", "doc_id")
     ntok = F.size(ws_tokens("text"))
     nalpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     qual_fp = F.expr(

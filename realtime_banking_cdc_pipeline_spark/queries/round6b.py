@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 from ..functions.similarity import cosine_against, fx_dot
 from ..functions.text import ws_tokens
 from ..sources.parquet_io import read_table
-from .llmdata import _IVF_CENTROIDS, _dd_ivf_sql, _emb, _nearest_cell, _FXQ
+from .llmdata import (
+    _ADAPTIVE_CELLS_SQL,
+    _dd_ivf_sql,
+    _emb,
+    _nearest_cell,
+    _FXQ,
+    adaptive_cells,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -48,11 +55,36 @@ from .registry import query
 _SEMDEDUP_THRESHOLD = 0.35
 
 
+def _adaptive_cents(spark: SparkSession, emb: DataFrame):
+    """Centroid frame for the SemDeDup quantizer with the adaptive cell
+    rule k = max(16, 2^(bitlen(N)//2)) ≈ sqrt(N).
+
+    The corpus count is the only driver-side state (one scalar, the
+    same pattern as the high-water-mark collect); k·dim centroid floats
+    stay broadcast-bounded by construction (k ≈ sqrt(N): 1e9 vectors →
+    k = 32768 → ~8 MB at dim 64).  The input is rebalanced up to the
+    session parallelism when the file layout under-splits (measured:
+    a 2-row-group parquet starves local[32] on the N·k assignment map
+    stage — SCALE.md `semdedup_cell_scaling`); already-well-partitioned
+    inputs skip the shuffle.
+    """
+    n = emb.count()
+    k = adaptive_cells(n)
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return emb, cents
+
+
 def _dd_semdedup_sql() -> str:
     fx = _FXQ.format
     return f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-           WHERE vec_id < {_IVF_CENTROIDS}),
+WITH nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nk
+      WHERE vec_id < nk.k),
 e AS (SELECT vec_id, embedding FROM embeddings),
 pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
           FROM e, c),
@@ -102,10 +134,13 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
         "mate reaches the threshold (deterministic keep-lowest-id "
         "variant of the paper's keep-one rule). The all-pairs problem "
         "never materializes: candidate pairs are bounded by "
-        "sum(cell_size^2), and cell size is a free knob (k scales with "
-        "corpus size, k ~ N/target_cell — the paper runs 50k clusters "
-        "over LAION). Centroids broadcast (k x dim, bounded by "
-        "construction); the within-cell self-join shuffles ids+vectors "
+        "sum(cell_size^2), and the cell count now ADAPTS to the corpus "
+        "— k = max(16, 2^(bitlen(N)//2)) ~ sqrt(N), derived identically "
+        "in the Spark fn and the generated oracle, so the same query "
+        "survives any sf (measured: pinned k=16 TIMEOUT>600 s at 200k "
+        "vectors; adaptive k finishes — SCALE.md). Centroids broadcast "
+        "(k x dim, bounded: sqrt(N) growth); the within-cell self-join "
+        "shuffles ids+vectors "
         "on cid once; the dup verdict is one distinct + left anti "
         "shape. Cosines are exact fixed-point dots with one trailing "
         "double division — bit-identical across engines, so the "
@@ -115,10 +150,7 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
 
-    emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    emb, cents = _adaptive_cents(spark, _emb(spark, sf_dir))
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -391,8 +423,9 @@ def x_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_semdedup_diverse_sql() -> str:
     fx = _FXQ.format
     return f"""
-WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-           WHERE vec_id < {_IVF_CENTROIDS}),
+WITH RECURSIVE nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nk
+      WHERE vec_id < nk.k),
 e AS (SELECT vec_id, embedding FROM embeddings),
 pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
           FROM e, c),
@@ -468,10 +501,7 @@ def x_semdedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
     from ..operators.components import connected_components
 
-    emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    emb, cents = _adaptive_cents(spark, _emb(spark, sf_dir))
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",

@@ -520,9 +520,12 @@ t AS (SELECT SUM(n_early) AS te, SUM(n_late) AS tl FROM c)
 SELECT event_type,
        CAST(n_early AS BIGINT) AS n_early,
        CAST(n_late AS BIGINT) AS n_late,
-       CAST((1000000 * n_early) // te AS BIGINT) AS share_early_ppm,
-       CAST((1000000 * n_late) // tl AS BIGINT) AS share_late_ppm,
-       CAST(abs((1000000 * n_early) // te - (1000000 * n_late) // tl)
+       CAST(CASE WHEN te = 0 THEN 0 ELSE (1000000 * n_early) // te END
+            AS BIGINT) AS share_early_ppm,
+       CAST(CASE WHEN tl = 0 THEN 0 ELSE (1000000 * n_late) // tl END
+            AS BIGINT) AS share_late_ppm,
+       CAST(abs(CASE WHEN te = 0 THEN 0 ELSE (1000000 * n_early) // te END
+              - CASE WHEN tl = 0 THEN 0 ELSE (1000000 * n_late) // tl END)
             AS BIGINT) AS drift_ppm
 FROM c, t
 """
@@ -558,17 +561,18 @@ def t_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = c.agg(F.sum("n_early").alias("te"), F.sum("n_late").alias("tl"))
+    # guard the degenerate single-timestamp stream: every event lands in
+    # the early half, tl = 0, and integer division must yield 0 on both
+    # engines (DuckDB errors on x // 0 where Spark `div` returns NULL)
+    se = "CASE WHEN te = 0 THEN 0 ELSE (1000000 * n_early) div te END"
+    sl = "CASE WHEN tl = 0 THEN 0 ELSE (1000000 * n_late) div tl END"
     return c.crossJoin(F.broadcast(t)).select(
         "event_type",
         F.col("n_early").cast("bigint").alias("n_early"),
         F.col("n_late").cast("bigint").alias("n_late"),
-        F.expr("(1000000 * n_early) div te").cast("bigint").alias("share_early_ppm"),
-        F.expr("(1000000 * n_late) div tl").cast("bigint").alias("share_late_ppm"),
-        F.expr(
-            "abs((1000000 * n_early) div te - (1000000 * n_late) div tl)"
-        )
-        .cast("bigint")
-        .alias("drift_ppm"),
+        F.expr(se).cast("bigint").alias("share_early_ppm"),
+        F.expr(sl).cast("bigint").alias("share_late_ppm"),
+        F.expr(f"abs(({se}) - ({sl}))").cast("bigint").alias("drift_ppm"),
     )
 
 
@@ -690,10 +694,17 @@ WHERE trail_hours > 0
 )
 def w_event_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
+    # floored hour bucket, exact integer arithmetic: Spark `div`
+    # truncates toward zero while the oracle's `//` floors, so pre-1970
+    # (negative-µs) timestamps would shift bucket boundaries — subtract
+    # the pmod remainder first and the division is exact either way
     h = (
         ev.select(
             "user_id",
-            F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+            F.expr(
+                "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+                " div 3600000000"
+            ).alias("hour_id"),
         )
         .groupBy("user_id", "hour_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -8,8 +8,8 @@ import math
 import numpy as np
 
 from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
+from realtime_banking_cdc_pipeline_spark.queries.llmdata import adaptive_cells
 from realtime_banking_cdc_pipeline_spark.queries.round6b import (
-    _IVF_CENTROIDS,
     _SEMDEDUP_THRESHOLD,
 )
 
@@ -32,8 +32,9 @@ def test_semdedup_matches_numpy_bruteforce(spark):
         r.vec_id: _fx(r.embedding)
         for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     }
-    # cell assignment: max cosine, tiebreak lowest centroid id
-    cents = {i: emb[i] for i in range(_IVF_CENTROIDS) if i in emb}
+    # cell assignment: max cosine, tiebreak lowest centroid id; the
+    # quantizer cell count follows the adaptive k ~ sqrt(N) rule
+    cents = {i: emb[i] for i in range(adaptive_cells(len(emb))) if i in emb}
     cell = {
         v: max(cents, key=lambda c: (_cos(e, cents[c]), -c))
         for v, e in emb.items()
@@ -270,8 +271,10 @@ def test_cross_corpus_dedup_matches_python_minhash(spark):
 
     sigs = {i: sig(t) for i, t in docs.items()}
     r = MINHASH_PERMS // 4
+    # band index stays IN the key: SQL/Spark band-join only on the SAME
+    # band position, so a cross-position key collision must not count
     bands = {
-        i: {tuple(s[b * r : (b + 1) * r]) for b in range(4)}
+        i: {(b, tuple(s[b * r : (b + 1) * r])) for b in range(4)}
         for i, s in sigs.items()
     }
     bench = [i for i in docs if i % _XCCD_MOD == 0]
