@@ -47,6 +47,15 @@ from ..functions.similarity import (
 
 _MATCH_MIN_DEFAULT = 8  # of 16 components => est. jaccard >= 0.5
 
+# Band-partitioned store layout: banded key rows land in
+# bucket=pmod(xxhash64(band_key), _BAND_BUCKETS) parquet partitions, so
+# the per-batch candidate probe joins on (bucket, band_idx, band_key)
+# and Spark's dynamic partition pruning reads ONLY the store buckets the
+# incoming batch's band keys hash into — the store scan is bounded by
+# the batch's key footprint, not the store's history. (xxhash64 is
+# Spark-deterministic; a cross-engine store would pin md5 instead.)
+_BAND_BUCKETS = 64
+
 
 def _match_pairs(
     left_sig: DataFrame,
@@ -54,20 +63,35 @@ def _match_pairs(
     num_perm: int,
     bands: int,
     match_min: int,
+    left_banded: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a from left, id_b from right) pairs whose signatures agree on
     >= match_min components, found via one band-bucket equi-join over
-    the narrow banded representation."""
-    la = banded_keys(
-        left_sig.select(F.col("doc_id").alias("id_a"), "*").drop("doc_id"),
-        "id_a", num_perm, bands,
+    the narrow banded representation. ``left_banded`` supplies a
+    pre-banded (id_a, band_idx, band_key[, bucket]) frame — the
+    band-partitioned store path — in place of banding ``left_sig``."""
+    la = (
+        left_banded
+        if left_banded is not None
+        else banded_keys(
+            left_sig.select(F.col("doc_id").alias("id_a"), "*").drop("doc_id"),
+            "id_a", num_perm, bands,
+        )
     )
     rb = banded_keys(
         right_sig.select(F.col("doc_id").alias("id_b"), "*").drop("doc_id"),
         "id_b", num_perm, bands,
     )
+    join_keys = ["band_idx", "band_key"]
+    if "bucket" in la.columns:
+        # redundant equi-key on the partition column activates dynamic
+        # partition pruning against the bucket-partitioned store scan
+        rb = rb.withColumn(
+            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(_BAND_BUCKETS))
+        )
+        join_keys = ["bucket", "band_idx", "band_key"]
     pairs = (
-        la.join(rb, ["band_idx", "band_key"])
+        la.join(rb, join_keys)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -99,6 +123,7 @@ def ingest_batch(
     bands: int = 4,
     match_min: int = _MATCH_MIN_DEFAULT,
     epoch_id: int | None = None,
+    banded_store_path: str | None = None,
 ) -> DataFrame:
     """Gate ONE micro-batch of documents (`doc_id`, `text`) against the
     signature store, returning the surviving rows; writes every batch
@@ -115,7 +140,17 @@ def ingest_batch(
     epochs, and the partition write is an overwrite — a replay
     recomputes the identical verdict and the store ends up with exactly
     one copy. Without ``epoch_id`` (direct batch calls) the store is a
-    flat append and the caller owns retry semantics."""
+    flat append and the caller owns retry semantics.
+
+    ``banded_store_path`` maintains the BAND-PARTITIONED key store
+    alongside the signature store: the batch's (doc_id, band_idx,
+    band_key) rows land in ``bucket=pmod(xxhash64(band_key), 64)``
+    parquet partitions, and candidate generation against history probes
+    that store on (bucket, band_idx, band_key) — dynamic partition
+    pruning bounds the store scan by the batch's key footprint while
+    the wide signature rows are read only for the candidate refinement
+    join. This is the 100 TB store layout; the flat path (None) re-bands
+    the signature store on every read."""
     spark = batch_docs.sparkSession
     sigs = minhash_signature(batch_docs, "doc_id", "text", k, num_perm)
     sigs.persist()
@@ -130,8 +165,19 @@ def ingest_batch(
         store = spark.read.parquet(store_path)
         if epoch_id is not None and "epoch" in store.columns:
             store = store.filter(F.col("epoch") < epoch_id).drop("epoch")
+        store_banded = None
+        if banded_store_path is not None and os.path.exists(banded_store_path):
+            store_banded = spark.read.parquet(banded_store_path)
+            if epoch_id is not None and "epoch" in store_banded.columns:
+                store_banded = store_banded.filter(
+                    F.col("epoch") < epoch_id
+                ).drop("epoch")
+            store_banded = store_banded.withColumnRenamed("doc_id", "id_a")
         dropped_vs_store = (
-            _match_pairs(store, sigs, num_perm, bands, match_min)
+            _match_pairs(
+                store, sigs, num_perm, bands, match_min,
+                left_banded=store_banded,
+            )
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
@@ -147,6 +193,18 @@ def ingest_batch(
         )
     else:
         sigs.write.mode("append").parquet(store_path)
+    if banded_store_path is not None:
+        batch_banded = banded_keys(sigs, "doc_id", num_perm, bands).withColumn(
+            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(_BAND_BUCKETS))
+        )
+        if epoch_id is not None:
+            batch_banded.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(banded_store_path, f"epoch={int(epoch_id)}")
+            )
+        else:
+            batch_banded.write.mode("append").partitionBy("bucket").parquet(
+                banded_store_path
+            )
     sigs.unpersist()
     return survivors
 
@@ -164,7 +222,10 @@ def start_corpus_ingest(
     """File-source streaming wrapper: each discovered file is one
     micro-batch through `ingest_batch`; survivors append to `out_path`.
     availableNow drains the backlog then stops — the batch-parity mode
-    the tests use; drop it for a continuous tail."""
+    the tests use; drop it for a continuous tail. The wrapper maintains
+    the band-partitioned key store (``<store_path>_banded``) by default
+    — the layout the candidate probe prunes against at scale."""
+    gate_kwargs.setdefault("banded_store_path", store_path + "_banded")
 
     def on_batch(batch_df: DataFrame, epoch: int) -> None:
         kept = ingest_batch(batch_df, store_path, epoch_id=epoch, **gate_kwargs)

@@ -123,3 +123,39 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     ref = _survivor_ids(ingest_batch(docs, str(tmp_path / "store_ref")))
     assert sorted(k0 + k1) == ref
     docs.unpersist()
+
+
+def test_banded_store_path_matches_flat_path(spark, tmp_path):
+    """The band-partitioned key store (bucket=pmod(xxhash64(band_key),64)
+    parquet partitions, probed on (bucket, band_idx, band_key)) must
+    yield the identical survivor set as the flat re-band-on-read path,
+    and must actually lay bucket directories on disk."""
+    docs = _docs_with_neardups(spark).cache()
+    first = docs.filter(F.col("doc_id") < 20)
+    second = docs.filter(F.col("doc_id") >= 20)
+
+    flat = str(tmp_path / "flat")
+    f0 = _survivor_ids(ingest_batch(first, flat, epoch_id=0))
+    f1 = _survivor_ids(ingest_batch(second, flat, epoch_id=1))
+
+    store = str(tmp_path / "store")
+    banded = str(tmp_path / "store_banded")
+    b0 = _survivor_ids(
+        ingest_batch(first, store, epoch_id=0, banded_store_path=banded)
+    )
+    b1 = _survivor_ids(
+        ingest_batch(second, store, epoch_id=1, banded_store_path=banded)
+    )
+    assert (b0, b1) == (f0, f1)
+
+    buckets = [
+        d
+        for d in os.listdir(os.path.join(banded, "epoch=0"))
+        if d.startswith("bucket=")
+    ]
+    assert len(buckets) > 1, "banded store must be bucket-partitioned"
+    row = spark.read.parquet(banded).limit(1)
+    assert {"doc_id", "band_idx", "band_key", "bucket", "epoch"} <= set(
+        row.columns
+    )
+    docs.unpersist()
