@@ -97,13 +97,26 @@ FROM isl GROUP BY doc_id, island
     ),
 )
 def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = _shingle_frame(spark, sf_dir)
+    rep = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    # rep is one row per repeated shingle (unbounded) — no broadcast hint
+    anchors = ng.join(rep.select("g"), "g").select("doc_id", "p")
+    return _merge_anchor_islands(anchors)
+
+
+def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p, g): every k-token shingle position with its md5
+    digest — the shared anchor substrate for both ExactSubstr variants
+    (identical subtree, so a composed pipeline computes it once)."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
     )
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("toks")
     )
-    ng = (
+    return (
         d.filter(F.size("toks") >= _XSUB_K)
         .select(
             "doc_id",
@@ -117,11 +130,12 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
     )
-    rep = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") >= 2
-    )
-    # rep is one row per repeated shingle (unbounded) — no broadcast hint
-    anchors = ng.join(rep.select("g"), "g").select("doc_id", "p")
+
+
+def _merge_anchor_islands(anchors: DataFrame) -> DataFrame:
+    """Merge per-doc anchor positions (each covering [p, p+k)) into
+    maximal spans: one doc-partitioned window pass (gap-islands with
+    break at position gap > k), then one hash agg per (doc, island)."""
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = (
         anchors.withColumn("prev", F.lag("p").over(w))
@@ -144,4 +158,236 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
     ).drop("island").select(
         "doc_id", "span_start", "span_end", "span_tokens", "n_anchors"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_substring_keep_first — ExactSubstr with the paper's keep-one rule
+# ---------------------------------------------------------------------------
+
+_XSUBF_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_XSUB_TOKS} AS toks FROM documents
+),
+ng AS (
+  SELECT doc_id, u.p,
+         md5(array_to_string(toks[u.p + 1 : u.p + {_XSUB_K}], ' ')) AS g
+  FROM d, LATERAL unnest(generate_series(0, len(toks) - {_XSUB_K})) AS u(p)
+  WHERE len(toks) >= {_XSUB_K}
+),
+occ AS (
+  SELECT doc_id, p, g,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+  FROM ng
+),
+anchors AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rn > 1),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_XSUB_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, p,
+           LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+    FROM anchors
+  )
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {_XSUB_K} AS BIGINT) AS span_end,
+       CAST(MAX(p) + {_XSUB_K} - MIN(p) AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query(
+    "x_substring_keep_first",
+    _XSUBF_SQL,
+    doc=(
+        "ExactSubstr with the paper's keep-one-copy rule (arXiv:"
+        "2107.06499 §4.1 removes all but one occurrence): per repeated "
+        "k-gram, the globally FIRST occurrence (lowest doc_id, then "
+        "position — a total order, so the survivor is deterministic) "
+        "is canonical and every later occurrence becomes a drop "
+        "anchor; anchors merge into maximal spans exactly as "
+        "x_substring_dedup. The first-occurrence pick is one "
+        "row_number window partitioned by digest — per-gram occurrence "
+        "lists are the partition, so a boilerplate gram repeated "
+        "millions of times is a skewed window partition: at 100 TB cap "
+        "per-gram occurrancy first (count + filter cnt <= cap, "
+        "dropping ubiquitous grams to the remove-all path, which needs "
+        "no ordering) — the fixture registers the uncapped exact form."
+    ),
+)
+def x_substring_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = _shingle_frame(spark, sf_dir)
+    wg = Window.partitionBy("g")
+    occ = ng.select(
+        "doc_id",
+        "p",
+        F.count(F.lit(1)).over(wg).alias("cnt"),
+        F.row_number().over(wg.orderBy("doc_id", "p")).alias("rn"),
+    )
+    anchors = occ.filter((F.col("cnt") >= 2) & (F.col("rn") > 1)).select(
+        "doc_id", "p"
+    )
+    return _merge_anchor_islands(anchors)
+
+
+# ---------------------------------------------------------------------------
+# x_gopher_rules — Gopher quality-filter rule battery (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+# MassiveText/Gopher Appendix A quality heuristics, exact-integer form.
+# Ratio thresholds compare cross-multiplied integers (never division):
+# mean word length in [3,10], symbol-to-word < 0.1, >=90% of lines not
+# bullet-led, <30% ellipsis-ended lines, >=80% words with an alphabetic
+# char, >=2 distinct required stopwords. Word-count bounds [50, 100000].
+_GOPHER_REQ_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _dd_gopher_sql() -> str:
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END)"
+        for s in _GOPHER_REQ_STOPS
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_XSUB_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sum_word_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(lines,
+              x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+                   OR starts_with(ltrim(x), chr(8226)))) AS BIGINT)
+           AS n_bullet_lines,
+         CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT)
+           AS n_ellipsis_lines,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST({stop_sum} AS BIGINT) AS n_req_stops
+  FROM d
+)
+SELECT doc_id, n_words, n_lines, sum_word_chars, n_symbols,
+       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_req_stops,
+       (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+       (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words)
+         AS r_meanlen,
+       (10 * n_symbols < n_words) AS r_symbol,
+       (10 * (n_lines - n_bullet_lines) >= 9 * n_lines) AS r_bullet,
+       (10 * n_ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+       (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+       (n_req_stops >= 2) AS r_stopwords,
+       ((n_words BETWEEN 50 AND 100000)
+        AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+        AND 10 * n_symbols < n_words
+        AND 10 * (n_lines - n_bullet_lines) >= 9 * n_lines
+        AND 10 * n_ellipsis_lines < 3 * n_lines
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_req_stops >= 2) AS keep
+FROM m
+"""
+
+
+@query(
+    "x_gopher_rules",
+    _dd_gopher_sql(),
+    doc=(
+        "Gopher/MassiveText quality-filter battery (Rae et al. 2021, "
+        "arXiv:2112.11446 Appendix A): word-count bounds, mean-word-"
+        "length bounds, symbol-to-word ratio, bullet-led and ellipsis-"
+        "ended line shares, alphabetic-word share, required-stopword "
+        "presence — every ratio compared in cross-multiplied exact "
+        "integers (no division, no floats), per-rule verdicts plus the "
+        "conjunction. One narrow projection pass, zero shuffles except "
+        "the final exchange-free scan — every rule is a per-row "
+        "expression over the token/line arrays, fully inside "
+        "whole-stage codegen."
+    ),
+)
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    n_words = F.size("toks").cast("bigint")
+    n_lines = F.size("lines").cast("bigint")
+    sum_chars = F.expr(
+        "aggregate(toks, 0L, (a, x) -> a + length(x))"
+    ).cast("bigint")
+    n_symbols = (
+        (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+        + F.floor(
+            (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
+            / F.lit(3)
+        )
+    ).cast("bigint")
+    bullet = F.size(
+        F.filter(
+            F.col("lines"),
+            lambda x: F.ltrim(x).startswith("-")
+            | F.ltrim(x).startswith("*")
+            | F.ltrim(x).startswith("•"),
+        )
+    ).cast("bigint")
+    ellipsis = F.size(
+        F.filter(F.col("lines"), lambda x: x.endswith("..."))
+    ).cast("bigint")
+    alpha = F.size(
+        F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))
+    ).cast("bigint")
+    req = sum(
+        F.array_contains("toks", s).cast("int") for s in _GOPHER_REQ_STOPS
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        sum_chars.alias("sum_word_chars"),
+        n_symbols.alias("n_symbols"),
+        bullet.alias("n_bullet_lines"),
+        ellipsis.alias("n_ellipsis_lines"),
+        alpha.alias("n_alpha_words"),
+        req.alias("n_req_stops"),
+    )
+    r_wordcount = F.col("n_words").between(50, 100000)
+    r_meanlen = (3 * F.col("n_words") <= F.col("sum_word_chars")) & (
+        F.col("sum_word_chars") <= 10 * F.col("n_words")
+    )
+    r_symbol = 10 * F.col("n_symbols") < F.col("n_words")
+    r_bullet = 10 * (F.col("n_lines") - F.col("n_bullet_lines")) >= 9 * F.col(
+        "n_lines"
+    )
+    r_ellipsis = 10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines")
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_req_stops") >= 2
+    return m.select(
+        "*",
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_wordcount & r_meanlen & r_symbol & r_bullet & r_ellipsis
+            & r_alpha & r_stop
+        ).alias("keep"),
     )

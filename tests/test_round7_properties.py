@@ -1,0 +1,126 @@
+"""Round-7 property tests: ExactSubstr k-gram anchoring vs a direct
+python model, and Gopher rule exactness."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
+from realtime_banking_cdc_pipeline_spark.queries.round7 import (
+    _GOPHER_REQ_STOPS,
+    _XSUB_K,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text):
+    return [t for t in text.strip().lower().split(" ") if t]
+
+
+def _doc_tokens(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    return {r.doc_id: _toks(r.text) for r in rows}
+
+
+def _spans_from_anchors(anchors_by_doc):
+    """Union of [p, p+k) intervals -> maximal spans, the python model."""
+    out = defaultdict(list)
+    for doc, ps in anchors_by_doc.items():
+        ps = sorted(ps)
+        start = prev = None
+        for p in ps:
+            if prev is None or p - prev > _XSUB_K:
+                if prev is not None:
+                    out[doc].append((start, prev + _XSUB_K))
+                start = p
+            prev = p
+        if prev is not None:
+            out[doc].append((start, prev + _XSUB_K))
+    return out
+
+
+def test_substring_dedup_matches_python_model(spark):
+    docs = _doc_tokens(spark)
+    occ = defaultdict(list)
+    for doc, toks in docs.items():
+        for p in range(len(toks) - _XSUB_K + 1):
+            occ[tuple(toks[p : p + _XSUB_K])].append((doc, p))
+    anchors = defaultdict(set)
+    for gram, locs in occ.items():
+        if len(locs) >= 2:
+            for doc, p in locs:
+                anchors[doc].add(p)
+    expect = {
+        (doc, s, e) for doc, spans in _spans_from_anchors(anchors).items()
+        for s, e in spans
+    }
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in QUERIES["x_substring_dedup"].spark(spark, SF).collect()
+    }
+    assert got == expect
+    # every span is at least one full k-gram and bounds are sane
+    for _, s, e in got:
+        assert e - s >= _XSUB_K
+
+
+def test_substring_keep_first_spares_the_first_occurrence(spark):
+    docs = _doc_tokens(spark)
+    occ = defaultdict(list)
+    for doc, toks in docs.items():
+        for p in range(len(toks) - _XSUB_K + 1):
+            occ[tuple(toks[p : p + _XSUB_K])].append((doc, p))
+    anchors = defaultdict(set)
+    for gram, locs in occ.items():
+        if len(locs) >= 2:
+            for doc, p in sorted(locs)[1:]:  # keep-one: first survives
+                anchors[doc].add(p)
+    expect = {
+        (doc, s, e) for doc, spans in _spans_from_anchors(anchors).items()
+        for s, e in spans
+    }
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in QUERIES["x_substring_keep_first"].spark(spark, SF).collect()
+    }
+    assert got == expect
+
+    # keep-first anchors are a subset of remove-all anchors, so its
+    # total covered token mass can never exceed remove-all's
+    cover = lambda rows: sum(e - s for _, s, e in rows)  # noqa: E731
+    all_spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in QUERIES["x_substring_dedup"].spark(spark, SF).collect()
+    }
+    assert cover(got) <= cover(all_spans)
+
+
+def test_gopher_rules_match_python_model(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {
+        r.doc_id: r.asDict()
+        for r in QUERIES["x_gopher_rules"].spark(spark, SF).collect()
+    }
+    assert set(got) == {r.doc_id for r in rows}
+    for r in rows:
+        toks = _toks(r.text)
+        lines = r.text.split("\n")
+        g = got[r.doc_id]
+        assert g["n_words"] == len(toks)
+        assert g["n_lines"] == len(lines)
+        assert g["sum_word_chars"] == sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if any(c.isalpha() for c in t.lower()))
+        assert g["n_alpha_words"] == n_alpha
+        n_req = sum(1 for s in _GOPHER_REQ_STOPS if s in toks)
+        assert g["n_req_stops"] == n_req
+        assert g["r_wordcount"] == (50 <= len(toks) <= 100000)
+        assert g["r_alpha"] == (5 * n_alpha >= 4 * len(toks))
+        assert g["r_stopwords"] == (n_req >= 2)
+        assert g["keep"] == all(
+            g[k]
+            for k in (
+                "r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+                "r_ellipsis", "r_alpha", "r_stopwords",
+            )
+        )
