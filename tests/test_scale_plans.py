@@ -656,3 +656,26 @@ def test_bpe_apply_and_rate_spike_plan_shapes(spark):
     ps = _formatted_plan(spk)
     assert shuffle_count(spk) <= 2 and "Window" in ps
     assert "Exchange SinglePartition" not in ps
+
+
+def test_substring_dedup_plan_shape(spark):
+    """ExactSubstr: no global sort anywhere (spans come from a
+    doc-partitioned window, never an ORDER BY), and the repeated-digest
+    membership join must not be broadcast-hinted (the digest table is
+    unbounded in corpus size)."""
+    for name in ("x_substring_dedup", "x_substring_keep_first"):
+        plan = _formatted_plan(QUERIES[name].spark(spark, SF))
+        # Window sort is fine (per-partition); a global Exchange
+        # rangepartitioning would mean an accidental global sort.
+        assert "rangepartitioning" not in plan.lower(), name
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """Every Gopher rule is a per-row expression — the whole query must
+    be a single scan+project with ZERO exchanges."""
+    df = QUERIES["x_gopher_rules"].spark(spark, SF)
+    assert shuffle_count(df) == 0
+    # scan + projections only (higher-order array lambdas run outside
+    # whole-stage codegen by design; the plan is still exchange-free)
+    plan = _formatted_plan(df)
+    assert "Exchange" not in plan and "Sort" not in plan
