@@ -391,3 +391,179 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & r_alpha & r_stop
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_corpus_pipeline_v3 — round-7 end-to-end composition
+# ---------------------------------------------------------------------------
+
+
+def _dd_pipeline_v3_sql() -> str:
+    from .llmdata import _CLUST_MATCH_MIN, _dd_minhash_cte
+    from ..functions.similarity import MINHASH_PERMS
+
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH RECURSIVE g AS ({_dd_gopher_sql()}),
+gp AS (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+       WHERE g.keep),
+gtok AS (SELECT doc_id, {_XSUB_TOKS} AS toks FROM gp),
+ng AS (
+  SELECT doc_id, u.p,
+         md5(array_to_string(toks[u.p + 1 : u.p + {_XSUB_K}], ' ')) AS gg
+  FROM gtok, LATERAL unnest(generate_series(0, len(toks) - {_XSUB_K})) AS u(p)
+  WHERE len(toks) >= {_XSUB_K}
+),
+repg AS (SELECT gg FROM ng GROUP BY gg HAVING COUNT(*) >= 2),
+anchors AS (SELECT ng.doc_id, ng.p FROM ng JOIN repg USING (gg)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_XSUB_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM anchors)
+),
+sp AS (SELECT doc_id, MAX(p) + {_XSUB_K} - MIN(p) AS span_tokens
+       FROM isl GROUP BY doc_id, island),
+boiler AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS boiler_tokens
+           FROM sp GROUP BY doc_id),
+{_dd_minhash_cte(src="gp")},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({or_cond})
+  WHERE {match_sum} >= {_CLUST_MATCH_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM gp
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+disp AS (
+  SELECT g.doc_id,
+         CASE WHEN NOT g.keep THEN 'gopher_reject'
+              WHEN c.component <> g.doc_id THEN 'near_dup'
+              ELSE 'kept' END AS status,
+         b.boiler_tokens
+  FROM g
+  LEFT JOIN comp c USING (doc_id)
+  LEFT JOIN boiler b USING (doc_id)
+)
+SELECT d.doc_id, d.status,
+  CASE WHEN d.status <> 'gopher_reject'
+       THEN COALESCE(d.boiler_tokens, 0) END AS boiler_tokens,
+  CASE WHEN d.status = 'kept' THEN
+    CASE WHEN s.b < 90 THEN 'train'
+         WHEN s.b < 95 THEN 'validation'
+         ELSE 'test' END
+  END AS split
+FROM disp d
+JOIN (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 100 AS b
+  FROM documents
+) s USING (doc_id)
+"""
+
+
+@query(
+    "x_corpus_pipeline_v3",
+    _dd_pipeline_v3_sql(),
+    doc=(
+        "End-to-end corpus prep v3 composing the round-7 operators: the "
+        "Gopher rule battery gates documents first (per-row, shuffle-"
+        "free); passing docs get ExactSubstr boilerplate span accounting "
+        "(k-gram anchors counted WITHIN the passing set — filter-then-"
+        "dedup, the production order); near-dups collapse by connected "
+        "component through the contract-first path (exact-dup "
+        "contraction before banding); survivors get the reproducible "
+        "90/5/5 md5 split. Statuses: gopher_reject -> near_dup -> kept, "
+        "with boiler_tokens carried for every non-rejected doc. Every "
+        "stage reuses the registered operator's exact machinery, so the "
+        "composition is the same subtrees Spark's cache manager already "
+        "shares; the oracle replays the full composition, recursive "
+        "clustering included."
+    ),
+)
+def x_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.sampling import assign_split
+    from .llmdata import _docs, neardup_components
+
+    d = _docs(spark, sf_dir)
+    goph = track_persist(x_gopher_rules(spark, sf_dir).select("doc_id", "keep"))
+    gp = track_persist(
+        d.join(goph.filter(F.col("keep")).select("doc_id"), "doc_id").select(
+            "doc_id", "text"
+        )
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    ng = (
+        gp.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _XSUB_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_XSUB_K}),"
+                    f" p -> struct(p AS p,"
+                    f" md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' ')) AS g))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+    )
+    rep = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    boiler = (
+        _merge_anchor_islands(ng.join(rep.select("g"), "g").select("doc_id", "p"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("bigint").alias("boiler_tokens"))
+    )
+    comp = neardup_components(gp).withColumnRenamed("id", "doc_id")
+    disp = (
+        goph.join(comp, "doc_id", "left_outer")
+        .join(boiler, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep"), "gopher_reject")
+            .when(F.col("component") != F.col("doc_id"), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+            F.col("boiler_tokens"),
+        )
+    )
+    split = assign_split(d.select("doc_id"), "doc_id").select("doc_id", "split")
+    return disp.join(split, "doc_id").select(
+        "doc_id",
+        "status",
+        F.when(
+            F.col("status") != "gopher_reject",
+            F.coalesce(F.col("boiler_tokens"), F.lit(0)),
+        ).alias("boiler_tokens"),
+        F.when(F.col("status") == "kept", F.col("split")).alias("split"),
+    )
