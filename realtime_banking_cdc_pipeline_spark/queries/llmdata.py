@@ -644,10 +644,18 @@ def neardup_components(d: DataFrame, star: bool = False) -> DataFrame:
         connected_components_star,
     )
 
+    from pyspark.sql import Window
+
     g = d.select("doc_id", F.md5(F.col("text")).alias("__h"))
-    rep = g.groupBy("__h").agg(F.min("doc_id").alias("rep"))
-    members = track_persist(g.join(rep, "__h").select("doc_id", "rep"))
-    reps = members.select(F.col("rep").alias("doc_id")).distinct()
+    # one exchange: the min-id representative via a hash-partitioned
+    # window (the groupBy+rejoin form costs a second shuffle of g)
+    members = track_persist(
+        g.select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("__h")).alias("rep"),
+        )
+    )
+    reps = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
     pairs = neardup_candidate_pairs(d.join(reps, "doc_id"))
     cc = (connected_components_star if star else connected_components)(
         pairs, src="id_a", dst="id_b", nodes=reps

@@ -567,3 +567,90 @@ def x_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("boiler_tokens"),
         F.when(F.col("status") == "kept", F.col("split")).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_winnowing — MOSS winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # winnowing window (k-gram hashes per window)
+_WIN_HMAX = 16 ** 7  # md5 7-hex-digit hash universe (28 bits)
+_WIN_PSHIFT = 1 << 20  # position packing: docs bounded at 2^20 tokens
+
+_XWIN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_XSUB_TOKS} AS toks FROM documents
+),
+ng AS (
+  SELECT doc_id, u.p,
+         CAST('0x' || substr(
+           md5(array_to_string(toks[u.p + 1 : u.p + {_XSUB_K}], ' ')), 1, 7)
+           AS BIGINT) AS h
+  FROM d, LATERAL unnest(generate_series(0, len(toks) - {_XSUB_K})) AS u(p)
+  WHERE len(toks) >= {_XSUB_K}
+),
+pr AS (
+  SELECT doc_id, p,
+         ({_WIN_HMAX} - h) * {_WIN_PSHIFT} + p AS priority
+  FROM ng
+),
+sel AS (
+  SELECT doc_id, p,
+         MAX(priority) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                                      AND CURRENT ROW) AS win_pri
+  FROM pr
+  QUALIFY p >= {_WIN_W - 1}
+)
+SELECT DISTINCT doc_id,
+       CAST(win_pri % {_WIN_PSHIFT} AS BIGINT) AS pos,
+       CAST({_WIN_HMAX} - win_pri // {_WIN_PSHIFT} AS BIGINT) AS fp
+FROM sel
+"""
+
+
+@query(
+    "x_winnowing",
+    _XWIN_SQL,
+    doc=(
+        "Winnowing document fingerprints (Schleimer et al., SIGMOD "
+        "2003 — the MOSS algorithm): from each sliding window of w "
+        "consecutive k-gram hashes select the MINIMAL hash, breaking "
+        "ties toward the rightmost position — the guarantee is one "
+        "fingerprint per w-window (density 2/(w+1)) while any shared "
+        "substring of length k+w-1 shares a fingerprint. The argmin-"
+        "with-rightmost-tiebreak is ONE integer pack: priority = "
+        "(Hmax - h)·2^20 + p, a MAX over a doc-partitioned ROWS frame "
+        "(no join, no explode beyond the shingles), then decode + "
+        "DISTINCT. Same shingle substrate as the ExactSubstr family. "
+        "Scale: linear in corpus tokens, the only exchange is the "
+        "doc-partitioned window + the dedup hash agg; position "
+        "packing bounds docs at 2^20 tokens (assert-documented)."
+    ),
+)
+def x_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = _shingle_frame(spark, sf_dir)
+    pr = ng.select(
+        "doc_id",
+        "p",
+        (
+            (F.lit(_WIN_HMAX) - F.conv(F.substring("g", 1, 7), 16, 10).cast("long"))
+            * F.lit(_WIN_PSHIFT)
+            + F.col("p")
+        ).alias("priority"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    sel = pr.select(
+        "doc_id", "p", F.max("priority").over(w).alias("win_pri")
+    ).filter(F.col("p") >= _WIN_W - 1)
+    return sel.select(
+        "doc_id",
+        (F.col("win_pri") % _WIN_PSHIFT).cast("bigint").alias("pos"),
+        (F.lit(_WIN_HMAX) - F.expr(f"win_pri div {_WIN_PSHIFT}"))
+        .cast("bigint")
+        .alias("fp"),
+    ).distinct()

@@ -124,3 +124,53 @@ def test_gopher_rules_match_python_model(spark):
                 "r_ellipsis", "r_alpha", "r_stopwords",
             )
         )
+
+
+def test_winnowing_matches_python_model_and_guarantee(spark):
+    """Winnowing: rightmost-min selection per window, python-replayed;
+    plus the paper's guarantee — every w-window of k-gram hashes
+    contains at least one selected fingerprint position."""
+    import hashlib
+
+    from realtime_banking_cdc_pipeline_spark.queries.round7 import (
+        _WIN_HMAX,
+        _WIN_W,
+    )
+
+    docs = _doc_tokens(spark)
+
+    def h(gram):
+        return int(hashlib.md5(" ".join(gram).encode()).hexdigest()[:7], 16)
+
+    expect = set()
+    windows_total = 0
+    sel_by_doc = {}
+    for doc, toks in docs.items():
+        hs = [
+            h(tuple(toks[p : p + _XSUB_K]))
+            for p in range(len(toks) - _XSUB_K + 1)
+        ]
+        picked = set()
+        for end in range(_WIN_W - 1, len(hs)):
+            lo = end - _WIN_W + 1
+            best = max(
+                range(lo, end + 1), key=lambda q: ((_WIN_HMAX - hs[q]), q)
+            )
+            picked.add((best, hs[best]))
+            windows_total += 1
+        for q, fp in picked:
+            expect.add((doc, q, fp))
+        sel_by_doc[doc] = {q for q, _ in picked}
+
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in QUERIES["x_winnowing"].spark(spark, SF).collect()
+    }
+    assert got == expect
+
+    # guarantee: each w-window has a selected position inside it
+    for doc, toks in docs.items():
+        n = len(toks) - _XSUB_K + 1
+        for end in range(_WIN_W - 1, n):
+            lo = end - _WIN_W + 1
+            assert any(lo <= q <= end for q in sel_by_doc[doc]), (doc, end)
