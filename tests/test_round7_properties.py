@@ -174,3 +174,59 @@ def test_winnowing_matches_python_model_and_guarantee(spark):
         for end in range(_WIN_W - 1, n):
             lo = end - _WIN_W + 1
             assert any(lo <= q <= end for q in sel_by_doc[doc]), (doc, end)
+
+
+def test_contract_first_components_equal_direct_components(spark):
+    """neardup_components (exact-dup contraction first) must equal the
+    direct components-over-all-docs construction on corpora with mixed
+    exact-dup / near-dup / unique structure — the invariant the
+    contract-first default rests on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from realtime_banking_cdc_pipeline_spark.queries.llmdata import (
+        neardup_candidate_pairs,
+        neardup_components,
+    )
+
+    base_words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),  # which base text family
+                st.integers(0, 2),  # 0: exact copy, 1/2: token edit
+            ),
+            min_size=2,
+            max_size=14,
+        )
+    )
+    def check(spec):
+        rows = []
+        for i, (fam, edit) in enumerate(spec):
+            words = [f"{w}{fam}" for w in base_words * 3]
+            if edit:
+                words[edit * 3] = words[edit * 3] + "x"
+            rows.append((i, " ".join(words)))
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        direct = {
+            (r.id, r.component)
+            for r in connected_components(
+                neardup_candidate_pairs(d),
+                src="id_a", dst="id_b", nodes=d.select("doc_id"),
+            ).collect()
+        }
+        contracted = {
+            (r.id, r.component) for r in neardup_components(d).collect()
+        }
+        assert contracted == direct
+
+    check()
