@@ -591,7 +591,9 @@ ng AS (
 ),
 pr AS (
   SELECT doc_id, p,
-         ({_WIN_HMAX} - h) * {_WIN_PSHIFT} + p AS priority
+         CASE WHEN p >= {_WIN_PSHIFT}
+              THEN error('winnowing position overflow: doc exceeds 2^20 tokens')
+              ELSE ({_WIN_HMAX} - h) * {_WIN_PSHIFT} + p END AS priority
   FROM ng
 ),
 sel AS (
@@ -630,14 +632,22 @@ FROM sel
 )
 def x_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = _shingle_frame(spark, sf_dir)
+    # loud guard, not silent corruption: the packing bounds docs at
+    # 2^20 tokens (a 100 TB corpus shards long docs upstream)
+    pack = (
+        F.lit(_WIN_HMAX) - F.conv(F.substring("g", 1, 7), 16, 10).cast("long")
+    ) * F.lit(_WIN_PSHIFT) + F.col("p")
     pr = ng.select(
         "doc_id",
         "p",
-        (
-            (F.lit(_WIN_HMAX) - F.conv(F.substring("g", 1, 7), 16, 10).cast("long"))
-            * F.lit(_WIN_PSHIFT)
-            + F.col("p")
-        ).alias("priority"),
+        F.when(
+            F.col("p") >= _WIN_PSHIFT,
+            F.raise_error(
+                F.lit("winnowing position overflow: doc exceeds 2^20 tokens")
+            ),
+        )
+        .otherwise(pack)
+        .alias("priority"),
     )
     w = (
         Window.partitionBy("doc_id")
