@@ -165,6 +165,11 @@ def _merge_anchor_islands(anchors: DataFrame) -> DataFrame:
 # x_substring_keep_first — ExactSubstr with the paper's keep-one rule
 # ---------------------------------------------------------------------------
 
+_XSUBF_CAP = 4096  # per-gram occupancy cap: above this the gram is
+                   # boilerplate and every occurrence anchors (the
+                   # keep-one courtesy is pointless and its ordered
+                   # window would be a straggler partition)
+
 _XSUBF_SQL = f"""
 WITH d AS (
   SELECT doc_id, {_XSUB_TOKS} AS toks FROM documents
@@ -175,13 +180,20 @@ ng AS (
   FROM d, LATERAL unnest(generate_series(0, len(toks) - {_XSUB_K})) AS u(p)
   WHERE len(toks) >= {_XSUB_K}
 ),
-occ AS (
-  SELECT doc_id, p, g,
-         COUNT(*) OVER (PARTITION BY g) AS cnt,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
-  FROM ng
+cnt AS (SELECT g, COUNT(*) AS n FROM ng GROUP BY g),
+small AS (
+  SELECT ng.doc_id, ng.p,
+         ROW_NUMBER() OVER (PARTITION BY ng.g ORDER BY ng.doc_id, ng.p) AS rn
+  FROM ng JOIN cnt USING (g)
+  WHERE cnt.n BETWEEN 2 AND {_XSUBF_CAP}
 ),
-anchors AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rn > 1),
+anchors AS (
+  SELECT doc_id, p FROM small WHERE rn > 1
+  UNION ALL
+  SELECT ng.doc_id, ng.p
+  FROM ng JOIN cnt USING (g)
+  WHERE cnt.n > {_XSUBF_CAP}
+),
 isl AS (
   SELECT doc_id, p,
          SUM(CASE WHEN prev IS NULL OR p - prev > {_XSUB_K} THEN 1 ELSE 0 END)
@@ -212,28 +224,41 @@ FROM isl GROUP BY doc_id, island
         "position — a total order, so the survivor is deterministic) "
         "is canonical and every later occurrence becomes a drop "
         "anchor; anchors merge into maximal spans exactly as "
-        "x_substring_dedup. The first-occurrence pick is one "
-        "row_number window partitioned by digest — per-gram occurrence "
-        "lists are the partition, so a boilerplate gram repeated "
-        "millions of times is a skewed window partition: at 100 TB cap "
-        "per-gram occurrancy first (count + filter cnt <= cap, "
-        "dropping ubiquitous grams to the remove-all path, which needs "
-        "no ordering) — the fixture registers the uncapped exact form."
+        "x_substring_dedup. SKEW-PROOF first-occurrence pick: the "
+        "per-gram occupancy comes from a map-side-combinable hash agg "
+        "(never a window over the raw occurrence partition), and only "
+        "grams with 2..4096 occurrences enter the ordered row_number "
+        "window — its partitions are bounded by the cap. Grams above "
+        "the cap are corpus boilerplate (a license header repeated "
+        "millions of times): every occurrence anchors, straight to the "
+        "remove-all path with no ordering at all, so no straggler "
+        "partition exists at any corpus size. Both branches are "
+        "mirrored in the oracle, so the cap is part of the checked "
+        "contract, not a Spark-side shortcut."
     ),
 )
 def x_substring_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ng = _shingle_frame(spark, sf_dir)
-    wg = Window.partitionBy("g")
-    occ = ng.select(
-        "doc_id",
-        "p",
-        F.count(F.lit(1)).over(wg).alias("cnt"),
-        F.row_number().over(wg.orderBy("doc_id", "p")).alias("rn"),
+    from ..caching import track_persist
+
+    ng = track_persist(_shingle_frame(spark, sf_dir))
+    cnt = ng.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    # cnt is one row per distinct gram (unbounded) — no broadcast hint
+    small = (
+        ng.join(cnt.filter(F.col("n").between(2, _XSUBF_CAP)).select("g"), "g")
+        .select(
+            "doc_id",
+            "p",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("doc_id", "p"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "p")
     )
-    anchors = occ.filter((F.col("cnt") >= 2) & (F.col("rn") > 1)).select(
-        "doc_id", "p"
-    )
-    return _merge_anchor_islands(anchors)
+    big = ng.join(
+        cnt.filter(F.col("n") > _XSUBF_CAP).select("g"), "g"
+    ).select("doc_id", "p")
+    return _merge_anchor_islands(small.unionByName(big))
 
 
 # ---------------------------------------------------------------------------
