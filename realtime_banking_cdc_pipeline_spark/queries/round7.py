@@ -97,7 +97,10 @@ FROM isl GROUP BY doc_id, island
     ),
 )
 def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ng = _shingle_frame(spark, sf_dir)
+    from ..caching import track_persist
+
+    # the shingle+digest subtree feeds both the count and the join-back
+    ng = track_persist(_shingle_frame(spark, sf_dir))
     rep = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") >= 2
     )
@@ -561,6 +564,7 @@ def x_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
     )
+    ng = track_persist(ng)
     rep = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") >= 2
     )
