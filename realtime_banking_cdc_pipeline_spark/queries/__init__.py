@@ -30,6 +30,7 @@ from . import round6  # noqa: F401,E402  (TPC-H Q2/Q7/Q8/Q9 planner-stress shape
 from . import round6b  # noqa: F401,E402  (SemDeDup, BM25 retrieval)
 from . import round6c  # noqa: F401,E402  (decontamination, export manifests)
 from . import round7  # noqa: F401,E402  (ExactSubstr substring dedup)
+from . import round7b  # noqa: F401,E402  (deterministic sketches: bloom/HLL/CMS)
 
 # The driver's correctness gate executes the FIRST 50 registry entries
 # (CORRECTNESS_r0{2,3,4,5}.json each contain exactly the first 50 keys).

@@ -1,0 +1,421 @@
+"""Round-7 deterministic sketch operators (training-data-pipeline
+extension surface; the reference has no sketches at all — its dedup is
+exact event-id checks in `consumer/kafka_to_minio.py`).
+
+The standard objection to oracle-checking sketches is that they are
+"approximate"; but approximation is about the ESTIMATE's relation to
+the truth, not about nondeterminism. With md5-derived hash functions
+(the cross-engine house hash) every register / bit / counter is a pure
+function of the data, so DuckDB replays the identical sketch and the
+driver's strict value-hash holds. This upgrades the sketch family from
+the rows-only check `a_approx_sketches` carries to full strict
+verification:
+
+- x_bloom_decontaminate — Bloom-filter membership screen of the corpus
+  against a benchmark set (Bloom 1970): k=4 md5 hash functions into a
+  4096-bit filter held as 64 longs — the bounded-size broadcast twin of
+  exact-join decontamination, with the false-positive accounting made
+  explicit (bloom_hit >= exact always; the gap IS the fp rate).
+- x_hll_distinct — HyperLogLog registers (Flajolet et al. 2007) per
+  source: bucket = low 6 hash bits, rank = leading-zero count of the
+  remaining 54 bits via integer bit-length (no floats), estimate =
+  alpha*m^2 / sum(2^-M_j) in 2^55 fixed point with ONE trailing double
+  division. Raw estimator only (the small-range linear-counting branch
+  needs ln, which is libm — zero-register count is reported so the
+  caller can apply it; at deployment precision swap in real ln).
+- x_cms_heavy_hitters — Count-Min sketch (Cormode & Muthukrishnan
+  2005): depth 4 x width 256 counters over corpus tokens, point-query
+  estimates for the exact top-20 tokens; est >= exact is the sketch's
+  one-sided guarantee and the overestimate is reported.
+
+All integer arithmetic; every hash is md5; nothing here needs more
+than hash aggs + one broadcast-sized join (the sketch itself is
+constant-size by construction — THE reason sketches exist at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import read_table
+from .registry import query
+
+_BLOOM_MOD = 29  # benchmark set: doc_id % 29 == 0 (the x_cross_corpus convention)
+_BLOOM_BITS = 4096
+_BLOOM_WORDS = _BLOOM_BITS // 32  # 32-bit words: shifts stay < 31 (DuckDB checks 1<<63 overflow)
+_BLOOM_K = 4
+
+_XBLOOM_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % {_BLOOM_MOD} = 0
+),
+bpos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || text),
+                             1, 7) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM bench, unnest(generate_series(0, {_BLOOM_K - 1})) AS t(i)
+),
+filt AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+),
+probe AS (
+  SELECT d.doc_id,
+         CAST('0x' || substr(md5('bloom' || CAST(t.i AS VARCHAR) || ':' || d.text),
+                             1, 7) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM documents d, unnest(generate_series(0, {_BLOOM_K - 1})) AS t(i)
+  WHERE d.doc_id % {_BLOOM_MOD} <> 0
+),
+hits AS (
+  SELECT p.doc_id,
+         SUM(CASE WHEN f.bits IS NOT NULL
+                   AND (f.bits & (1::BIGINT << CAST(p.pos % 32 AS INTEGER)))
+                       = (1::BIGINT << CAST(p.pos % 32 AS INTEGER))
+                  THEN 1 ELSE 0 END) AS n_set
+  FROM probe p LEFT JOIN filt f ON f.word_idx = p.pos // 32
+  GROUP BY p.doc_id
+),
+ex AS (
+  SELECT d.doc_id, MAX(CASE WHEN b.text IS NOT NULL THEN 1 ELSE 0 END) AS exact
+  FROM documents d LEFT JOIN bench b ON b.text = d.text
+  WHERE d.doc_id % {_BLOOM_MOD} <> 0
+  GROUP BY d.doc_id
+)
+SELECT h.doc_id,
+       (h.n_set = {_BLOOM_K}) AS bloom_hit,
+       (ex.exact = 1) AS exact_dup
+FROM hits h JOIN ex USING (doc_id)
+"""
+
+
+@query(
+    "x_bloom_decontaminate",
+    _XBLOOM_SQL,
+    doc=(
+        "Bloom-filter decontamination screen (Bloom 1970): the "
+        "benchmark set's distinct texts hash through k=4 md5 functions "
+        "into a 4096-bit filter (128 32-bit words — CONSTANT size regardless "
+        "of corpus scale, the whole point); every non-benchmark doc "
+        "probes its 4 bit positions and flags bloom_hit iff all are "
+        "set. exact_dup rides along so the one-sided guarantee "
+        "(bloom_hit >= exact_dup, never a false negative) and the "
+        "false-positive gap are both visible in the output. Scale: "
+        "the filter is a 128-row broadcast; probing is a per-row "
+        "expression + one tiny join; at 100 TB the filter for a "
+        "billion-doc benchmark just grows bits (still KBs-MBs, still "
+        "broadcast) while the exact-join alternative shuffles the "
+        "benchmark against every shard."
+    ),
+)
+def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (
+        d.filter(F.col("doc_id") % _BLOOM_MOD == 0).select("text").distinct()
+    )
+    idx = F.explode(
+        F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    ).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom"), F.col("i").cast("string"),
+                        F.lit(":"), F.col("text"),
+                    ).cast("binary")
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long")
+        % _BLOOM_BITS
+    )
+    bpos = (
+        bench.select("text", idx)
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    filt = bpos.groupBy(F.expr("pos div 32").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")).alias(
+            "bits"
+        )
+    )
+    corpus = d.filter(F.col("doc_id") % _BLOOM_MOD != 0)
+    probe = corpus.select("doc_id", "text", idx).select(
+        "doc_id", pos.alias("pos")
+    )
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+    hits = (
+        probe.join(
+            F.broadcast(filt),
+            F.expr("pos div 32") == F.col("word_idx"),
+            "left_outer",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(mask) == mask),
+                1,
+            )
+            .otherwise(0)
+            .alias("set_bit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("set_bit").alias("n_set"))
+    )
+    ex = (
+        corpus.join(
+            bench.select(F.col("text").alias("btext")),
+            F.col("text") == F.col("btext"),
+            "left_outer",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("btext").isNotNull().cast("int")).alias("exact")
+        )
+    )
+    return hits.join(ex, "doc_id").select(
+        "doc_id",
+        (F.col("n_set") == _BLOOM_K).alias("bloom_hit"),
+        (F.col("exact") == 1).alias("exact_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_hll_distinct — deterministic HyperLogLog per source
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (b = 6 bucket bits)
+_HLL_W = 54  # value bits after the bucket (15 md5 hex digits = 60 bits)
+_HLL_SCALE = 55  # fixed-point: sum(2^(SCALE - M_j)) fits bigint
+# alpha_64 * m^2 * 2^SCALE as ONE python-precomputed double literal so
+# both engines run literal / bigint -> the identical IEEE division
+_HLL_NUM = 0.709 * (_HLL_M ** 2) * float(1 << _HLL_SCALE)
+
+_XHLL_SQL = f"""
+WITH h AS (
+  SELECT source,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+  FROM documents
+),
+b AS (
+  SELECT source, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+),
+r AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN w = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W} - length(bin(w)) + 1 END) AS m_j
+  FROM b GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(SUM(1::BIGINT << CAST({_HLL_SCALE} - m_j AS INTEGER)) AS BIGINT)
+           AS sum_fp,
+         CAST(COUNT(*) AS BIGINT) AS used
+  FROM r GROUP BY 1
+),
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+  FROM documents GROUP BY 1
+)
+SELECT s.source,
+       ex.n_exact,
+       CAST(floor({_HLL_NUM!r} / (CAST(s.sum_fp AS DOUBLE)
+             + CAST({_HLL_M} - s.used AS DOUBLE) * {float(1 << _HLL_SCALE)!r}))
+            AS BIGINT) AS hll_estimate,
+       CAST({_HLL_M} - s.used AS BIGINT) AS zero_registers
+FROM s JOIN ex USING (source)
+"""
+
+
+@query(
+    "x_hll_distinct",
+    _XHLL_SQL,
+    doc=(
+        "HyperLogLog distinct-count registers (Flajolet et al. 2007), "
+        "fully deterministic: 60 md5 bits split into a 6-bit bucket "
+        "and 54 value bits; rank = leading-zero count via integer "
+        "bit-length (length(bin(w)) == bit_length, no floats); "
+        "register table = one max-agg per (source, bucket) — 64 rows "
+        "per source FOREVER, the constant-memory property that makes "
+        "HLL the 100 TB distinct-count. The estimate is the raw HLL "
+        "harmonic mean in 2^55 fixed point with exactly one trailing "
+        "double division (empty registers contribute 2^SCALE each); "
+        "the exact distinct and zero-register count ride along so the "
+        "relative error and the linear-counting regime are visible. "
+        "The same md5-determinism makes the DuckDB oracle replay the "
+        "registers bit-for-bit — an approximate sketch under the "
+        "STRICT hash gate."
+    ),
+)
+def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("source", "text")
+    hv = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    b = d.select(
+        "source",
+        (hv % _HLL_M).alias("bucket"),
+        F.expr(
+            f"conv(substring(md5(cast(text as binary)), 1, 15), 16, 10)"
+            f" div {_HLL_M}"
+        ).cast("long").alias("w"),
+    )
+    r = b.groupBy("source", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(_HLL_W + 1)).otherwise(
+                F.lit(_HLL_W) - F.length(F.bin("w")) + 1
+            )
+        ).alias("m_j")
+    )
+    s = r.groupBy("source").agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({_HLL_SCALE} - m_j as int))")
+        )
+        .cast("long")
+        .alias("sum_fp"),
+        F.count(F.lit(1)).cast("long").alias("used"),
+    )
+    ex = d.groupBy("source").agg(
+        F.countDistinct("text").cast("long").alias("n_exact")
+    )
+    est = F.floor(
+        F.lit(_HLL_NUM)
+        / (
+            F.col("sum_fp").cast("double")
+            + (F.lit(_HLL_M) - F.col("used")).cast("double")
+            * F.lit(float(1 << _HLL_SCALE))
+        )
+    ).cast("bigint")
+    return s.join(ex, "source").select(
+        "source",
+        "n_exact",
+        est.alias("hll_estimate"),
+        (F.lit(_HLL_M) - F.col("used")).cast("bigint").alias("zero_registers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_cms_heavy_hitters — deterministic Count-Min sketch point queries
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # depth (independent md5-salted hash rows)
+_CMS_W = 256  # width (counters per row)
+_CMS_TOPK = 20
+
+_CMS_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')"
+)
+
+_XCMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_CMS_TOKS}) AS term FROM documents
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY term
+),
+cells AS (
+  SELECT t.i AS row_idx,
+         CAST('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || ':' || term),
+                             1, 7) AS BIGINT) % {_CMS_W} AS col_idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok, unnest(generate_series(0, {_CMS_D - 1})) AS t(i)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT term, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, term ASC LIMIT {_CMS_TOPK}
+),
+probes AS (
+  SELECT top.term, top.exact_cnt, t.i AS row_idx,
+         CAST('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || ':' || term),
+                             1, 7) AS BIGINT) % {_CMS_W} AS col_idx
+  FROM top, unnest(generate_series(0, {_CMS_D - 1})) AS t(i)
+)
+SELECT p.term,
+       p.exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+FROM probes p JOIN cells c USING (row_idx, col_idx)
+GROUP BY p.term, p.exact_cnt
+"""
+
+
+@query(
+    "x_cms_heavy_hitters",
+    _XCMS_SQL,
+    doc=(
+        "Count-Min sketch point queries (Cormode & Muthukrishnan "
+        "2005): 4 md5-salted hash rows x 256 counters aggregate the "
+        "corpus token stream (map-side-combinable — the sketch is a "
+        "1024-cell table no matter the corpus size); the exact top-20 "
+        "terms probe their 4 cells and take the min. The one-sided "
+        "guarantee (estimate >= exact) surfaces as the reported "
+        "overestimate column. Deterministic md5 hashing makes the "
+        "oracle replay every counter exactly — strict-hash-checked "
+        "like the Bloom and HLL twins. Scale: build is one hash agg "
+        "over (row, col); probes join against the 1024-row sketch "
+        "(broadcast-sized by construction)."
+    ),
+)
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    tok = track_persist(
+        d.select(F.explode(toks).alias("term"))
+    )
+    exact = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    col_idx = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"), F.col("i").cast("string"),
+                        F.lit(":"), F.col("term"),
+                    ).cast("binary")
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cells = (
+        tok.select("term", idx)
+        .select(F.col("i").alias("row_idx"), col_idx.alias("col_idx"))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("term").asc()
+    ).limit(_CMS_TOPK)
+    probes = top.select("term", "exact_cnt", idx).select(
+        "term",
+        "exact_cnt",
+        F.col("i").alias("row_idx"),
+        col_idx.alias("col_idx"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_idx", "col_idx"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

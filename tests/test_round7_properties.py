@@ -230,3 +230,59 @@ def test_contract_first_components_equal_direct_components(spark):
         assert contracted == direct
 
     check()
+
+
+def test_sketches_honor_their_guarantees(spark):
+    """Deterministic sketches: bloom never false-negatives, CMS never
+    underestimates, HLL registers match a python replay."""
+    import hashlib
+    import math
+
+    from realtime_banking_cdc_pipeline_spark.queries.round7b import (
+        _BLOOM_K,
+        _BLOOM_MOD,
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_SCALE,
+        _HLL_W,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+    # Bloom: one-sided
+    got = QUERIES["x_bloom_decontaminate"].spark(spark, SF).collect()
+    assert len(got) == sum(1 for r in rows if r.doc_id % _BLOOM_MOD != 0)
+    assert all(r.bloom_hit or not r.exact_dup for r in got), "false negative"
+    bench_texts = {r.text for r in rows if r.doc_id % _BLOOM_MOD == 0}
+    exact = {r.doc_id: r.text in bench_texts for r in rows
+             if r.doc_id % _BLOOM_MOD != 0}
+    assert {r.doc_id: r.exact_dup for r in got} == exact
+
+    # CMS: est >= exact on every reported term
+    cms = QUERIES["x_cms_heavy_hitters"].spark(spark, SF).collect()
+    assert cms and all(r.overestimate >= 0 for r in cms)
+    assert all(r.cms_estimate == r.exact_cnt + r.overestimate for r in cms)
+
+    # HLL: python register replay, exact estimate equality
+    regs, seen = {}, {}
+    for r in rows:
+        hv = int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+        bucket, w = hv % _HLL_M, hv // _HLL_M
+        rank = (_HLL_W + 1) if w == 0 else _HLL_W - w.bit_length() + 1
+        key = (r.source, bucket)
+        regs[key] = max(regs.get(key, 0), rank)
+        seen.setdefault(r.source, set()).add(r.text)
+    expect = {}
+    for src in seen:
+        ms = [v for (s, _), v in regs.items() if s == src]
+        sum_fp = sum(1 << (_HLL_SCALE - m) for m in ms)
+        zeros = _HLL_M - len(ms)
+        est = math.floor(
+            _HLL_NUM / (float(sum_fp) + zeros * float(1 << _HLL_SCALE))
+        )
+        expect[src] = (len(seen[src]), est, zeros)
+    got_hll = {
+        r.source: (r.n_exact, r.hll_estimate, r.zero_registers)
+        for r in QUERIES["x_hll_distinct"].spark(spark, SF).collect()
+    }
+    assert got_hll == expect
