@@ -252,25 +252,10 @@ FROM s JOIN ex USING (source)
     ),
 )
 def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketches import hll_registers
+
     d = read_table(spark, sf_dir, "documents").select("source", "text")
-    hv = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    b = d.select(
-        "source",
-        (hv % _HLL_M).alias("bucket"),
-        F.expr(
-            f"conv(substring(md5(cast(text as binary)), 1, 15), 16, 10)"
-            f" div {_HLL_M}"
-        ).cast("long").alias("w"),
-    )
-    r = b.groupBy("source", "bucket").agg(
-        F.max(
-            F.when(F.col("w") == 0, F.lit(_HLL_W + 1)).otherwise(
-                F.lit(_HLL_W) - F.length(F.bin("w")) + 1
-            )
-        ).alias("m_j")
-    )
+    r = hll_registers(d, "source", "text").withColumnRenamed("key", "source")
     s = r.groupBy("source").agg(
         F.sum(
             F.expr(f"shiftleft(cast(1 as bigint), cast({_HLL_SCALE} - m_j as int))")

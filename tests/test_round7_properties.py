@@ -286,3 +286,31 @@ def test_sketches_honor_their_guarantees(spark):
         for r in QUERIES["x_hll_distinct"].spark(spark, SF).collect()
     }
     assert got_hll == expect
+
+
+def test_hll_register_merge_is_the_batch_sketch(spark):
+    """Incremental HLL: per-batch register tables max-merged (in any
+    order, with a replayed batch thrown in) must equal the one-shot
+    batch registers — the mergeability that makes the sketch a
+    streaming distinct-count."""
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.functions.sketches import (
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("source", "text")
+    whole = {
+        (r.key, r.bucket): r.m_j
+        for r in hll_registers(d, "source", "text").collect()
+    }
+    b0 = hll_registers(d.filter(F.col("doc_id").isNull() | True).limit(0), "source", "text")
+    parts = [
+        hll_registers(d.filter(F.col("text") < "m"), "source", "text"),
+        hll_registers(d.filter(F.col("text") >= "m"), "source", "text"),
+    ]
+    # replay one part twice: idempotence must hold
+    merged = merge_hll_registers(b0, parts[0], parts[1], parts[0])
+    got = {(r.key, r.bucket): r.m_j for r in merged.collect()}
+    assert got == whole
