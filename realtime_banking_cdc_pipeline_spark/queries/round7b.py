@@ -307,8 +307,8 @@ cells AS (
   SELECT t.i AS row_idx,
          CAST('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || ':' || term),
                              1, 7) AS BIGINT) % {_CMS_W} AS col_idx,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM tok, unnest(generate_series(0, {_CMS_D - 1})) AS t(i)
+         CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+  FROM exact, unnest(generate_series(0, {_CMS_D - 1})) AS t(i)
   GROUP BY 1, 2
 ),
 top AS (
@@ -354,11 +354,13 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
     )
-    tok = track_persist(
+    # term counts contract the stream FIRST; the sketch (and its md5
+    # per salt row) is then built over the distinct vocabulary, not the
+    # raw token stream — identical counters, |vocab| x depth hashes
+    exact = track_persist(
         d.select(F.explode(toks).alias("term"))
-    )
-    exact = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
     )
     idx = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
     col_idx = (
@@ -377,10 +379,14 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _CMS_W
     )
     cells = (
-        tok.select("term", idx)
-        .select(F.col("i").alias("row_idx"), col_idx.alias("col_idx"))
+        exact.select("term", "exact_cnt", idx)
+        .select(
+            F.col("i").alias("row_idx"),
+            col_idx.alias("col_idx"),
+            "exact_cnt",
+        )
         .groupBy("row_idx", "col_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("exact_cnt").cast("long").alias("cnt"))
     )
     top = exact.orderBy(
         F.col("exact_cnt").desc(), F.col("term").asc()
