@@ -93,6 +93,7 @@ FROM hits h JOIN ex USING (doc_id)
 @query(
     "x_bloom_decontaminate",
     _XBLOOM_SQL,
+    bench=True,
     doc=(
         "Bloom-filter decontamination screen (Bloom 1970): the "
         "benchmark set's distinct texts hash through k=4 md5 functions "
@@ -234,6 +235,7 @@ FROM s JOIN ex USING (source)
 @query(
     "x_hll_distinct",
     _XHLL_SQL,
+    bench=True,
     doc=(
         "HyperLogLog distinct-count registers (Flajolet et al. 2007), "
         "fully deterministic: 60 md5 bits split into a 6-bit bucket "
@@ -333,6 +335,7 @@ GROUP BY p.term, p.exact_cnt
 @query(
     "x_cms_heavy_hitters",
     _XCMS_SQL,
+    bench=True,
     doc=(
         "Count-Min sketch point queries (Cormode & Muthukrishnan "
         "2005): 4 md5-salted hash rows x 256 counters aggregate the "
