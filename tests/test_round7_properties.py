@@ -314,3 +314,48 @@ def test_hll_register_merge_is_the_batch_sketch(spark):
     merged = merge_hll_registers(b0, parts[0], parts[1], parts[0])
     got = {(r.key, r.bucket): r.m_j for r in merged.collect()}
     assert got == whole
+
+
+def test_incremental_substr_anchors_match_batch(spark, tmp_path):
+    """Incremental ExactSubstr: per-epoch emissions union to EXACTLY
+    the batch-mode anchor set, regardless of batch split, arrival
+    order, or a replayed epoch — each anchor exactly once."""
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.streaming.substr import (
+        batch_shingles,
+        ingest_substr_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ng = batch_shingles(docs)
+    rep = ng.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    batch_anchors = {
+        (r.doc_id, r.p) for r in ng.join(rep, "g").select("doc_id", "p").collect()
+    }
+    assert batch_anchors, "fixture must have repeated grams"
+
+    thirds = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in (2, 0, 1)  # shuffled order
+    ]
+    store = str(tmp_path / "substr_store")
+    got = set()
+    emissions = []
+    for e, b in enumerate(thirds):
+        out = {
+            (r.doc_id, r.p) for r in ingest_substr_batch(b, store, e).collect()
+        }
+        assert not (out & got), "an anchor emitted twice across epochs"
+        emissions.append(out)
+        got |= out
+    assert got == batch_anchors
+
+    # replaying the final epoch reproduces its emission and leaves the
+    # store with exactly one copy of its partitions
+    replay = {
+        (r.doc_id, r.p)
+        for r in ingest_substr_batch(thirds[-1], store, len(thirds) - 1).collect()
+    }
+    assert replay == emissions[-1]
