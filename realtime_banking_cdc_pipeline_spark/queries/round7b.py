@@ -413,3 +413,82 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_source_diversity — exact lexical-diversity profile per source
+# ---------------------------------------------------------------------------
+
+_DIV_PPM = 1_000_000
+
+_XDIV_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_CMS_TOKS}) AS term FROM documents
+),
+tc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt
+  FROM tc GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+       CAST(({_DIV_PPM} * sum_sq) // (n_tokens * n_tokens) AS BIGINT)
+         AS simpson_ppm,
+       CAST(({_DIV_PPM} * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(({_DIV_PPM} * top_cnt) // n_tokens AS BIGINT) AS top_share_ppm
+FROM agg
+"""
+
+
+@query(
+    "x_source_diversity",
+    _XDIV_SQL,
+    doc=(
+        "Per-source lexical-diversity profile — the corpus-mix "
+        "diagnostic a data-curation pipeline watches before weighting "
+        "sources: Simpson concentration sum(p_i^2) (the repeated-draw "
+        "collision probability; high = templated/boilerplate source), "
+        "type-token ratio, and the single most frequent term's share, "
+        "all as exact integer ppm (sum of squared counts over squared "
+        "total — no floats anywhere, so the oracle matches bit-for-"
+        "bit). Two map-side-combinable hash aggs (term counts, then "
+        "per-source moments); nothing global-sorts; output is one row "
+        "per source."
+    ),
+)
+def x_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    tc = (
+        d.select("source", F.explode(toks).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr(f"({_DIV_PPM} * sum_sq) div (n_tokens * n_tokens)")
+        .cast("long")
+        .alias("simpson_ppm"),
+        F.expr(f"({_DIV_PPM} * n_types) div n_tokens")
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.expr(f"({_DIV_PPM} * top_cnt) div n_tokens")
+        .cast("long")
+        .alias("top_share_ppm"),
+    )
