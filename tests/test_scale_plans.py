@@ -679,3 +679,17 @@ def test_gopher_rules_is_shuffle_free(spark):
     # whole-stage codegen by design; the plan is still exchange-free)
     plan = _formatted_plan(df)
     assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_sketch_probes_broadcast_the_sketch(spark):
+    """The sketch IS the broadcast side: bloom's 128-word filter and
+    CMS's 1024-cell table must broadcast; neither query may global-sort
+    anything wider than its bounded top-k."""
+    assert_broadcast_join(
+        QUERIES["x_bloom_decontaminate"].spark(spark, SF), min_count=1
+    )
+    assert_broadcast_join(
+        QUERIES["x_cms_heavy_hitters"].spark(spark, SF), min_count=1
+    )
+    # HLL is pure aggregation — no join at all
+    assert join_count(QUERIES["x_hll_distinct"].spark(spark, SF)) <= 1
