@@ -25,10 +25,12 @@ exactly (pinned by tests/test_round7_properties.py). Span merging is
 the same downstream `_merge_anchor_islands` pass over the accumulated
 anchors.
 
-At 100 TB: both stores are gram-keyed — partition by a gram-digest
-bucket exactly like the corpus.py band store so the per-batch joins
-prune to the batch's gram footprint; counts contract to the distinct
-grams of the batch (map-side combinable) before touching history.
+At 100 TB: both stores are gram-keyed and land in
+``bucket=pmod(xxhash64(g), 64)`` parquet partitions (the corpus.py
+band-store layout); the per-batch joins carry the redundant bucket
+equi-key so dynamic partition pruning bounds every history scan by the
+batch's gram footprint. Counts contract to the distinct grams of the
+batch (map-side combinable) before touching history.
 """
 
 from __future__ import annotations
@@ -39,6 +41,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..queries.round7 import _XSUB_K
+
+_GRAM_BUCKETS = 64
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("g"), F.lit(_GRAM_BUCKETS))
+    )
 
 
 def batch_shingles(batch_docs: DataFrame) -> DataFrame:
@@ -74,21 +84,23 @@ def ingest_substr_batch(
     DataFrame logic; epoch partitions make replays idempotent."""
     spark = batch_docs.sparkSession
     ng = batch_shingles(batch_docs).localCheckpoint(eager=True)
-    cnt_b = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt_b = _with_bucket(ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")))
 
     cnt_path = os.path.join(store_path, "counts")
     pos_path = os.path.join(store_path, "positions")
     if os.path.exists(cnt_path):
+        # join on (bucket, g): bucket is the store's partition column,
+        # so DPP prunes the history scan to the batch's gram buckets
         hist = (
             spark.read.parquet(cnt_path)
             .filter(F.col("epoch") < epoch_id)
-            .groupBy("g")
+            .groupBy("bucket", "g")
             .agg(F.sum("cnt").alias("cnt_h"))
         )
+        status = cnt_b.join(hist, ["bucket", "g"], "left_outer")
     else:
-        hist = cnt_b.select("g", F.lit(0).alias("cnt_h")).limit(0)
-
-    status = cnt_b.join(hist, "g", "left_outer").select(
+        status = cnt_b.withColumn("cnt_h", F.lit(None).cast("long"))
+    status = status.select(
         "g",
         F.coalesce(F.col("cnt_h"), F.lit(0)).alias("cnt_h"),
         F.col("cnt").alias("cnt_b"),
@@ -106,14 +118,18 @@ def ingest_substr_batch(
             F.col("epoch") < epoch_id
         )
         emitted = emitted.unionByName(
-            hist_pos.join(newly, "g").select("doc_id", "p")
+            hist_pos.join(_with_bucket(newly), ["bucket", "g"]).select(
+                "doc_id", "p"
+            )
         )
     emitted = emitted.localCheckpoint(eager=True)
 
-    cnt_b.write.mode("overwrite").parquet(
+    cnt_b.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(cnt_path, f"epoch={int(epoch_id)}")
     )
-    ng.select("g", "doc_id", "p").write.mode("overwrite").parquet(
+    _with_bucket(ng.select("g", "doc_id", "p")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(
         os.path.join(pos_path, f"epoch={int(epoch_id)}")
     )
     return emitted
