@@ -492,3 +492,144 @@ def x_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_heldout_likelihood — split-hygienic LM evaluation (train -> validation)
+# ---------------------------------------------------------------------------
+
+_HLM_SCALE = 1 << 20
+
+_XHLM_SQL = f"""
+WITH sp AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+              AS BIGINT) % 100 AS b
+  FROM documents
+),
+toks AS (
+  SELECT d.doc_id, sp.b, list_transform(
+    list_filter(string_split_regex(trim(d.text), ' +'), x -> x <> ''),
+    x -> lower(x)) AS t
+  FROM documents d JOIN sp USING (doc_id)
+),
+tr_uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS u
+  FROM (SELECT unnest(t) AS w FROM toks WHERE b < 90) GROUP BY w
+),
+tr_big AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS bcnt
+  FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+                      i -> t[i-1] || ' ' || t[i])) AS bg
+        FROM toks WHERE b < 90) GROUP BY bg
+),
+consts AS (
+  SELECT CAST(COALESCE(SUM(u), 0) + COUNT(*) + 1 AS BIGINT) AS cprime
+  FROM tr_uni
+),
+vb AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                        i -> t[i-1] || ' ' || t[i])) AS bg
+  FROM toks WHERE b >= 90 AND b < 95
+),
+vbt AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS bf FROM vb GROUP BY 1, 2),
+p AS (
+  SELECT vbt.doc_id, vbt.bf,
+         CAST(({_HLM_SCALE} * (3 * COALESCE(tb.bcnt, 0) * consts.cprime
+                               + (COALESCE(u2.u, 0) + 1) * (COALESCE(u1.u, 0) + 1)))
+              // (4 * (COALESCE(u1.u, 0) + 1) * consts.cprime) AS BIGINT) AS p_fp
+  FROM vbt
+  LEFT JOIN tr_big tb ON tb.bg = vbt.bg
+  LEFT JOIN tr_uni u1 ON u1.w = string_split(vbt.bg, ' ')[1]
+  LEFT JOIN tr_uni u2 ON u2.w = string_split(vbt.bg, ' ')[2],
+  consts
+)
+SELECT doc_id,
+       CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(bf * p_fp) AS BIGINT) // CAST(SUM(bf) AS BIGINT)
+            AS BIGINT) AS score_fp
+FROM p GROUP BY doc_id
+"""
+
+
+@query(
+    "x_heldout_likelihood",
+    _XHLM_SQL,
+    doc=(
+        "Split-hygienic language-model evaluation: the interpolated "
+        "bigram LM (x_bigram_likelihood's exact-rational form) is "
+        "TRAINED on the train split only (the md5 90/5/5 assignment "
+        "every export op shares) and scored on the VALIDATION split — "
+        "the train/eval separation a real data pipeline must enforce "
+        "before quoting any LM-quality number, with add-one unigram "
+        "smoothing so unseen validation vocabulary keeps the rational "
+        "exact (no division by zero, no floats; perplexity's exp/log "
+        "is deliberately absent — the fixed-point mean likelihood is "
+        "monotone in it). Train counts join the validation bigrams on "
+        "term keys with no broadcast hint (vocab unbounded); the "
+        "smoothing constant is the one broadcast scalar. Composes the "
+        "registered split, tokenizer, and LM machinery — nothing new "
+        "to operate at 100 TB beyond what those already pin."
+    ),
+)
+def x_heldout_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import split_bucket
+    from ..functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        split_bucket(F.col("doc_id")).alias("b"),
+        F.transform(ws_tokens("text"), F.lower).alias("t"),
+    )
+    tr = toks.filter(F.col("b") < 90)
+    va = toks.filter((F.col("b") >= 90) & (F.col("b") < 95))
+    tr_uni = (
+        tr.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    )
+    bg_expr = F.expr(
+        "transform(sequence(2, size(t)), i -> concat_ws(' ', t[i-2], t[i-1]))"
+    )
+    tr_big = (
+        tr.select(F.explode(bg_expr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bcnt"))
+    )
+    consts = tr_uni.agg(
+        (F.coalesce(F.sum("u"), F.lit(0)) + F.count(F.lit(1)) + 1)
+        .cast("bigint")
+        .alias("cprime")
+    )
+    vbt = (
+        va.select("doc_id", F.explode(bg_expr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bf"))
+    )
+    u1 = tr_uni.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    u2 = tr_uni.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
+    p = (
+        vbt.withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(tr_big, "bg", "left_outer")
+        .join(u1, "w1", "left_outer")
+        .join(u2, "w2", "left_outer")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "bf",
+            F.expr(
+                f"CAST(({_HLM_SCALE} * (3 * COALESCE(bcnt, 0) * cprime"
+                " + (COALESCE(u2, 0) + 1) * (COALESCE(u1, 0) + 1)))"
+                " div (4 * (COALESCE(u1, 0) + 1) * cprime) AS BIGINT)"
+            ).alias("p_fp"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.sum("bf").cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "CAST(CAST(SUM(bf * p_fp) AS BIGINT) div CAST(SUM(bf) AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("score_fp"),
+    )
