@@ -633,3 +633,91 @@ def x_heldout_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("score_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_langid_eval — classifier evaluation: heuristic LID vs the labeled column
+# ---------------------------------------------------------------------------
+
+_XLID_SQL = f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN 100 * len(list_filter({_CMS_TOKS},
+                x -> list_contains(['a','an','and','are','as','at','be','by',
+                                    'for','from','has','he','in','is','it',
+                                    'its','of','on','that','the','to','was',
+                                    'were','will','with'], x)))
+                > 3 * len({_CMS_TOKS})
+              THEN 'en' ELSE 'unk' END AS pred
+  FROM documents
+),
+cm AS (
+  SELECT lang AS label, pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN (label = 'en') = (pred = 'en') THEN n ELSE 0 END)
+              AS BIGINT) AS agree
+  FROM cm
+)
+SELECT cm.label, cm.pred, cm.n,
+       CAST((1000000 * tot.agree) // tot.total AS BIGINT) AS overall_accuracy_ppm
+FROM cm, tot
+"""
+
+
+@query(
+    "x_langid_eval",
+    _XLID_SQL,
+    doc=(
+        "Classifier-evaluation pattern over the labeled corpus: the "
+        "heuristic language ID (functions/text.py:lang_id_en — "
+        "stopword-hit ratio, a deterministic stand-in for a fastText "
+        "LID) scores every doc and the confusion matrix against the "
+        "labeled `lang` column comes out as one hash agg, with binary "
+        "(en vs non-en) accuracy in exact integer ppm on every row. "
+        "The comparison is cross-multiplied (100*hits > 3*tokens — "
+        "the 0.03 ratio threshold with no division), so both engines "
+        "agree bit-for-bit. This is the eval harness shape every "
+        "learned filter (quality classifier, LID, toxicity) plugs "
+        "into before gating a 100 TB corpus: label sample, confusion, "
+        "threshold sweep — all shuffle-once aggregations."
+    ),
+)
+def x_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stopword_hits, ws_token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    # cross-multiplied form of lang_id_en's ratio > 0.03 (no division)
+    pred = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            100 * stopword_hits(F.col("text")) > 3 * ws_token_count(F.col("text")),
+            F.lit("en"),
+        )
+        .otherwise(F.lit("unk"))
+        .alias("pred"),
+    )
+    cm = pred.groupBy(F.col("lang").alias("label"), "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(
+            F.when(
+                (F.col("label") == "en") == (F.col("pred") == "en"), F.col("n")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    return cm.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "pred",
+        "n",
+        F.expr("(1000000 * agree) div total")
+        .cast("bigint")
+        .alias("overall_accuracy_ppm"),
+    )
