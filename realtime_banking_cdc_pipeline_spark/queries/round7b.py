@@ -721,3 +721,118 @@ def x_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overall_accuracy_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_filter_threshold_sweep — operating-point sweep for a corpus gate
+# ---------------------------------------------------------------------------
+
+_SWEEP_SCALE = 1 << 20
+_SWEEP_STEPS = 9  # decile thresholds 0.1 .. 0.9 of the score scale
+
+
+def _dd_sweep_sql() -> str:
+    from .round7 import _dd_gopher_sql
+
+    steps = ", ".join(
+        str((j * _SWEEP_SCALE) // 10) for j in range(1, _SWEEP_STEPS + 1)
+    )
+    return f"""
+WITH g AS ({_dd_gopher_sql()}),
+sc AS (
+  SELECT d.doc_id, g.keep,
+         CAST(({_SWEEP_SCALE} * len(list_filter({_CMS_TOKS},
+                x -> list_contains(['a','an','and','are','as','at','be','by',
+                                    'for','from','has','he','in','is','it',
+                                    'its','of','on','that','the','to','was',
+                                    'were','will','with'], x))))
+              // (2 * len({_CMS_TOKS}))
+            + ({_SWEEP_SCALE} * length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')))
+              // (2 * length(d.text)) AS BIGINT) AS qual_fp
+  FROM documents d JOIN g USING (doc_id)
+),
+th AS (SELECT unnest([{steps}]) AS threshold_fp),
+cm AS (
+  SELECT th.threshold_fp,
+         CAST(SUM(CASE WHEN qual_fp >= th.threshold_fp AND keep THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN qual_fp >= th.threshold_fp AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN qual_fp < th.threshold_fp AND keep THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN qual_fp < th.threshold_fp AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM sc, th GROUP BY 1
+)
+SELECT threshold_fp, tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm
+FROM cm
+"""
+
+
+@query(
+    "x_filter_threshold_sweep",
+    _dd_sweep_sql(),
+    doc=(
+        "Operating-point sweep for a corpus quality gate: the integer "
+        "fixed-point quality score (the x_dedup_keep_best scorer: "
+        "stopword share + alpha share, 2^20 scale) is swept against "
+        "nine decile thresholds with the Gopher rule verdict as the "
+        "reference label, yielding the TP/FP/FN/TN table and exact "
+        "integer-ppm precision/recall per threshold (zero-denominator "
+        "guarded on both engines). ONE pass over the corpus: the per-"
+        "doc (score, label) row cross-joins a 9-row broadcast "
+        "threshold table and reduces in a single hash agg — the sweep "
+        "costs the same as a single-threshold evaluation, which is "
+        "why a pipeline tunes its gate this way at 100 TB instead of "
+        "re-running the filter per candidate threshold."
+    ),
+)
+def x_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import stopword_hits, ws_tokens
+    from .round7 import x_gopher_rules
+
+    d = read_table(spark, sf_dir, "documents")
+    keep = x_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    ntok = F.size(ws_tokens("text"))
+    nalpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    qual_fp = F.expr(
+        f"CAST(({_SWEEP_SCALE} * n_stop) div (2 * n_tok)"
+        f" + ({_SWEEP_SCALE} * n_alpha) div (2 * n_chars) AS BIGINT)"
+    )
+    sc = (
+        d.select(
+            "doc_id",
+            stopword_hits("text").alias("n_stop"),
+            ntok.alias("n_tok"),
+            nalpha.alias("n_alpha"),
+            F.length("text").alias("n_chars"),
+        )
+        .select("doc_id", qual_fp.alias("qual_fp"))
+        .join(keep, "doc_id")
+    )
+    th = spark.createDataFrame(
+        [((j * _SWEEP_SCALE) // 10,) for j in range(1, _SWEEP_STEPS + 1)],
+        "threshold_fp bigint",
+    )
+    hit = F.col("qual_fp") >= F.col("threshold_fp")
+    cm = (
+        sc.crossJoin(F.broadcast(th))
+        .groupBy("threshold_fp")
+        .agg(
+            F.sum((hit & F.col("keep")).cast("int")).cast("bigint").alias("tp"),
+            F.sum((hit & ~F.col("keep")).cast("int")).cast("bigint").alias("fp"),
+            F.sum((~hit & F.col("keep")).cast("int")).cast("bigint").alias("fn"),
+            F.sum((~hit & ~F.col("keep")).cast("int")).cast("bigint").alias("tn"),
+        )
+    )
+    return cm.select(
+        "threshold_fp", "tp", "fp", "fn", "tn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN 0"
+            " ELSE (1000000 * tp) div (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN 0"
+            " ELSE (1000000 * tp) div (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
