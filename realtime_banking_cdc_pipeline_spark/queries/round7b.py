@@ -836,3 +836,129 @@ def x_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (1000000 * tp) div (tp + fn) END AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dataset_card — one-row corpus profile (the "dataset card" numbers)
+# ---------------------------------------------------------------------------
+
+
+def _dd_card_sql() -> str:
+    from .round7 import _XSUB_K, _dd_gopher_sql
+
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents
+),
+tok AS (
+  SELECT CAST(SUM(len({_CMS_TOKS})) AS BIGINT) AS n_tokens FROM documents
+),
+g AS ({_dd_gopher_sql()}),
+gp AS (SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       FROM g),
+ng AS (
+  SELECT md5(array_to_string(toks[u.p + 1 : u.p + {_XSUB_K}], ' ')) AS gg
+  FROM (SELECT {_CMS_TOKS} AS toks FROM documents) d,
+       LATERAL unnest(generate_series(0, len(toks) - {_XSUB_K})) AS u(p)
+  WHERE len(toks) >= {_XSUB_K}
+),
+gr AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rep_gram_occ
+  FROM (SELECT gg, COUNT(*) AS c FROM ng GROUP BY gg)
+)
+SELECT base.n_docs, base.n_distinct_texts, base.n_sources, base.n_langs,
+       tok.n_tokens,
+       CAST((1000000 * (base.n_docs - base.n_distinct_texts)) // base.n_docs
+            AS BIGINT) AS exact_dup_ppm,
+       CAST(tok.n_tokens // base.n_docs AS BIGINT) AS mean_doc_tokens,
+       CAST((1000000 * gp.n_pass) // base.n_docs AS BIGINT) AS gopher_pass_ppm,
+       CAST((1000000 * gr.n_rep_gram_occ) // gr.n_grams AS BIGINT)
+         AS repeated_gram_occ_ppm
+FROM base, tok, gp, gr
+"""
+
+
+@query(
+    "x_dataset_card",
+    _dd_card_sql(),
+    doc=(
+        "The dataset-card numbers in one row: corpus size, distinct-"
+        "text/exact-dup rate, source and language cardinalities, token "
+        "mass, mean document length, Gopher-rule pass rate, and the "
+        "share of k-gram occurrences that are corpus-repeated (the "
+        "ExactSubstr boilerplate mass) — every rate in exact integer "
+        "ppm. Four independent aggregation subtrees (profile counts, "
+        "token mass, rule verdicts, gram occupancy), each a map-side-"
+        "combinable hash agg reducing to ONE row, cross-joined at the "
+        "end (broadcast of single rows — the only join shape here). "
+        "This is the artifact a data release publishes next to its "
+        "manifests (x_dataset_manifest carries the per-shard twin)."
+    ),
+)
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round7 import _XSUB_K, x_gopher_rules
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("text").cast("bigint").alias("n_distinct_texts"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    tok = d.select(F.size(toks).alias("nt")).agg(
+        F.sum("nt").cast("bigint").alias("n_tokens")
+    )
+    gp = (
+        x_gopher_rules(spark, sf_dir)
+        .agg(
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_pass")
+        )
+    )
+    ng = (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= _XSUB_K)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_XSUB_K}),"
+                    f" p -> md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' ')))"
+                )
+            ).alias("gg")
+        )
+    )
+    gr = (
+        ng.groupBy("gg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rep_gram_occ"),
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(tok))
+        .crossJoin(F.broadcast(gp))
+        .crossJoin(F.broadcast(gr))
+        .select(
+            "n_docs", "n_distinct_texts", "n_sources", "n_langs", "n_tokens",
+            F.expr("(1000000 * (n_docs - n_distinct_texts)) div n_docs")
+            .cast("bigint")
+            .alias("exact_dup_ppm"),
+            F.expr("n_tokens div n_docs").cast("bigint").alias("mean_doc_tokens"),
+            F.expr("(1000000 * n_pass) div n_docs")
+            .cast("bigint")
+            .alias("gopher_pass_ppm"),
+            F.expr("(1000000 * n_rep_gram_occ) div n_grams")
+            .cast("bigint")
+            .alias("repeated_gram_occ_ppm"),
+        )
+    )
