@@ -962,3 +962,111 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("repeated_gram_occ_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_embedding_centroids — per-source centroid drift vs the global centroid
+# ---------------------------------------------------------------------------
+
+_CENT_FX = "CAST(FLOOR(CAST({v} AS DOUBLE) * 1048576) AS BIGINT)"
+
+_XCENT_SQL = f"""
+WITH e AS (
+  SELECT d.source, em.vec_id, em.embedding
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+),
+dims AS (
+  SELECT source, vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         {_CENT_FX.format(v='unnest(embedding)')} AS x
+  FROM e
+),
+s AS (
+  SELECT source, i, CAST(SUM(x) AS BIGINT) AS sv,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+  FROM dims GROUP BY 1, 2
+),
+g AS (SELECT i, CAST(SUM(x) AS BIGINT) AS gv FROM dims GROUP BY 1),
+dots AS (
+  SELECT s.source, MAX(s.n) AS n_vecs,
+         SUM(CAST(s.sv AS DECIMAL(38,0)) * CAST(g.gv AS DECIMAL(38,0))) AS dot,
+         SUM(CAST(s.sv AS DECIMAL(38,0)) * CAST(s.sv AS DECIMAL(38,0))) AS na
+  FROM s JOIN g USING (i) GROUP BY s.source
+),
+gn AS (SELECT SUM(CAST(gv AS DECIMAL(38,0)) * CAST(gv AS DECIMAL(38,0))) AS nb
+       FROM g)
+SELECT dots.source,
+       CAST(dots.n_vecs AS BIGINT) AS n_vecs,
+       CAST(dots.dot AS DOUBLE) / sqrt(CAST(dots.na AS DOUBLE) * CAST(gn.nb AS DOUBLE))
+         AS cos_to_global
+FROM dots, gn
+"""
+
+
+@query(
+    "x_embedding_centroids",
+    _XCENT_SQL,
+    doc=(
+        "Per-source embedding-centroid drift: cosine of each source's "
+        "centroid to the global corpus centroid — the embedding-space "
+        "twin of the source-reputation gate (a source whose centroid "
+        "drifts is shifting domain). Scale-invariance of cosine lets "
+        "the means stay UNDIVIDED: per-dimension exact fixed-point "
+        "sums (one hash agg keyed by (source, dim)), the cross dots "
+        "accumulate in DECIMAL(38,0) (sum-of-products of per-dim sums "
+        "— exact, order-independent, the house decimal rule), and the "
+        "ONLY floating-point op is the final cosine division written "
+        "identically on both engines. No arrays are re-assembled, no "
+        "vector ever crosses a shuffle — just (key, dim, sum) rows; "
+        "dim count bounds every row group, so a billion vectors cost "
+        "one map-side-combinable agg."
+    ),
+)
+def x_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    dims = (
+        emb.join(docs, "vec_id")
+        .select("source", "vec_id", F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            "source",
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").alias(
+                "x"
+            ),
+        )
+    )
+    s = dims.groupBy("source", "i").agg(
+        F.sum("x").cast("bigint").alias("sv"),
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+    )
+    g = dims.groupBy("i").agg(F.sum("x").cast("bigint").alias("gv"))
+    dots = (
+        s.join(g, "i")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(
+                F.col("sv").cast("decimal(38,0)") * F.col("gv").cast("decimal(38,0)")
+            ).alias("dot"),
+            F.sum(
+                F.col("sv").cast("decimal(38,0)") * F.col("sv").cast("decimal(38,0)")
+            ).alias("na"),
+        )
+    )
+    gn = g.agg(
+        F.sum(
+            F.col("gv").cast("decimal(38,0)") * F.col("gv").cast("decimal(38,0)")
+        ).alias("nb")
+    )
+    return dots.crossJoin(F.broadcast(gn)).select(
+        "source",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cos_to_global"),
+    )
