@@ -359,3 +359,59 @@ def test_incremental_substr_anchors_match_batch(spark, tmp_path):
         for r in ingest_substr_batch(thirds[-1], store, len(thirds) - 1).collect()
     }
     assert replay == emissions[-1]
+
+
+def test_streaming_hll_monitor_converges_to_batch_registers(spark, tmp_path):
+    """Real readStream/foreachBatch wiring: after draining a file queue
+    one file per micro-batch, the register store equals the one-shot
+    batch registers over the whole corpus (max-merge idempotence means
+    no epoch bookkeeping is needed for exactly-once)."""
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from realtime_banking_cdc_pipeline_spark.functions.sketches import (
+        hll_registers,
+    )
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        start_distinct_monitor,
+        update_hll_store,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "text"
+    )
+    whole = {
+        (r.key, r.bucket): r.m_j
+        for r in hll_registers(docs, "source", "text").collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = docs.collect()
+    for i in range(3):
+        with open(src / f"part-{i}.json", "w") as f:
+            for r in rows[i::3]:
+                f.write(_json.dumps({"source": r.source, "text": r.text}) + "\n")
+    schema = StructType(
+        [StructField("source", StringType()), StructField("text", StringType())]
+    )
+    store = str(tmp_path / "hll_store")
+    q = start_distinct_monitor(
+        spark, str(src), store, str(tmp_path / "ckpt"), schema,
+        key_col="source", value_col="text",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.bucket): r.m_j for r in spark.read.parquet(store).collect()
+    }
+    assert got == whole
+
+    # replaying an arbitrary batch leaves the store unchanged
+    update_hll_store(
+        docs.limit(50), store, key_col="source", value_col="text"
+    )
+    again = {
+        (r.key, r.bucket): r.m_j for r in spark.read.parquet(store).collect()
+    }
+    assert again == whole
