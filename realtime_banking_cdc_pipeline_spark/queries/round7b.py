@@ -1070,3 +1070,74 @@ def x_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
         ).alias("cos_to_global"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_winnowing_matches — MOSS-style document match candidates
+# ---------------------------------------------------------------------------
+
+_WMATCH_MIN = 2  # shared fingerprints to flag a pair
+_WMATCH_DF_CAP = 64  # fingerprints in more docs than this are corpus
+                     # boilerplate: excluded here (the ExactSubstr path
+                     # owns them), which also bounds the pair fan-out
+
+
+def _dd_wmatch_sql() -> str:
+    from .round7 import _XWIN_SQL
+
+    return f"""
+WITH w AS ({_XWIN_SQL}),
+fp_docs AS (SELECT DISTINCT doc_id, fp FROM w),
+df AS (
+  SELECT fp, COUNT(*) AS n_docs FROM fp_docs GROUP BY fp
+),
+elig AS (SELECT fp FROM df WHERE n_docs BETWEEN 2 AND {_WMATCH_DF_CAP}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp_docs a
+  JOIN fp_docs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN elig ON elig.fp = a.fp
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pairs GROUP BY id_a, id_b
+HAVING COUNT(*) >= {_WMATCH_MIN}
+"""
+
+
+@query(
+    "x_winnowing_matches",
+    _dd_wmatch_sql(),
+    doc=(
+        "MOSS match candidates (Schleimer et al. 2003 §5): document "
+        "pairs sharing >= 2 winnowing fingerprints, with the shared "
+        "count — the plagiarism/reuse detector the fingerprints exist "
+        "for. Fingerprints present in more than 64 docs are excluded "
+        "as corpus boilerplate (the ExactSubstr family owns those), "
+        "which simultaneously BOUNDS the self-join fan-out at "
+        "sum(min(df,64)^2) — the same occupancy-cap discipline as the "
+        "skew-proof keep-first; the cap is mirrored in the oracle so "
+        "it is part of the checked contract. One distinct + one "
+        "df-count agg + one capped self-equi-join + one pair count."
+    ),
+)
+def x_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from .round7 import x_winnowing
+
+    fp_docs = track_persist(
+        x_winnowing(spark, sf_dir).select("doc_id", "fp").distinct()
+    )
+    df_tab = fp_docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    elig = df_tab.filter(
+        F.col("n_docs").between(2, _WMATCH_DF_CAP)
+    ).select("fp")
+    a = fp_docs.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp_docs.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(elig, "fp")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WMATCH_MIN)
+    )
