@@ -1141,3 +1141,166 @@ def x_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _WMATCH_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_keep_best — semantic components keep the best-QUALITY doc
+# ---------------------------------------------------------------------------
+
+
+def _dd_sdkb_sql() -> str:
+    from .llmdata import _ADAPTIVE_CELLS_SQL, _FXQ
+    from .round6b import _SEMDEDUP_THRESHOLD
+
+    fx = _FXQ.format
+    return f"""
+WITH RECURSIVE nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nk
+      WHERE vec_id < nk.k),
+e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+          FROM e, c),
+dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+         FROM pairs GROUP BY 1, 2),
+norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
+scored AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
+),
+ranked AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
+cells AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+m AS (SELECT cells.vec_id, cells.cid, e.embedding
+      FROM cells JOIN e USING (vec_id)),
+mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+              unnest(x.embedding) AS a, unnest(y.embedding) AS b
+       FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pdots AS (SELECT cid, i, j, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+          FROM mp GROUP BY 1, 2, 3),
+dup AS (
+  SELECT p.i, p.j
+  FROM pdots p JOIN norms na ON na.vec_id = p.i
+               JOIN norms nb ON nb.vec_id = p.j
+  WHERE CAST(p.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+        >= {_SEMDEDUP_THRESHOLD}
+),
+edges AS (SELECT i AS src, j AS dst FROM dup UNION SELECT j, i FROM dup),
+reach(id, label) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT g.dst, r.label FROM reach r JOIN edges g ON g.src = r.id
+),
+comp AS (SELECT id AS vec_id, MIN(label) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id AS vec_id,
+         CAST((1048576 * len(list_filter({_CMS_TOKS},
+                x -> list_contains(['a','an','and','are','as','at','be','by',
+                                    'for','from','has','he','in','is','it',
+                                    'its','of','on','that','the','to','was',
+                                    'were','will','with'], x))))
+              // (2 * len({_CMS_TOKS}))
+            + (1048576 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // (2 * length(text)) AS BIGINT) AS qual_fp
+  FROM documents
+),
+sel AS (
+  SELECT comp.component, comp.vec_id, q.qual_fp,
+         COUNT(*) OVER (PARTITION BY comp.component) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY q.qual_fp DESC, comp.vec_id ASC) AS rk
+  FROM comp JOIN q USING (vec_id)
+)
+SELECT component,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(vec_id AS BIGINT) AS kept_vec_id,
+       CAST(qual_fp AS BIGINT) AS kept_qual_fp
+FROM sel WHERE rk = 1
+"""
+
+
+@query(
+    "x_semdedup_keep_best",
+    _dd_sdkb_sql(),
+    doc=(
+        "Cross-modal dedup composition: semantic duplicate COMPONENTS "
+        "come from embedding space (the adaptive-k SemDeDup cell pairs "
+        "-> min-label components, exactly x_semdedup_diverse's "
+        "machinery) while the survivor is chosen by TEXT quality (the "
+        "x_dedup_keep_best integer scorer over the doc joined on "
+        "vec_id) — keep the best-written copy of each semantic "
+        "cluster, the rule an LLM-data pipeline actually wants "
+        "(SemDeDup finds the duplicates; quality decides who stays). "
+        "One max_by hash agg per component with the (qual, -id) "
+        "deterministic tiebreak; everything upstream is the already-"
+        "scale-proven adaptive-cell pair generation."
+    ),
+)
+def x_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.similarity import cosine_against, fx_dot
+    from ..functions.text import stopword_hits, ws_tokens
+    from ..operators.components import connected_components
+    from .llmdata import _emb, _nearest_cell
+    from .round6b import _SEMDEDUP_THRESHOLD, _adaptive_cents
+
+    emb, cents_frame = _adaptive_cents(spark, _emb(spark, sf_dir))
+    scored = emb.crossJoin(F.broadcast(cents_frame)).select(
+        "vec_id",
+        "cid",
+        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+    )
+    m = track_persist(
+        _nearest_cell(scored)
+        .join(emb, "vec_id")
+        .select("vec_id", "cid", "embedding")
+        .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = m.select(
+        F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"), F.col("nn").alias("na"),
+    )
+    b = m.select(
+        F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"), F.col("nn").alias("nb"),
+    )
+    pair_cos = fx_dot(F.col("eb"), F.col("ea")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .filter(pair_cos >= _SEMDEDUP_THRESHOLD)
+        .select("i", "j")
+    )
+    comp = connected_components(
+        dup, src="i", dst="j", nodes=m.select("vec_id")
+    ).withColumnRenamed("id", "vec_id")
+    d = read_table(spark, sf_dir, "documents")
+    qual_fp = F.expr(
+        "CAST((1048576 * n_stop) div (2 * n_tok)"
+        " + (1048576 * n_alpha) div (2 * n_chars) AS BIGINT)"
+    )
+    q = d.select(
+        F.col("doc_id").alias("vec_id"),
+        stopword_hits("text").alias("n_stop"),
+        F.size(ws_tokens("text")).alias("n_tok"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_chars"),
+    ).select("vec_id", qual_fp.alias("qual_fp"))
+    joined = comp.join(q, "vec_id")
+    return joined.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max_by(
+            F.col("vec_id"), F.struct(F.col("qual_fp"), (-F.col("vec_id")))
+        )
+        .cast("bigint")
+        .alias("kept_vec_id"),
+        F.max(F.struct(F.col("qual_fp"), (-F.col("vec_id"))))
+        .getField("qual_fp")
+        .cast("bigint")
+        .alias("kept_qual_fp"),
+    )
