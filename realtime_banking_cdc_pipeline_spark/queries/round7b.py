@@ -438,10 +438,14 @@ agg AS (
   FROM tc GROUP BY 1
 )
 SELECT source, n_tokens, n_types,
-       CAST(({_DIV_PPM} * sum_sq) // (n_tokens * n_tokens) AS BIGINT)
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE ({_DIV_PPM} * sum_sq) // (n_tokens * n_tokens) END AS BIGINT)
          AS simpson_ppm,
-       CAST(({_DIV_PPM} * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
-       CAST(({_DIV_PPM} * top_cnt) // n_tokens AS BIGINT) AS top_share_ppm
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE ({_DIV_PPM} * n_types) // n_tokens END AS BIGINT) AS ttr_ppm,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE ({_DIV_PPM} * top_cnt) // n_tokens END AS BIGINT)
+         AS top_share_ppm
 FROM agg
 """
 
@@ -482,13 +486,22 @@ def x_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "n_types",
-        F.expr(f"({_DIV_PPM} * sum_sq) div (n_tokens * n_tokens)")
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0"
+            f" ELSE ({_DIV_PPM} * sum_sq) div (n_tokens * n_tokens) END"
+        )
         .cast("long")
         .alias("simpson_ppm"),
-        F.expr(f"({_DIV_PPM} * n_types) div n_tokens")
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0"
+            f" ELSE ({_DIV_PPM} * n_types) div n_tokens END"
+        )
         .cast("long")
         .alias("ttr_ppm"),
-        F.expr(f"({_DIV_PPM} * top_cnt) div n_tokens")
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0"
+            f" ELSE ({_DIV_PPM} * top_cnt) div n_tokens END"
+        )
         .cast("long")
         .alias("top_share_ppm"),
     )
@@ -877,7 +890,8 @@ SELECT base.n_docs, base.n_distinct_texts, base.n_sources, base.n_langs,
             AS BIGINT) AS exact_dup_ppm,
        CAST(tok.n_tokens // base.n_docs AS BIGINT) AS mean_doc_tokens,
        CAST((1000000 * gp.n_pass) // base.n_docs AS BIGINT) AS gopher_pass_ppm,
-       CAST((1000000 * gr.n_rep_gram_occ) // gr.n_grams AS BIGINT)
+       CAST(CASE WHEN gr.n_grams = 0 THEN 0
+            ELSE (1000000 * gr.n_rep_gram_occ) // gr.n_grams END AS BIGINT)
          AS repeated_gram_occ_ppm
 FROM base, tok, gp, gr
 """
@@ -957,7 +971,10 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_pass) div n_docs")
             .cast("bigint")
             .alias("gopher_pass_ppm"),
-            F.expr("(1000000 * n_rep_gram_occ) div n_grams")
+            F.expr(
+                "CASE WHEN n_grams = 0 THEN 0"
+                " ELSE (1000000 * n_rep_gram_occ) div n_grams END"
+            )
             .cast("bigint")
             .alias("repeated_gram_occ_ppm"),
         )
