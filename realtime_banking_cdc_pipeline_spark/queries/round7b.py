@@ -433,13 +433,14 @@ agg AS (
   SELECT source,
          CAST(SUM(cnt) AS BIGINT) AS n_tokens,
          CAST(COUNT(*) AS BIGINT) AS n_types,
-         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq,
          CAST(MAX(cnt) AS BIGINT) AS top_cnt
   FROM tc GROUP BY 1
 )
 SELECT source, n_tokens, n_types,
        CAST(CASE WHEN n_tokens = 0 THEN 0
-            ELSE ({_DIV_PPM} * sum_sq) // (n_tokens * n_tokens) END AS BIGINT)
+            ELSE ({_DIV_PPM} * sum_sq)
+                 // (CAST(n_tokens AS HUGEINT) * n_tokens) END AS BIGINT)
          AS simpson_ppm,
        CAST(CASE WHEN n_tokens = 0 THEN 0
             ELSE ({_DIV_PPM} * n_types) // n_tokens END AS BIGINT) AS ttr_ppm,
@@ -479,7 +480,13 @@ def x_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tc.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+        # 128-bit intermediates (DECIMAL(38,0) here, HUGEINT in the
+        # oracle): cnt^2 sums and the ppm product overflow int64 past
+        # ~3e6 tokens/source, where non-ANSI Spark would wrap silently
+        # while DuckDB errors — the house rule is exact wide decimals.
+        F.sum(F.col("cnt").cast("decimal(19,0)") * F.col("cnt"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
         F.max("cnt").cast("long").alias("top_cnt"),
     )
     return agg.select(
@@ -488,7 +495,8 @@ def x_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         F.expr(
             f"CASE WHEN n_tokens = 0 THEN 0"
-            f" ELSE ({_DIV_PPM} * sum_sq) div (n_tokens * n_tokens) END"
+            f" ELSE (CAST({_DIV_PPM} AS DECIMAL(38,0)) * sum_sq)"
+            f" div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) END"
         )
         .cast("long")
         .alias("simpson_ppm"),
@@ -754,14 +762,16 @@ def _dd_sweep_sql() -> str:
 WITH g AS ({_dd_gopher_sql()}),
 sc AS (
   SELECT d.doc_id, g.keep,
-         CAST(({_SWEEP_SCALE} * len(list_filter({_CMS_TOKS},
+         CAST(CASE WHEN len({_CMS_TOKS}) = 0 THEN 0
+              ELSE ({_SWEEP_SCALE} * len(list_filter({_CMS_TOKS},
                 x -> list_contains(['a','an','and','are','as','at','be','by',
                                     'for','from','has','he','in','is','it',
                                     'its','of','on','that','the','to','was',
                                     'were','will','with'], x))))
-              // (2 * len({_CMS_TOKS}))
-            + ({_SWEEP_SCALE} * length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')))
-              // (2 * length(d.text)) AS BIGINT) AS qual_fp
+              // (2 * len({_CMS_TOKS})) END
+            + CASE WHEN length(d.text) = 0 THEN 0
+              ELSE ({_SWEEP_SCALE} * length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')))
+              // (2 * length(d.text)) END AS BIGINT) AS qual_fp
   FROM documents d JOIN g USING (doc_id)
 ),
 th AS (SELECT unnest([{steps}]) AS threshold_fp),
@@ -809,8 +819,10 @@ def x_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(ws_tokens("text"))
     nalpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     qual_fp = F.expr(
-        f"CAST(({_SWEEP_SCALE} * n_stop) div (2 * n_tok)"
-        f" + ({_SWEEP_SCALE} * n_alpha) div (2 * n_chars) AS BIGINT)"
+        f"CAST(CASE WHEN n_tok = 0 THEN 0"
+        f" ELSE ({_SWEEP_SCALE} * n_stop) div (2 * n_tok) END"
+        f" + CASE WHEN n_chars = 0 THEN 0"
+        f" ELSE ({_SWEEP_SCALE} * n_alpha) div (2 * n_chars) END AS BIGINT)"
     )
     sc = (
         d.select(
@@ -1215,14 +1227,16 @@ reach(id, label) AS (
 comp AS (SELECT id AS vec_id, MIN(label) AS component FROM reach GROUP BY id),
 q AS (
   SELECT doc_id AS vec_id,
-         CAST((1048576 * len(list_filter({_CMS_TOKS},
+         CAST(CASE WHEN len({_CMS_TOKS}) = 0 THEN 0
+              ELSE (1048576 * len(list_filter({_CMS_TOKS},
                 x -> list_contains(['a','an','and','are','as','at','be','by',
                                     'for','from','has','he','in','is','it',
                                     'its','of','on','that','the','to','was',
                                     'were','will','with'], x))))
-              // (2 * len({_CMS_TOKS}))
-            + (1048576 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
-              // (2 * length(text)) AS BIGINT) AS qual_fp
+              // (2 * len({_CMS_TOKS})) END
+            + CASE WHEN length(text) = 0 THEN 0
+              ELSE (1048576 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // (2 * length(text)) END AS BIGINT) AS qual_fp
   FROM documents
 ),
 sel AS (
@@ -1298,8 +1312,10 @@ def x_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
     d = read_table(spark, sf_dir, "documents")
     qual_fp = F.expr(
-        "CAST((1048576 * n_stop) div (2 * n_tok)"
-        " + (1048576 * n_alpha) div (2 * n_chars) AS BIGINT)"
+        "CAST(CASE WHEN n_tok = 0 THEN 0"
+        " ELSE (1048576 * n_stop) div (2 * n_tok) END"
+        " + CASE WHEN n_chars = 0 THEN 0"
+        " ELSE (1048576 * n_alpha) div (2 * n_chars) END AS BIGINT)"
     )
     q = d.select(
         F.col("doc_id").alias("vec_id"),

@@ -363,10 +363,13 @@ def test_incremental_substr_anchors_match_batch(spark, tmp_path):
 
 def test_streaming_hll_monitor_converges_to_batch_registers(spark, tmp_path):
     """Real readStream/foreachBatch wiring: after draining a file queue
-    one file per micro-batch, the register store equals the one-shot
-    batch registers over the whole corpus (max-merge idempotence means
-    no epoch bookkeeping is needed for exactly-once)."""
+    one file per micro-batch, the folded register store equals the
+    one-shot batch registers over the whole corpus. Each batch writes
+    ONLY its own epoch partition (crash-safe: history is never
+    cleared), the fold happens on read, and compaction collapses the
+    partitions without changing the fold."""
     import json as _json
+    import os as _os
 
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -374,6 +377,8 @@ def test_streaming_hll_monitor_converges_to_batch_registers(spark, tmp_path):
         hll_registers,
     )
     from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        compact_hll_store,
+        read_hll_store,
         start_distinct_monitor,
         update_hll_store,
     )
@@ -403,15 +408,38 @@ def test_streaming_hll_monitor_converges_to_batch_registers(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r.key, r.bucket): r.m_j for r in spark.read.parquet(store).collect()
+        (r.key, r.bucket): r.m_j
+        for r in read_hll_store(spark, store).collect()
     }
     assert got == whole
+    # crash-safety shape: per-epoch partitions on disk, never a flat
+    # whole-store overwrite
+    parts = sorted(
+        n for n in _os.listdir(store) if n.startswith("epoch=")
+    )
+    assert len(parts) >= 3
 
-    # replaying an arbitrary batch leaves the store unchanged
+    # replaying an arbitrary batch (fresh epoch, subset data) leaves
+    # the FOLD unchanged — at-least-once is exactly-once for max-merge
     update_hll_store(
-        docs.limit(50), store, key_col="source", value_col="text"
+        docs.limit(50), store, key_col="source", value_col="text",
+        epoch_id=99,
     )
     again = {
-        (r.key, r.bucket): r.m_j for r in spark.read.parquet(store).collect()
+        (r.key, r.bucket): r.m_j
+        for r in read_hll_store(spark, store).collect()
     }
     assert again == whole
+
+    # compaction collapses to one base partition with the same fold,
+    # and a REPLAYED compaction epoch is a no-op too
+    compact_hll_store(spark, store, epoch_id=100)
+    assert _os.listdir(store) == ["epoch=-100"] or sorted(
+        n for n in _os.listdir(store) if n.startswith("epoch=")
+    ) == ["epoch=-100"]
+    compact_hll_store(spark, store, epoch_id=100)
+    compacted = {
+        (r.key, r.bucket): r.m_j
+        for r in read_hll_store(spark, store).collect()
+    }
+    assert compacted == whole
