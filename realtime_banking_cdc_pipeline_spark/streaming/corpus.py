@@ -21,11 +21,35 @@ arrive monotonically (log-offset order — true for CDC/file-queue
 sources; a late out-of-order doc still dedups against all history,
 it just can't retroactively evict an already-emitted one).
 
-At 100 TB: the store is a parquet table partitioned by band bucket,
-the per-batch joins touch only the incoming ids' band keys (narrow
-(id, band_idx, band_key) rows — `banded_keys`), and the band self-join
-is the same single-join shape the batch path plan-pins. Nothing here
-collects to the driver.
+At 100 TB the per-batch cost must be bounded by the BATCH, not the
+store, and the store's partition count must not grow forever. Three
+mechanisms deliver that:
+
+- **Self-contained banded store.** The band-partitioned key store
+  carries the full signature columns inline, so candidate generation
+  AND refinement complete inside the bucket-pruned probe join — the
+  flat signature store is never rescanned during gating. (The round-7
+  layout kept the banded rows narrow and re-joined the whole flat
+  store for refinement; the 2M-doc probe measured that as linear
+  per-batch growth, 16→~40 s.)
+- **Compaction.** Every ``compact_every`` batches the accumulated
+  epoch partitions fold into one fresh base partition ``epoch=-<e>``
+  (never a source of the fold, so history stays on disk until the new
+  base commits — the same crash-safe shape as streaming/metrics.py),
+  bounding file/partition counts.
+- **Retention horizon.** With ``retention_epochs`` set, the gate
+  compares only against signatures whose epoch is within the horizon,
+  and compaction drops older rows permanently: the store is then
+  CONSTANT-size for a constant arrival rate. Survivor sets equal the
+  unbounded path for any duplicate whose original lies inside the
+  horizon (the deployment contract; a 100 TB pipeline always bounds
+  its dedup lookback).
+
+If the signature store holds epochs the banded store lacks (e.g. the
+banded path was toggled on mid-stream, or a crash split a compaction),
+those epochs are re-banded on read and unioned into the probe — a
+candidate can never be silently missed because the two stores
+diverged; the next compaction heals the divergence.
 
 Reference analog: the reference ingests via kafka consumer →
 `consumer/kafka_to_minio.py:15-24` and dedups only on exact event ids;
@@ -35,6 +59,7 @@ near-dup gating is part of this repo's training-data extension surface.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +82,72 @@ _MATCH_MIN_DEFAULT = 8  # of 16 components => est. jaccard >= 0.5
 _BAND_BUCKETS = 64
 
 
+def _epoch_ids(path: str) -> list[int]:
+    """Epoch partition ids present on disk ([] for flat stores)."""
+    if not os.path.exists(path):
+        return []
+    return [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(path)
+        if name.startswith("epoch=")
+    ]
+
+
+def _banded_with_sigs(
+    sig: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc_id, band_idx, band_key, sig_0..sig_{n-1}, bucket) rows — the
+    self-contained banded representation: one probe join both GENERATES
+    candidates (band key equality) and REFINES them (inline signature
+    columns), so gating never re-reads the flat signature store."""
+    r = num_perm // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "-", *[F.col(f"sig_{b * r + i}") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_entries).alias("band"),
+        *[f"sig_{j}" for j in range(num_perm)],
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+        *[f"sig_{j}" for j in range(num_perm)],
+        F.pmod(F.xxhash64("band.band_key"), F.lit(_BAND_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+
+
+def _effective_epoch(df: DataFrame):
+    """Row's logical epoch: compacted base partitions (epoch=-<e>) keep
+    each row's original epoch in ``src_epoch``; live batch partitions
+    use the partition value itself."""
+    if "src_epoch" in df.columns:
+        return F.coalesce(F.col("src_epoch"), F.col("epoch"))
+    return F.col("epoch")
+
+
+def _horizon_filter(
+    df: DataFrame, epoch_id: int | None, retention_epochs: int | None
+) -> DataFrame:
+    """history (< epoch_id) ∩ retention horizon (>= epoch_id - R)."""
+    if epoch_id is None or "epoch" not in df.columns:
+        return df
+    eff = _effective_epoch(df)
+    df = df.filter(eff < epoch_id)
+    if retention_epochs is not None:
+        df = df.filter(eff >= epoch_id - retention_epochs)
+    return df.drop("epoch", "src_epoch")
+
+
 def _match_pairs(
     left_sig: DataFrame,
     right_sig: DataFrame,
@@ -67,9 +158,41 @@ def _match_pairs(
 ) -> DataFrame:
     """(id_a from left, id_b from right) pairs whose signatures agree on
     >= match_min components, found via one band-bucket equi-join over
-    the narrow banded representation. ``left_banded`` supplies a
-    pre-banded (id_a, band_idx, band_key[, bucket]) frame — the
-    band-partitioned store path — in place of banding ``left_sig``."""
+    the banded representation. ``left_banded`` supplies a pre-banded
+    (id_a, band_idx, band_key[, bucket][, sig_*]) frame — the
+    band-partitioned store path — in place of banding ``left_sig``;
+    when it carries inline signature columns the refinement needs no
+    flat-store join at all (``left_sig`` may then be None)."""
+    rb = banded_keys(
+        right_sig.select(F.col("doc_id").alias("id_b"), "*").drop("doc_id"),
+        "id_b", num_perm, bands,
+    )
+    sig_b = right_sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
+    )
+    matches = sum(
+        (F.col(f"a_sig_{j}") == F.col(f"b_sig_{j}")).cast("int")
+        for j in range(num_perm)
+    )
+    if left_banded is not None and "sig_0" in left_banded.columns:
+        rb = rb.withColumn(
+            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(_BAND_BUCKETS))
+        )
+        cand = (
+            left_banded.join(rb, ["bucket", "band_idx", "band_key"])
+            .select(
+                "id_a", "id_b",
+                *[F.col(f"sig_{j}").alias(f"a_sig_{j}")
+                  for j in range(num_perm)],
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.join(sig_b, "id_b")
+            .filter(matches >= match_min)
+            .select("id_a", "id_b")
+        )
     la = (
         left_banded
         if left_banded is not None
@@ -77,10 +200,6 @@ def _match_pairs(
             left_sig.select(F.col("doc_id").alias("id_a"), "*").drop("doc_id"),
             "id_a", num_perm, bands,
         )
-    )
-    rb = banded_keys(
-        right_sig.select(F.col("doc_id").alias("id_b"), "*").drop("doc_id"),
-        "id_b", num_perm, bands,
     )
     join_keys = ["band_idx", "band_key"]
     if "bucket" in la.columns:
@@ -99,14 +218,6 @@ def _match_pairs(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"sig_{j}").alias(f"a_sig_{j}") for j in range(num_perm)],
     )
-    sig_b = right_sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
-    )
-    matches = sum(
-        (F.col(f"a_sig_{j}") == F.col(f"b_sig_{j}")).cast("int")
-        for j in range(num_perm)
-    )
     return (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
@@ -124,6 +235,7 @@ def ingest_batch(
     match_min: int = _MATCH_MIN_DEFAULT,
     epoch_id: int | None = None,
     banded_store_path: str | None = None,
+    retention_epochs: int | None = None,
 ) -> DataFrame:
     """Gate ONE micro-batch of documents (`doc_id`, `text`) against the
     signature store, returning the surviving rows; writes every batch
@@ -143,14 +255,21 @@ def ingest_batch(
     flat append and the caller owns retry semantics.
 
     ``banded_store_path`` maintains the BAND-PARTITIONED key store
-    alongside the signature store: the batch's (doc_id, band_idx,
-    band_key) rows land in ``bucket=pmod(xxhash64(band_key), 64)``
-    parquet partitions, and candidate generation against history probes
-    that store on (bucket, band_idx, band_key) — dynamic partition
-    pruning bounds the store scan by the batch's key footprint while
-    the wide signature rows are read only for the candidate refinement
-    join. This is the 100 TB store layout; the flat path (None) re-bands
-    the signature store on every read."""
+    alongside the signature store: the batch's rows land in
+    ``bucket=pmod(xxhash64(band_key), 64)`` parquet partitions WITH the
+    signature columns inline, so candidate generation against history
+    is a single probe join on (bucket, band_idx, band_key) — dynamic
+    partition pruning bounds the store scan by the batch's key
+    footprint, and refinement uses the inline signatures (the flat
+    signature store is not read at all unless the two stores' epoch
+    sets diverge, in which case the missing epochs are re-banded on
+    read — never silently skipped). This is the 100 TB store layout;
+    the flat path (None) re-bands the signature store on every read.
+
+    ``retention_epochs`` bounds the dedup lookback: only signatures
+    from the last N epochs gate new arrivals (and compaction drops
+    older rows permanently) — the constant-state deployment mode.
+    """
     spark = batch_docs.sparkSession
     sigs = minhash_signature(batch_docs, "doc_id", "text", k, num_perm)
     sigs.persist()
@@ -162,42 +281,85 @@ def ingest_batch(
     )
     dropped = dropped_within
     if os.path.exists(store_path):
-        store = spark.read.parquet(store_path)
-        if epoch_id is not None and "epoch" in store.columns:
-            store = store.filter(F.col("epoch") < epoch_id).drop("epoch")
         store_banded = None
         if banded_store_path is not None and os.path.exists(banded_store_path):
-            store_banded = spark.read.parquet(banded_store_path)
-            if epoch_id is not None and "epoch" in store_banded.columns:
-                store_banded = store_banded.filter(
-                    F.col("epoch") < epoch_id
-                ).drop("epoch")
-            store_banded = store_banded.withColumnRenamed("doc_id", "id_a")
-        dropped_vs_store = (
-            _match_pairs(
-                store, sigs, num_perm, bands, match_min,
-                left_banded=store_banded,
+            store_banded = _horizon_filter(
+                spark.read.parquet(banded_store_path),
+                epoch_id, retention_epochs,
             )
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-        )
-        dropped = dropped.unionByName(dropped_vs_store).distinct()
+            # Divergence repair: epochs ingested into the signature
+            # store while the banded store was absent (toggled on
+            # mid-stream, crash between the two compaction writes) are
+            # re-banded on read so no historical candidate is missed.
+            missing = set(_epoch_ids(store_path)) - set(
+                _epoch_ids(banded_store_path)
+            )
+            if missing:
+                miss = spark.read.parquet(store_path)
+                if "epoch" in miss.columns:
+                    miss = _horizon_filter(
+                        miss.filter(F.col("epoch").isin(sorted(missing))),
+                        epoch_id, retention_epochs,
+                    )
+                miss_banded = _banded_with_sigs(miss, num_perm, bands)
+                if "sig_0" in store_banded.columns:
+                    sig_cols = [f"sig_{j}" for j in range(num_perm)]
+                    store_banded = store_banded.select(
+                        "doc_id", "band_idx", "band_key", *sig_cols, "bucket"
+                    ).unionByName(miss_banded)
+                else:
+                    store_banded = store_banded.select(
+                        "doc_id", "band_idx", "band_key", "bucket"
+                    ).unionByName(
+                        miss_banded.select(
+                            "doc_id", "band_idx", "band_key", "bucket"
+                        )
+                    )
+            store_banded = store_banded.withColumnRenamed("doc_id", "id_a")
+            if "sig_0" in store_banded.columns:
+                dropped_vs_store = _match_pairs(
+                    None, sigs, num_perm, bands, match_min,
+                    left_banded=store_banded,
+                )
+            else:
+                # legacy narrow banded store: refinement joins the flat
+                # signature store
+                store = _horizon_filter(
+                    spark.read.parquet(store_path), epoch_id, retention_epochs
+                )
+                dropped_vs_store = _match_pairs(
+                    store, sigs, num_perm, bands, match_min,
+                    left_banded=store_banded,
+                )
+        else:
+            store = _horizon_filter(
+                spark.read.parquet(store_path), epoch_id, retention_epochs
+            )
+            dropped_vs_store = _match_pairs(
+                store, sigs, num_perm, bands, match_min
+            )
+        dropped = dropped.unionByName(
+            dropped_vs_store.select(F.col("id_b").alias("doc_id")).distinct()
+        ).distinct()
     survivors = batch_docs.join(dropped, "doc_id", "left_anti")
     # Materialize the verdict BEFORE mutating the store (the plan reads
     # it): eager localCheckpoint cuts the lineage executor-side — the
     # verdict never flows through the driver.
     survivors = survivors.localCheckpoint(eager=True)
+    out_sigs = sigs
     if epoch_id is not None:
-        sigs.write.mode("overwrite").parquet(
+        out_sigs = sigs.withColumn("src_epoch", F.lit(int(epoch_id)))
+        out_sigs.write.mode("overwrite").parquet(
             os.path.join(store_path, f"epoch={int(epoch_id)}")
         )
     else:
         sigs.write.mode("append").parquet(store_path)
     if banded_store_path is not None:
-        batch_banded = banded_keys(sigs, "doc_id", num_perm, bands).withColumn(
-            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(_BAND_BUCKETS))
-        )
+        batch_banded = _banded_with_sigs(sigs, num_perm, bands)
         if epoch_id is not None:
+            batch_banded = batch_banded.withColumn(
+                "src_epoch", F.lit(int(epoch_id))
+            )
             batch_banded.write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(banded_store_path, f"epoch={int(epoch_id)}")
             )
@@ -209,6 +371,60 @@ def ingest_batch(
     return survivors
 
 
+def compact_corpus_store(
+    spark: SparkSession,
+    store_path: str,
+    epoch_id: int,
+    banded_store_path: str | None = None,
+    retention_epochs: int | None = None,
+) -> None:
+    """Fold every partition STRICTLY EARLIER than ``epoch_id`` into the
+    fresh base partition ``epoch=-<epoch_id>`` (rows keep their
+    original epoch in ``src_epoch`` so retention keeps working), then
+    delete the subsumed partitions. With ``retention_epochs``, rows
+    past the horizon are dropped permanently — the store becomes
+    constant-size for a constant arrival rate.
+
+    Crash-safe: the write target is never one of the fold's sources
+    (batch partitions are >= 0, earlier bases are -e' with e' <
+    epoch_id), so history stays on disk until the new base commits;
+    any partition a crash leaves behind re-folds idempotently (the
+    gate's candidate union dedups) and the next compaction removes it.
+    The current epoch's partition is NOT folded — a replay of
+    ``epoch_id`` must still see only strictly-earlier history.
+    """
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    targets = [(store_path, None)]
+    if banded_store_path is not None and os.path.exists(banded_store_path):
+        # banded first: if a crash splits the two writes, the repair
+        # path re-bands the signature store's epochs (cheap) rather
+        # than the reverse
+        targets.insert(0, (banded_store_path, "bucket"))
+    for path, part_col in targets:
+        existing = _epoch_ids(path)
+        if not existing:
+            continue
+        df = spark.read.parquet(path)
+        if "epoch" not in df.columns:
+            continue
+        eff = _effective_epoch(df)
+        fold = df.filter(eff < epoch_id)
+        if retention_epochs is not None:
+            fold = fold.filter(eff >= epoch_id - retention_epochs)
+        fold = fold.withColumn("src_epoch", eff.cast("long")).drop("epoch")
+        fold = fold.localCheckpoint(eager=True)
+        writer = fold.write.mode("overwrite")
+        if part_col is not None:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(os.path.join(path, f"epoch=-{int(epoch_id)}"))
+        for e in existing:
+            if e < epoch_id and e != -int(epoch_id):
+                shutil.rmtree(
+                    os.path.join(path, f"epoch={e}"), ignore_errors=True
+                )
+
+
 def start_corpus_ingest(
     spark: SparkSession,
     src_path: str,
@@ -217,6 +433,8 @@ def start_corpus_ingest(
     checkpoint: str,
     schema,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = 8,
+    retention_epochs: int | None = None,
     **gate_kwargs,
 ):
     """File-source streaming wrapper: each discovered file is one
@@ -224,8 +442,11 @@ def start_corpus_ingest(
     availableNow drains the backlog then stops — the batch-parity mode
     the tests use; drop it for a continuous tail. The wrapper maintains
     the band-partitioned key store (``<store_path>_banded``) by default
-    — the layout the candidate probe prunes against at scale."""
+    — the layout the candidate probe prunes against at scale — and
+    compacts both stores every ``compact_every`` batches (retention
+    horizon applied there and at the gate when set)."""
     gate_kwargs.setdefault("banded_store_path", store_path + "_banded")
+    gate_kwargs.setdefault("retention_epochs", retention_epochs)
 
     def on_batch(batch_df: DataFrame, epoch: int) -> None:
         kept = ingest_batch(batch_df, store_path, epoch_id=epoch, **gate_kwargs)
@@ -234,6 +455,14 @@ def start_corpus_ingest(
         kept.write.mode("overwrite").parquet(
             os.path.join(out_path, f"epoch={int(epoch)}")
         )
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_corpus_store(
+                spark,
+                store_path,
+                epoch,
+                banded_store_path=gate_kwargs["banded_store_path"],
+                retention_epochs=gate_kwargs["retention_epochs"],
+            )
 
     stream = (
         spark.readStream.schema(schema)

@@ -159,3 +159,148 @@ def test_banded_store_path_matches_flat_path(spark, tmp_path):
         row.columns
     )
     docs.unpersist()
+
+
+def test_compaction_preserves_survivors_and_bounds_partitions(spark, tmp_path):
+    """Folding history into the epoch=-<e> base partition must not
+    change any gating verdict, and must actually collapse the store's
+    epoch partitions (the growth bound the 2M-doc probe measures)."""
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    # near-copies (id>=1000) land in batches by (id+1000)%3 — originals
+    # may be in EARLIER epochs, exercising the cross-epoch path
+
+    plain_store = str(tmp_path / "plain")
+    plain = [
+        _survivor_ids(
+            ingest_batch(t, plain_store, epoch_id=i,
+                         banded_store_path=plain_store + "_b")
+        )
+        for i, t in enumerate(thirds)
+    ]
+
+    comp_store = str(tmp_path / "comp")
+    comp = []
+    for i, t in enumerate(thirds):
+        comp.append(
+            _survivor_ids(
+                ingest_batch(t, comp_store, epoch_id=i,
+                             banded_store_path=comp_store + "_b")
+            )
+        )
+        if i > 0:  # compact after EVERY batch — maximal stress
+            compact_corpus_store(
+                spark, comp_store, i, banded_store_path=comp_store + "_b"
+            )
+    assert comp == plain
+
+    # store collapsed: base epoch=-2 plus the current epoch only
+    eps = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(comp_store)
+        if d.startswith("epoch=")
+    )
+    assert eps == [-2, 2]
+    beps = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(comp_store + "_b")
+        if d.startswith("epoch=")
+    )
+    assert beps == [-2, 2]
+
+    # a replayed compaction is a no-op
+    compact_corpus_store(
+        spark, comp_store, 2, banded_store_path=comp_store + "_b"
+    )
+    extra = ingest_batch(
+        docs.limit(0), comp_store, epoch_id=3,
+        banded_store_path=comp_store + "_b",
+    )
+    assert extra.count() == 0
+    docs.unpersist()
+
+
+def test_retention_horizon_bounds_lookback(spark, tmp_path):
+    """With retention_epochs=1 a duplicate gates only against the
+    previous epoch: a copy arriving 2 epochs after its original
+    SURVIVES (outside horizon), while a copy 1 epoch later drops."""
+    base = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 6)
+        .cache()
+    )
+    dup_of_0_near = base.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    dup_of_0_far = base.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 200).alias("doc_id"), "text"
+    )
+    unrelated = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 36))
+        .select((F.col("doc_id") + 50).alias("doc_id"), "text")
+    )
+    store = str(tmp_path / "store")
+    kw = dict(banded_store_path=store + "_b", retention_epochs=1)
+    k0 = _survivor_ids(ingest_batch(base, store, epoch_id=0, **kw))
+    assert 0 in k0
+    # epoch 1: dup of doc 0 — inside horizon (epoch 0 >= 1-1) => dropped
+    k1 = _survivor_ids(ingest_batch(dup_of_0_near, store, epoch_id=1, **kw))
+    assert k1 == []
+    # epoch 2: unrelated docs push doc 0's AND doc 100's signatures out
+    # of the next epoch's horizon (dropped docs' signatures persist, so
+    # the epoch-1 copy would otherwise keep the chain alive)
+    _survivor_ids(ingest_batch(unrelated, store, epoch_id=2, **kw))
+    # epoch 3: dup of doc 0 — originals at epochs 0/1 < 3-1 => outside
+    # horizon, survives (the bounded-lookback deployment contract)
+    k3 = _survivor_ids(ingest_batch(dup_of_0_far, store, epoch_id=3, **kw))
+    assert k3 == [200]
+
+    # compaction with the same horizon drops the stale rows permanently
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    compact_corpus_store(
+        spark, store, 3, banded_store_path=store + "_b", retention_epochs=1
+    )
+    folded = spark.read.parquet(store).filter(F.col("epoch") == -3)
+    assert set(r.src_epoch for r in folded.select("src_epoch").collect()) == {2}
+    base.unpersist()
+
+
+def test_banded_store_divergence_repair(spark, tmp_path):
+    """Epochs ingested into the signature store while the banded store
+    was absent must still gate later batches once the banded path is
+    toggled on — the missing epochs re-band on read instead of being
+    silently skipped."""
+    docs = _docs_with_neardups(spark).cache()
+    store = str(tmp_path / "store")
+    banded = str(tmp_path / "store_banded")
+
+    # epochs 0-1: NO banded store
+    first = docs.filter(F.col("doc_id") < 20)
+    second = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    ingest_batch(first, store, epoch_id=0)
+    ingest_batch(second, store, epoch_id=1)
+
+    # epoch 2: banded path toggled on; the near-copies' originals live
+    # in the UN-banded epochs 0-1
+    third = docs.filter(F.col("doc_id") >= 1000)
+    flat_ref_store = str(tmp_path / "ref")
+    ingest_batch(first, flat_ref_store, epoch_id=0)
+    ingest_batch(second, flat_ref_store, epoch_id=1)
+    expected = _survivor_ids(ingest_batch(third, flat_ref_store, epoch_id=2))
+
+    got = _survivor_ids(
+        ingest_batch(third, store, epoch_id=2, banded_store_path=banded)
+    )
+    assert got == expected
+    assert got == []  # every injected copy has an original in epochs 0-1
+    docs.unpersist()
