@@ -355,7 +355,14 @@ def ingest_batch(
     else:
         sigs.write.mode("append").parquet(store_path)
     if banded_store_path is not None:
-        batch_banded = _banded_with_sigs(sigs, num_perm, bands)
+        # repartition ON the partition column first: partitionBy from an
+        # arbitrarily-partitioned frame writes one file per (task ×
+        # bucket) — thousands of tiny files whose footer overhead
+        # dominates the probe scan; hashed-by-bucket it writes exactly
+        # one file per non-empty bucket
+        batch_banded = _banded_with_sigs(sigs, num_perm, bands).repartition(
+            "bucket"
+        )
         if epoch_id is not None:
             batch_banded = batch_banded.withColumn(
                 "src_epoch", F.lit(int(epoch_id))
@@ -413,6 +420,13 @@ def compact_corpus_store(
         if retention_epochs is not None:
             fold = fold.filter(eff >= epoch_id - retention_epochs)
         fold = fold.withColumn("src_epoch", eff.cast("long")).drop("epoch")
+        # one file per bucket (banded) / bounded file count (flat): a
+        # partitionBy write from N shuffle partitions otherwise sprays
+        # N × buckets tiny files into the base partition
+        fold = (
+            fold.repartition(part_col) if part_col is not None
+            else fold.repartition(64)
+        )
         fold = fold.localCheckpoint(eager=True)
         writer = fold.write.mode("overwrite")
         if part_col is not None:
