@@ -65,16 +65,157 @@ def synthesize_ppm(media_id: int, width: int, height: int) -> bytes:
     return header + ((media_id + idx) % 256).astype(np.uint8).tobytes()
 
 
+def synthesize_png(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL PNG (8-bit RGB, zlib-deflated IDAT, correct
+    CRCs): byte i of the raw pixel stream is (media_id + i) % 256 — the
+    same generative formula as :func:`synthesize_ppm`, so the DuckDB
+    oracle verifies the decode analytically. Row r uses filter type
+    r % 5, cycling through ALL five PNG filters (None/Sub/Up/Average/
+    Paeth) so every unfilter path in :func:`decode_image` is exercised
+    by every image taller than 4 rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    stride = width * 3
+    idx = np.arange(height * stride, dtype=np.int64)
+    raw = ((media_id + idx) % 256).astype(np.int64).reshape(height, stride)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        row = raw[r]
+        left = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        f = r % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = (row - left) % 256
+        elif f == 2:
+            filt = (row - prev) % 256
+        elif f == 3:
+            filt = (row - (left + prev) // 2) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (row - pred) % 256
+        out += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(payload: bytes) -> "tuple[int, int, bytes]":
+    """Parse PNG chunks, inflate IDAT, undo per-row filters; returns
+    (width, height, raw RGB bytes). Stdlib zlib covers the codec: PNG's
+    only compression is deflate, and the five row filters are exact
+    integer arithmetic. Supports the 8-bit-RGB non-interlaced profile
+    (color type 2) — others raise."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only 8-bit RGB non-interlaced PNG decodes in-container"
+        )
+    stream = zlib.decompress(idat)
+    stride = w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    recon = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        f = stream[r * (stride + 1)]
+        row = bytearray(stream[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if f == 1:
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = row[i - 3] if i >= 3 else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        recon += row
+        prev = bytes(row)
+    return w, h, bytes(recon)
+
+
 def decode_image(payload: bytes) -> dict:
-    """REAL image decode for the codec-free formats — binary P6 PPM and
-    uncompressed 24-bit BMP — parsed with stdlib + numpy only (no
-    Pillow in this container). Returns width/height/channels plus exact
-    integer per-channel pixel sums. Formats that genuinely need a codec
-    library (JPEG/PNG/...) raise instead of faking."""
+    """REAL image decode for the in-container formats — binary P6 PPM,
+    uncompressed 24-bit BMP, and 8-bit RGB PNG (stdlib zlib inflates
+    IDAT; the five row filters are undone exactly) — parsed with
+    stdlib + numpy only (no Pillow in this container). Returns
+    width/height/channels plus exact integer per-channel pixel sums.
+    Formats that genuinely need an external codec (JPEG/WebP/...)
+    raise instead of faking."""
     import struct
 
     import numpy as np
 
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, raw = _png_unfilter(payload)
+        rgb = (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.int64)
+        )
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": 3,
+            "sum_r": int(rgb[:, :, 0].sum()),
+            "sum_g": int(rgb[:, :, 1].sum()),
+            "sum_b": int(rgb[:, :, 2].sum()),
+        }
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB
         fields, pos = [], 2
@@ -106,8 +247,8 @@ def decode_image(payload: bytes) -> dict:
         h = abs(h)
     else:
         raise NotImplementedError(
-            "only codec-free formats (P6 PPM, 24-bit BMP) decode in-container; "
-            "JPEG/PNG need an image codec library"
+            "only in-container formats (P6 PPM, 24-bit BMP, 8-bit RGB PNG) "
+            "decode here; JPEG/WebP need an image codec library"
         )
     return {
         "width": int(w),

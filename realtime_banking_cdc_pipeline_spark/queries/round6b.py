@@ -36,7 +36,6 @@ from .llmdata import (
     _ADAPTIVE_CELLS_SQL,
     _dd_ivf_sql,
     _emb,
-    _nearest_cell,
     _FXQ,
     adaptive_cells,
 )
@@ -55,54 +54,178 @@ from .registry import query
 _SEMDEDUP_THRESHOLD = 0.35
 
 
-def _adaptive_cents(spark: SparkSession, emb: DataFrame):
-    """Centroid frame for the SemDeDup quantizer with the adaptive cell
-    rule k = max(16, 2^(bitlen(N)//2)) ≈ sqrt(N).
+def coarse_cells(k: int) -> int:
+    """Power-of-two coarse-quantizer size ≈ sqrt(k), floor 4 — the
+    first level of the two-level (coarse→fine) cell assignment."""
+    return max(4, 1 << (int(k).bit_length() // 2))
+
+
+# DuckDB twin of :func:`coarse_cells` over a column named ``k``.
+_COARSE_CELLS_SQL = "GREATEST(4, 1 << (length(bin(CAST(k AS BIGINT))) // 2))"
+
+
+def _two_level_cells(spark: SparkSession, emb: DataFrame):
+    """Two-level (coarse→fine) quantizer assignment for the SemDeDup
+    family: ``(emb, cells)`` where cells = (vec_id, cid, ccos) — each
+    vector's fine cell and its cosine to that cell's centroid.
+
+    The flat rule scored every vector against all k ≈ sqrt(N) fine
+    centroids: assignment kN + within-cell pairs N²/k bottoms out at
+    O(N^1.5) with the ASSIGNMENT stage dominating at 10^10+ docs. Here
+    each vector scores the kc ≈ sqrt(k) ≈ N^(1/4) coarse centroids,
+    then only the fine centroids whose nearest coarse centroid matches
+    (≈ k/kc on average): ~2·N·sqrt(k) scores instead of N·k — at 200k
+    vectors that is ~10M vs ~100M cosine evaluations, and the pair
+    stage bound (cells stay ≈ sqrt(N)-sized) is unchanged.
+
+    Deterministic and oracle-twinned: fine centroids are the first k
+    vectors, coarse the first kc (a PREFIX of the fine set, so every
+    selectable coarse cell contains its own fine twin and no probe
+    group is empty); all nearest-of rules maximize (cos, -id) with the
+    exact fixed-point cosine, identically in the generated SQL
+    (`_dd_two_level_cells_cte`).
 
     The corpus count is the only driver-side state (one scalar, the
-    same pattern as the high-water-mark collect); k·dim centroid floats
-    stay broadcast-bounded by construction (k ≈ sqrt(N): 1e9 vectors →
-    k = 32768 → ~8 MB at dim 64).  The input is rebalanced up to the
-    session parallelism when the file layout under-splits (measured:
-    a 2-row-group parquet starves local[32] on the N·k assignment map
-    stage — SCALE.md `semdedup_cell_scaling`); already-well-partitioned
-    inputs skip the shuffle.
+    same pattern as the high-water-mark collect); broadcast state is
+    kc + k centroid rows ≈ sqrt(N)·dim floats (1e9 vectors → ~8 MB at
+    dim 64). The input is rebalanced up to the session parallelism
+    when the file layout under-splits (measured: a 2-row-group parquet
+    starves local[32] on the assignment map stage — SCALE.md
+    `semdedup_cell_scaling`); well-partitioned inputs skip the shuffle.
     """
     n = emb.count()
     k = adaptive_cells(n)
+    kc = coarse_cells(k)
     par = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < par:
         emb = emb.repartition(par)
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    return emb, cents
+    ccents = emb.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("ccv")
+    )
+    # fine → coarse: k × kc scores, all broadcast-side tiny
+    fmap = (
+        cents.crossJoin(F.broadcast(ccents))
+        .select(
+            "cid", "ccid",
+            cosine_against(F.col("ccv"), F.col("cv")).alias("cos"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("cos").alias("c"), (-F.col("ccid")).alias("nc")),
+            ).alias("ccid")
+        )
+    )
+    # vector → coarse: N × kc scores (the N·sqrt(k) stage)
+    vmap = (
+        emb.crossJoin(F.broadcast(ccents))
+        .select(
+            "vec_id", "ccid",
+            cosine_against(F.col("ccv"), F.col("embedding")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("cos").alias("c"), (-F.col("ccid")).alias("nc")),
+            ).alias("ccid")
+        )
+    )
+    # vector → fine, probing ONLY the matched coarse group (≈ k/kc
+    # fine centroids per vector); probe table is k rows → broadcast
+    probe = fmap.join(cents, "cid")
+    win = (
+        vmap.join(emb, "vec_id")
+        .join(F.broadcast(probe), "ccid")
+        .select(
+            "vec_id", "cid",
+            cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+            ).alias("w")
+        )
+    )
+    cells = win.select(
+        "vec_id", (-F.col("w.nc")).alias("cid"), F.col("w.c").alias("ccos")
+    )
+    return emb, cells
+
+
+def _dd_two_level_cells_cte() -> str:
+    """Shared oracle CTE chain deriving the two-level cell assignment —
+    ends at ``cells (vec_id, cid, ccos)``; also defines ``e`` and
+    ``norms`` for downstream pair stages. Exact SQL twin of
+    :func:`_two_level_cells` (same adaptive k, same coarse rule, same
+    (cos DESC, id ASC) tiebreaks, same fixed-point cosine)."""
+    fx = _FXQ.format
+    return f"""nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
+nc AS (SELECT k, {_COARSE_CELLS_SQL} AS kc FROM nk),
+e AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nc
+      WHERE vec_id < nc.k),
+cc AS (SELECT vec_id AS ccid, embedding AS ccv FROM embeddings, nc
+       WHERE vec_id < nc.kc),
+norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
+ccnorms AS (SELECT ccid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+            FROM (SELECT ccid, unnest(ccv) AS v FROM cc) GROUP BY 1),
+fcp AS (SELECT c.cid, cc.ccid, unnest(c.cv) AS a, unnest(cc.ccv) AS b
+        FROM c, cc),
+fcd AS (SELECT cid, ccid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+        FROM fcp GROUP BY 1, 2),
+fcs AS (
+  SELECT d.cid, d.ccid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM fcd d JOIN cnorms n USING (cid) JOIN ccnorms cn USING (ccid)
+),
+fmap AS (SELECT cid, ccid FROM (
+    SELECT cid, ccid, ROW_NUMBER() OVER (
+      PARTITION BY cid ORDER BY cos DESC, ccid ASC) AS rn FROM fcs)
+  WHERE rn = 1),
+vcp AS (SELECT e.vec_id, cc.ccid, unnest(e.embedding) AS a,
+               unnest(cc.ccv) AS b
+        FROM e, cc),
+vcd AS (SELECT vec_id, ccid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+        FROM vcp GROUP BY 1, 2),
+vcs AS (
+  SELECT d.vec_id, d.ccid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM vcd d JOIN norms n USING (vec_id) JOIN ccnorms cn USING (ccid)
+),
+vmap AS (SELECT vec_id, ccid FROM (
+    SELECT vec_id, ccid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, ccid ASC) AS rn FROM vcs)
+  WHERE rn = 1),
+vfp AS (SELECT e.vec_id, f.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+        FROM e JOIN vmap vm USING (vec_id)
+               JOIN fmap f ON f.ccid = vm.ccid
+               JOIN c ON c.cid = f.cid),
+vfd AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+        FROM vfp GROUP BY 1, 2),
+vfs AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM vfd d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
+),
+cells AS (SELECT vec_id, cid, cos AS ccos FROM (
+    SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs)
+  WHERE rn = 1)"""
 
 
 def _dd_semdedup_sql() -> str:
     fx = _FXQ.format
     return f"""
-WITH nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nk
-      WHERE vec_id < nk.k),
-e AS (SELECT vec_id, embedding FROM embeddings),
-pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
-          FROM e, c),
-dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
-         FROM pairs GROUP BY 1, 2),
-norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
-cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
-scored AS (
-  SELECT d.vec_id, d.cid,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
-  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
-),
-ranked AS (
-  SELECT vec_id, cid, ROW_NUMBER() OVER (
-    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
-cells AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+WITH {_dd_two_level_cells_cte()},
 m AS (SELECT cells.vec_id, cells.cid, e.embedding
       FROM cells JOIN e USING (vec_id)),
 mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
@@ -134,13 +257,16 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
         "mate reaches the threshold (deterministic keep-lowest-id "
         "variant of the paper's keep-one rule). The all-pairs problem "
         "never materializes: candidate pairs are bounded by "
-        "sum(cell_size^2), and the cell count now ADAPTS to the corpus "
-        "— k = max(16, 2^(bitlen(N)//2)) ~ sqrt(N), derived identically "
-        "in the Spark fn and the generated oracle, so the same query "
-        "survives any sf (measured: pinned k=16 TIMEOUT>600 s at 200k "
-        "vectors; adaptive k finishes — SCALE.md). Centroids broadcast "
-        "(k x dim, bounded: sqrt(N) growth); the within-cell self-join "
-        "shuffles ids+vectors "
+        "sum(cell_size^2), the cell count ADAPTS to the corpus "
+        "(k = max(16, 2^(bitlen(N)//2)) ~ sqrt(N)), and assignment is "
+        "TWO-LEVEL (coarse kc ~ sqrt(k) probe, then fine within the "
+        "probed group): ~2*N*sqrt(k) cosine evaluations instead of the "
+        "flat rule's N*k — the stage that dominated at 10^10+ docs — "
+        "derived identically in the Spark fn and the generated oracle, "
+        "so the same query survives any sf (measured: pinned k=16 "
+        "TIMEOUT>600 s at 200k vectors; adaptive k finishes — "
+        "SCALE.md). Centroids broadcast (k x dim, bounded: sqrt(N) "
+        "growth); the within-cell self-join shuffles ids+vectors "
         "on cid once; the dup verdict is one distinct + left anti "
         "shape. Cosines are exact fixed-point dots with one trailing "
         "double division — bit-identical across engines, so the "
@@ -150,16 +276,11 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
 
-    emb, cents = _adaptive_cents(spark, _emb(spark, sf_dir))
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
-    )
+    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
     # per-member squared norm computed ONCE (pair-time cosine is then a
     # single cross dot + one division — not three array reductions)
     m = track_persist(
-        _nearest_cell(scored)
+        cells.select("vec_id", "cid")
         .join(emb, "vec_id")
         .select("vec_id", "cid", "embedding")
         .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
@@ -423,27 +544,7 @@ def x_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_semdedup_diverse_sql() -> str:
     fx = _FXQ.format
     return f"""
-WITH RECURSIVE nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nk
-      WHERE vec_id < nk.k),
-e AS (SELECT vec_id, embedding FROM embeddings),
-pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
-          FROM e, c),
-dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
-         FROM pairs GROUP BY 1, 2),
-norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
-cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
-scored AS (
-  SELECT d.vec_id, d.cid,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
-  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
-),
-ranked AS (
-  SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
-    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
-cells AS (SELECT vec_id, cid, cos AS ccos FROM ranked WHERE rn = 1),
+WITH RECURSIVE {_dd_two_level_cells_cte()},
 m AS (SELECT cells.vec_id, cells.cid, cells.ccos, e.embedding
       FROM cells JOIN e USING (vec_id)),
 mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
@@ -501,20 +602,7 @@ def x_semdedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
     from ..operators.components import connected_components
 
-    emb, cents = _adaptive_cents(spark, _emb(spark, sf_dir))
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
-    )
-    win = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
-        ).alias("w")
-    )
-    cells = win.select(
-        "vec_id", (-F.col("w.nc")).alias("cid"), F.col("w.c").alias("ccos")
-    )
+    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
     m = track_persist(
         cells.join(emb, "vec_id")
         .select("vec_id", "cid", "ccos", "embedding")

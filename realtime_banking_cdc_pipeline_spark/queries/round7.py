@@ -109,7 +109,9 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_anchor_islands(anchors)
 
 
-def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_frame(
+    spark: SparkSession, sf_dir: str, k: int = _XSUB_K
+) -> DataFrame:
     """(doc_id, p, g): every k-token shingle position with its md5
     digest — the shared anchor substrate for both ExactSubstr variants
     (identical subtree, so a composed pipeline computes it once)."""
@@ -120,14 +122,14 @@ def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("toks")
     )
     return (
-        d.filter(F.size("toks") >= _XSUB_K)
+        d.filter(F.size("toks") >= k)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, size(toks) - {_XSUB_K}),"
+                    f"transform(sequence(0, size(toks) - {k}),"
                     f" p -> struct(p AS p,"
-                    f" md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' ')) AS g))"
+                    f" md5(array_join(slice(toks, p + 1, {k}), ' ')) AS g))"
                 )
             ).alias("s"),
         )
@@ -135,7 +137,23 @@ def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merge_anchor_islands(anchors: DataFrame) -> DataFrame:
+def substring_spans(
+    spark: SparkSession, sf_dir: str, k: int = _XSUB_K
+) -> DataFrame:
+    """x_substring_dedup at an arbitrary anchor length — the registered
+    query pins k=8 for the short-doc fixture; the long-document scale
+    probes run the paper's k=50 through this same code path."""
+    from ..caching import track_persist
+
+    ng = track_persist(_shingle_frame(spark, sf_dir, k))
+    rep = ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    anchors = ng.join(rep.select("g"), "g").select("doc_id", "p")
+    return _merge_anchor_islands(anchors, k)
+
+
+def _merge_anchor_islands(anchors: DataFrame, k: int = _XSUB_K) -> DataFrame:
     """Merge per-doc anchor positions (each covering [p, p+k)) into
     maximal spans: one doc-partitioned window pass (gap-islands with
     break at position gap > k), then one hash agg per (doc, island)."""
@@ -145,7 +163,7 @@ def _merge_anchor_islands(anchors: DataFrame) -> DataFrame:
         .withColumn(
             "brk",
             F.when(
-                F.col("prev").isNull() | (F.col("p") - F.col("prev") > _XSUB_K),
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > k),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
@@ -156,8 +174,8 @@ def _merge_anchor_islands(anchors: DataFrame) -> DataFrame:
     )
     return isl.groupBy("doc_id", "island").agg(
         F.min("p").cast("bigint").alias("span_start"),
-        (F.max("p") + _XSUB_K).cast("bigint").alias("span_end"),
-        (F.max("p") + _XSUB_K - F.min("p")).cast("bigint").alias("span_tokens"),
+        (F.max("p") + k).cast("bigint").alias("span_end"),
+        (F.max("p") + k - F.min("p")).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
     ).drop("island").select(
         "doc_id", "span_start", "span_end", "span_tokens", "n_anchors"
@@ -262,6 +280,116 @@ def x_substring_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.filter(F.col("n") > _XSUBF_CAP).select("g"), "g"
     ).select("doc_id", "p")
     return _merge_anchor_islands(small.unionByName(big))
+
+
+# ---------------------------------------------------------------------------
+# x_substring_rewrite — emit the DEDUPLICATED corpus, not just the spans
+# ---------------------------------------------------------------------------
+
+_XSUBR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_XSUB_TOKS} AS toks FROM documents
+),
+ng AS (
+  SELECT doc_id, u.p,
+         md5(array_to_string(toks[u.p + 1 : u.p + {_XSUB_K}], ' ')) AS g
+  FROM d, LATERAL unnest(generate_series(0, len(toks) - {_XSUB_K})) AS u(p)
+  WHERE len(toks) >= {_XSUB_K}
+),
+rep AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) >= 2),
+anchors AS (SELECT ng.doc_id, ng.p FROM ng JOIN rep USING (g)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_XSUB_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, p,
+           LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+    FROM anchors
+  )
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) + {_XSUB_K} AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+tokrows AS (
+  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+  FROM d, LATERAL unnest(generate_series(0, len(toks) - 1)) AS u(p)
+  WHERE len(toks) >= 1
+),
+dropped AS (
+  SELECT DISTINCT t.doc_id, t.p
+  FROM tokrows t JOIN spans s
+    ON s.doc_id = t.doc_id AND t.p >= s.span_start AND t.p < s.span_end
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tokrows t LEFT JOIN dropped dp
+    ON dp.doc_id = t.doc_id AND dp.p = t.p
+  WHERE dp.p IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_dropped
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query(
+    "x_substring_rewrite",
+    _XSUBR_SQL,
+    doc=(
+        "The ExactSubstr pipeline's actual PRODUCT (arXiv:2107.06499 "
+        "§4.1): the rewritten corpus with every repeated >= k-token "
+        "window removed — x_substring_dedup reports the spans, this "
+        "emits each document's surviving text (tokens outside the "
+        "span union, original order, single-space joined) plus exact "
+        "kept/dropped token counts, making the boilerplate accounting "
+        "actionable end-to-end. Spark side: the span complement is a "
+        "pure array expression (filter+exists over the per-doc span "
+        "list — spans per doc are few, the scan per token is "
+        "broadcast-local array logic, zero extra exchanges beyond the "
+        "span groupBy + one doc-keyed join); the oracle mirrors it "
+        "relationally (position anti-join + ordered string_agg). "
+        "Whole docs, empty docs, and span-free docs all round-trip "
+        "(left join + COALESCE on both engines)."
+    ),
+)
+def x_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = x_substring_dedup(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("spans")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    j = d.join(spans, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)),"
+        " x -> NOT coalesce("
+        "   exists(spans, sp -> x.i >= sp.s AND x.i < sp.e), false))"
+    )
+    return j.withColumn("kept", kept).select(
+        "doc_id",
+        F.array_join(F.expr("transform(kept, x -> x.t)"), " ").alias(
+            "clean_text"
+        ),
+        F.size("kept").cast("bigint").alias("n_tokens_kept"),
+        (F.size("toks") - F.size("kept")).cast("bigint").alias(
+            "n_tokens_dropped"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

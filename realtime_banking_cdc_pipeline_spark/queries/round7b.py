@@ -1178,32 +1178,12 @@ def x_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_sdkb_sql() -> str:
-    from .llmdata import _ADAPTIVE_CELLS_SQL, _FXQ
-    from .round6b import _SEMDEDUP_THRESHOLD
+    from .llmdata import _FXQ
+    from .round6b import _SEMDEDUP_THRESHOLD, _dd_two_level_cells_cte
 
     fx = _FXQ.format
     return f"""
-WITH RECURSIVE nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nk
-      WHERE vec_id < nk.k),
-e AS (SELECT vec_id, embedding FROM embeddings),
-pairs AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
-          FROM e, c),
-dots AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
-         FROM pairs GROUP BY 1, 2),
-norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
-cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
-scored AS (
-  SELECT d.vec_id, d.cid,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
-  FROM dots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
-),
-ranked AS (
-  SELECT vec_id, cid, ROW_NUMBER() OVER (
-    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM scored),
-cells AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+WITH RECURSIVE {_dd_two_level_cells_cte()},
 m AS (SELECT cells.vec_id, cells.cid, e.embedding
       FROM cells JOIN e USING (vec_id)),
 mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
@@ -1273,20 +1253,15 @@ FROM sel WHERE rk = 1
 )
 def x_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
-    from ..functions.similarity import cosine_against, fx_dot
+    from ..functions.similarity import fx_dot
     from ..functions.text import stopword_hits, ws_tokens
     from ..operators.components import connected_components
-    from .llmdata import _emb, _nearest_cell
-    from .round6b import _SEMDEDUP_THRESHOLD, _adaptive_cents
+    from .llmdata import _emb
+    from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells
 
-    emb, cents_frame = _adaptive_cents(spark, _emb(spark, sf_dir))
-    scored = emb.crossJoin(F.broadcast(cents_frame)).select(
-        "vec_id",
-        "cid",
-        cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
-    )
+    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
     m = track_persist(
-        _nearest_cell(scored)
+        cells.select("vec_id", "cid")
         .join(emb, "vec_id")
         .select("vec_id", "cid", "embedding")
         .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))

@@ -11,6 +11,7 @@ from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
 from realtime_banking_cdc_pipeline_spark.queries.llmdata import adaptive_cells
 from realtime_banking_cdc_pipeline_spark.queries.round6b import (
     _SEMDEDUP_THRESHOLD,
+    coarse_cells,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -32,13 +33,22 @@ def test_semdedup_matches_numpy_bruteforce(spark):
         r.vec_id: _fx(r.embedding)
         for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     }
-    # cell assignment: max cosine, tiebreak lowest centroid id; the
-    # quantizer cell count follows the adaptive k ~ sqrt(N) rule
-    cents = {i: emb[i] for i in range(adaptive_cells(len(emb))) if i in emb}
-    cell = {
-        v: max(cents, key=lambda c: (_cos(e, cents[c]), -c))
-        for v, e in emb.items()
+    # two-level cell assignment: nearest coarse centroid (kc ~ sqrt(k))
+    # then nearest fine centroid within the probed coarse group; every
+    # nearest-of maximizes (cos, -id) — the _two_level_cells rule
+    k = adaptive_cells(len(emb))
+    kc = coarse_cells(k)
+    cents = {i: emb[i] for i in range(k) if i in emb}
+    ccents = {i: emb[i] for i in range(kc) if i in emb}
+    fmap = {
+        c: max(ccents, key=lambda cc: (_cos(cv, ccents[cc]), -cc))
+        for c, cv in cents.items()
     }
+    cell = {}
+    for v, e in emb.items():
+        cc = max(ccents, key=lambda c: (_cos(e, ccents[c]), -c))
+        group = [c for c in cents if fmap[c] == cc]
+        cell[v] = max(group, key=lambda c: (_cos(e, cents[c]), -c))
     dropped = {
         j
         for j in emb

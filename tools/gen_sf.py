@@ -121,10 +121,72 @@ def amplify(factor: int, out_dir: str, perturb: bool = False) -> None:
         print(f"  {t}: {n} rows (x{factor})")
 
 
+def longdocs(factor: int, out_dir: str) -> None:
+    """LONG-DOCUMENT regime for the ExactSubstr k=50 bar (the paper's
+    anchor needs documents much longer than the ~54-token fixture
+    docs): each output doc concatenates 9 globally-UNIQUE ~54-token
+    segments (source texts, replica-suffixed past one pass — no
+    accidental repeats), ~500 tokens/doc, and every 3rd doc gets one
+    of 20 EXACT 60-token boilerplate paragraphs injected mid-doc —
+    the known repeated-substring mass a k=50 run must recover.
+    Deterministic throughout; emits documents.parquet only (the
+    substring ops read nothing else)."""
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE TABLE src AS
+        SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        FROM '{SRC}/documents.parquet'"""
+    )
+    n_src = con.execute("SELECT COUNT(*) FROM src").fetchone()[0]
+    n_out = (n_src // 9) * factor
+    con.execute(
+        f"""CREATE TABLE segtext AS
+        SELECT t.i, u.j,
+               CASE WHEN (t.i * 9 + u.j) // {n_src} = 0 THEN s.text
+                    ELSE array_to_string(
+                      list_transform(string_split(s.text, ' '),
+                        x -> x || '~' || CAST((t.i * 9 + u.j) // {n_src} AS VARCHAR)),
+                      ' ') END AS text
+        FROM range({n_out}) t(i), range(9) u(j)
+        JOIN src s ON s.rid = (t.i * 9 + u.j) % {n_src}"""
+    )
+    con.execute(
+        f"""CREATE TABLE boiler AS
+        SELECT t.i, 9 AS ord,
+               array_to_string(list_transform(range(60),
+                 w -> 'bp' || CAST((t.i // 3) % 20 AS VARCHAR)
+                      || 'w' || CAST(w AS VARCHAR)), ' ') AS text
+        FROM range({n_out}) t(i) WHERE t.i % 3 = 0"""
+    )
+    con.execute(
+        f"""COPY (
+        SELECT i AS doc_id,
+               string_agg(text, ' ' ORDER BY ord) AS text,
+               'longdoc' AS source, 'en' AS lang,
+               length(string_agg(text, ' ' ORDER BY ord)) AS n_chars
+        FROM (
+          SELECT i, j * 2 AS ord, text FROM segtext
+          UNION ALL SELECT i, ord, text FROM boiler
+        ) GROUP BY i
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    n = con.execute(
+        f"SELECT COUNT(*), SUM(len(string_split(text, ' '))) FROM '{out_dir}/documents.parquet'"
+    ).fetchone()
+    print(f"  documents: {n[0]} long docs, {n[1]} tokens")
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     perturb = "--perturb" in sys.argv[1:]
+    long_mode = "--longdocs" in sys.argv[1:]
     factor = int(args[0]) if args else 10
+    if long_mode:
+        out = args[1] if len(args) > 1 else "/root/repo/.localdata/sflong"
+        longdocs(factor, out)
+        print(f"wrote {out} (long-document regime)")
+        return
     out = args[1] if len(args) > 1 else (
         "/root/repo/.localdata/sf1p" if perturb else "/root/repo/.localdata/sf1"
     )
