@@ -63,6 +63,14 @@ def coarse_cells(k: int) -> int:
 # DuckDB twin of :func:`coarse_cells` over a column named ``k``.
 _COARSE_CELLS_SQL = "GREATEST(4, 1 << (length(bin(CAST(k AS BIGINT))) // 2))"
 
+# Coarse groups probed per vector. Single-probe assignment measured a
+# 2.2× worse sum(cell²) pair bound on the replica-dense sf10 corpus
+# (max cell 1100 → 3800): restricting each vector to one coarse
+# region quantizes too coarsely where mass concentrates. Probing the
+# top-4 coarse groups restores near-flat cell quality while keeping
+# assignment ≈ N·(kc + 4k/kc) ≈ 8× under the flat N·k.
+_SEM_NPROBE = 4
+
 
 def _two_level_cells(spark: SparkSession, emb: DataFrame):
     """Two-level (coarse→fine) quantizer assignment for the SemDeDup
@@ -120,23 +128,27 @@ def _two_level_cells(spark: SparkSession, emb: DataFrame):
             ).alias("ccid")
         )
     )
-    # vector → coarse: N × kc scores (the N·sqrt(k) stage)
+    # vector → coarse: N × kc scores (the N·sqrt(k) stage), keeping the
+    # top _SEM_NPROBE coarse groups per vector (multi-probe)
+    from pyspark.sql import Window
+
+    vw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("ccid").asc()
+    )
     vmap = (
         emb.crossJoin(F.broadcast(ccents))
         .select(
             "vec_id", "ccid",
             cosine_against(F.col("ccv"), F.col("embedding")).alias("cos"),
         )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "ccid",
-                F.struct(F.col("cos").alias("c"), (-F.col("ccid")).alias("nc")),
-            ).alias("ccid")
-        )
+        .withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") <= _SEM_NPROBE)
+        .select("vec_id", "ccid")
     )
-    # vector → fine, probing ONLY the matched coarse group (≈ k/kc
-    # fine centroids per vector); probe table is k rows → broadcast
+    # vector → fine, probing ONLY the matched coarse groups (≈
+    # nprobe·k/kc fine centroids per vector; the groups are disjoint —
+    # fmap maps each fine centroid to exactly one coarse — so no
+    # duplicate candidates); probe table is k rows → broadcast
     probe = fmap.join(cents, "cid")
     win = (
         vmap.join(emb, "vec_id")
@@ -204,7 +216,7 @@ vcs AS (
 vmap AS (SELECT vec_id, ccid FROM (
     SELECT vec_id, ccid, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY cos DESC, ccid ASC) AS rn FROM vcs)
-  WHERE rn = 1),
+  WHERE rn <= {_SEM_NPROBE}),
 vfp AS (SELECT e.vec_id, f.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
         FROM e JOIN vmap vm USING (vec_id)
                JOIN fmap f ON f.ccid = vm.ccid

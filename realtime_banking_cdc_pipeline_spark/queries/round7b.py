@@ -927,7 +927,8 @@ FROM base, tok, gp, gr
     ),
 )
 def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .round7 import _XSUB_K, x_gopher_rules
+    from ..caching import track_persist
+    from .round7 import _shingle_frame, x_gopher_rules
 
     d = read_table(spark, sf_dir, "documents")
     toks = F.filter(
@@ -948,17 +949,11 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_pass")
         )
     )
-    ng = (
-        d.select(toks.alias("toks"))
-        .filter(F.size("toks") >= _XSUB_K)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {_XSUB_K}),"
-                    f" p -> md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' ')))"
-                )
-            ).alias("gg")
-        )
+    # the repeated-gram subtree IS the ExactSubstr shingle substrate
+    # (round7._shingle_frame, persisted): co-run with the substring ops
+    # the CacheManager serves it once instead of re-exploding the corpus
+    ng = track_persist(_shingle_frame(spark, sf_dir)).select(
+        F.col("g").alias("gg")
     )
     gr = (
         ng.groupBy("gg")

@@ -33,9 +33,14 @@ def test_semdedup_matches_numpy_bruteforce(spark):
         r.vec_id: _fx(r.embedding)
         for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     }
-    # two-level cell assignment: nearest coarse centroid (kc ~ sqrt(k))
-    # then nearest fine centroid within the probed coarse group; every
-    # nearest-of maximizes (cos, -id) — the _two_level_cells rule
+    # two-level cell assignment: top-nprobe coarse centroids
+    # (kc ~ sqrt(k)) then nearest fine centroid within the probed
+    # coarse groups; every ranking maximizes (cos, -id) — the
+    # _two_level_cells rule
+    from realtime_banking_cdc_pipeline_spark.queries.round6b import (
+        _SEM_NPROBE,
+    )
+
     k = adaptive_cells(len(emb))
     kc = coarse_cells(k)
     cents = {i: emb[i] for i in range(k) if i in emb}
@@ -46,8 +51,10 @@ def test_semdedup_matches_numpy_bruteforce(spark):
     }
     cell = {}
     for v, e in emb.items():
-        cc = max(ccents, key=lambda c: (_cos(e, ccents[c]), -c))
-        group = [c for c in cents if fmap[c] == cc]
+        top = sorted(
+            ccents, key=lambda c: (-_cos(e, ccents[c]), c)
+        )[:_SEM_NPROBE]
+        group = [c for c in cents if fmap[c] in top]
         cell[v] = max(group, key=lambda c: (_cos(e, cents[c]), -c))
     dropped = {
         j
