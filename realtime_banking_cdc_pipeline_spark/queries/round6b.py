@@ -71,7 +71,6 @@ _COARSE_CELLS_SQL = "GREATEST(4, 1 << (length(bin(CAST(k AS BIGINT))) // 2))"
 # assignment ≈ N·(kc + 4k/kc) ≈ 8× under the flat N·k.
 _SEM_NPROBE = 4
 
-
 def _two_level_cells(spark: SparkSession, emb: DataFrame):
     """Two-level (coarse→fine) quantizer assignment for the SemDeDup
     family: ``(emb, cells)`` where cells = (vec_id, cid, ccos) — each
@@ -112,10 +111,10 @@ def _two_level_cells(spark: SparkSession, emb: DataFrame):
     )
     ccents = emb.filter(F.col("vec_id") < kc).select(
         F.col("vec_id").alias("ccid"), F.col("embedding").alias("ccv")
-    )
-    # fine → coarse: k × kc scores, all broadcast-side tiny
+    ).withColumn("ccnn", fx_dot(F.col("ccv"), F.col("ccv")))
+    # fine -> coarse: k x kc scores, all broadcast-side tiny
     fmap = (
-        cents.crossJoin(F.broadcast(ccents))
+        cents.crossJoin(F.broadcast(ccents.select("ccid", "ccv")))
         .select(
             "cid", "ccid",
             cosine_against(F.col("ccv"), F.col("cv")).alias("cos"),
@@ -128,34 +127,72 @@ def _two_level_cells(spark: SparkSession, emb: DataFrame):
             ).alias("ccid")
         )
     )
-    # vector → coarse: N × kc scores (the N·sqrt(k) stage), keeping the
-    # top _SEM_NPROBE coarse groups per vector (multi-probe)
-    from pyspark.sql import Window
-
-    vw = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("ccid").asc()
+    # vector -> top _SEM_NPROBE coarse groups in ONE exchange: the
+    # N x kc coarse scores partial-aggregate map-side into a kc-entry
+    # list per vector (the embedding rides along once via first()), the
+    # top-nprobe pick is an array sort over that small list, and the
+    # fine stage below reuses the groupBy partitioning — no window
+    # sort, no embedding re-join. (Measured: the row_number-window
+    # form's extra exchanges doubled x_semdedup at duplicate-light
+    # sf0.1 where stage overhead dominates.)
+    cmp = (
+        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
+        " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
+        " ELSE 0 END"
     )
-    vmap = (
-        emb.crossJoin(F.broadcast(ccents))
+    scored_cc = (
+        emb.withColumn("__nn", fx_dot(F.col("embedding"), F.col("embedding")))
+        .crossJoin(F.broadcast(ccents))
         .select(
-            "vec_id", "ccid",
-            cosine_against(F.col("ccv"), F.col("embedding")).alias("cos"),
+            "vec_id", "embedding", "__nn",
+            F.struct(
+                (
+                    fx_dot(F.col("ccv"), F.col("embedding")).cast("double")
+                    / F.sqrt(
+                        F.col("__nn").cast("double")
+                        * F.col("ccnn").cast("double")
+                    )
+                ).alias("cos"),
+                F.col("ccid").alias("ccid"),
+            ).alias("s"),
         )
-        .withColumn("rn", F.row_number().over(vw))
-        .filter(F.col("rn") <= _SEM_NPROBE)
-        .select("vec_id", "ccid")
     )
-    # vector → fine, probing ONLY the matched coarse groups (≈
-    # nprobe·k/kc fine centroids per vector; the groups are disjoint —
-    # fmap maps each fine centroid to exactly one coarse — so no
-    # duplicate candidates); probe table is k rows → broadcast
-    probe = fmap.join(cents, "cid")
-    win = (
-        vmap.join(emb, "vec_id")
-        .join(F.broadcast(probe), "ccid")
+    probed = (
+        scored_cc.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("__nn").alias("__nn"),
+            F.collect_list("s").alias("__ss"),
+        )
         .select(
-            "vec_id", "cid",
-            cosine_against(F.col("cv"), F.col("embedding")).alias("cos"),
+            "vec_id", "embedding", "__nn",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(__ss, (x, y) -> {cmp}),"
+                    f" 1, {_SEM_NPROBE}), t -> t.ccid)"
+                )
+            ).alias("ccid"),
+        )
+    )
+    # vector -> fine, probing ONLY the matched coarse groups (~
+    # nprobe*k/kc fine centroids per vector; the groups are disjoint --
+    # fmap maps each fine centroid to exactly one coarse -- so no
+    # duplicate candidates); probe table is k rows -> broadcast; the
+    # final argmax agg reuses the groupBy partitioning (no exchange).
+    probe = fmap.join(
+        cents.withColumn("cnn", fx_dot(F.col("cv"), F.col("cv"))), "cid"
+    )
+    win = (
+        probed.join(F.broadcast(probe), "ccid")
+        .select(
+            "vec_id",
+            "cid",
+            (
+                fx_dot(F.col("cv"), F.col("embedding")).cast("double")
+                / F.sqrt(
+                    F.col("__nn").cast("double") * F.col("cnn").cast("double")
+                )
+            ).alias("cos"),
         )
         .groupBy("vec_id")
         .agg(

@@ -345,6 +345,7 @@ FROM d LEFT JOIN agg a USING (doc_id)
 @query(
     "x_substring_rewrite",
     _XSUBR_SQL,
+    bench=True,
     doc=(
         "The ExactSubstr pipeline's actual PRODUCT (arXiv:2107.06499 "
         "§4.1): the rewritten corpus with every repeated >= k-token "
