@@ -94,3 +94,153 @@ def x_image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_recall_eval — quantizer scorecard for the two-level cells
+# ---------------------------------------------------------------------------
+
+# Target anchor count: a deterministic residue-class sample (vec_id %
+# step == 0 with step = max(1, N // 256)) — NOT a prefix, because the
+# first k vec_ids ARE the fine centroids and a prefix sample would
+# grade the quantizer on its own codebook.
+_RECALL_ANCHORS = 256
+
+
+def _dd_semdedup_recall_sql() -> str:
+    from .llmdata import _FXQ
+    from .round6b import _SEMDEDUP_THRESHOLD, _dd_two_level_cells_cte
+
+    fx = _FXQ.format
+    return f"""
+WITH {_dd_two_level_cells_cte()},
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+st AS (SELECT GREATEST(1, n // {_RECALL_ANCHORS}) AS step FROM nv),
+anchors AS (SELECT vec_id AS i FROM e, st WHERE vec_id % st.step = 0),
+ap AS (SELECT a.i, b.vec_id AS j,
+              unnest(ea.embedding) AS x, unnest(b.embedding) AS y
+       FROM anchors a JOIN e ea ON ea.vec_id = a.i, e b
+       WHERE b.vec_id <> a.i),
+apd AS (SELECT i, j, SUM({fx(v='x')} * {fx(v='y')}) AS dot
+        FROM ap GROUP BY 1, 2),
+truth AS (
+  SELECT d.i, d.j
+  FROM apd d JOIN norms ni ON ni.vec_id = d.i
+             JOIN norms nj ON nj.vec_id = d.j
+  WHERE CAST(d.dot AS DOUBLE)
+        / sqrt(CAST(ni.nn AS DOUBLE) * CAST(nj.nn AS DOUBLE))
+        >= {_SEMDEDUP_THRESHOLD}
+),
+flagged AS (
+  SELECT t.i, t.j, (ci.cid = cj.cid) AS same_cell
+  FROM truth t JOIN cells ci ON ci.vec_id = t.i
+               JOIN cells cj ON cj.vec_id = t.j
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs,
+         CAST(COALESCE(SUM(CASE WHEN same_cell THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS captured_pairs
+  FROM flagged
+),
+cq AS (
+  SELECT CAST(SUM(sz * sz) AS BIGINT) AS cell_sum_sq,
+         CAST(MAX(sz) AS BIGINT) AS max_cell
+  FROM (SELECT cid, COUNT(*) AS sz FROM cells GROUP BY 1)
+)
+SELECT (SELECT n FROM nv) AS n_vectors,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM anchors) AS n_anchors,
+       agg.true_pairs, agg.captured_pairs,
+       CASE WHEN agg.true_pairs = 0 THEN CAST(0 AS BIGINT)
+            ELSE agg.captured_pairs * 1000000 // agg.true_pairs
+       END AS recall_ppm,
+       cq.cell_sum_sq, cq.max_cell
+FROM agg, cq
+"""
+
+
+@query(
+    "x_semdedup_recall_eval",
+    _dd_semdedup_recall_sql(),
+    doc=(
+        "Quantizer scorecard for the round-8 two-level multi-probe "
+        "SemDeDup cells: ground-truth near-duplicate pairs are computed "
+        "EXHAUSTIVELY for a deterministic ~256-anchor residue-class "
+        "sample (anchor x all-N cosines - linear in N for a fixed "
+        "anchor budget, the same eval shape as x_ann_recall_eval), "
+        "then scored against the shipped cell assignment: a true pair "
+        "is captured iff both ends land in the same fine cell, i.e. "
+        "iff the registered x_semdedup would actually compare it. One "
+        "row: recall_ppm (exact integer fixed-point ratio) plus the "
+        "pair-stage quality bounds (sum of squared cell sizes = the "
+        "candidate-pair budget, max cell = the straggler bound) that "
+        "SCALE.md's nprobe A/B recorded at sf10. Anchors broadcast "
+        "(<=~512 rows at any sf); the truth scan is one pass over the "
+        "embeddings with per-row norms computed once; the cell joins "
+        "ship ids only. Closes the loop on the multi-probe change: "
+        "assignment got 9.9x cheaper - this query PROVES what it cost "
+        "in comparison recall, per corpus, inside the hash gate."
+    ),
+)
+def x_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import fx_dot
+    from .llmdata import _emb
+    from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells
+
+    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
+    n = emb.count()
+    step = max(1, n // _RECALL_ANCHORS)
+    emb2 = emb.select(
+        "vec_id", "embedding", fx_dot(F.col("embedding"), F.col("embedding")).alias("nn")
+    )
+    anchors = emb2.filter(F.col("vec_id") % step == 0).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("av"),
+        F.col("nn").alias("ni"),
+    )
+    pairs = emb2.join(F.broadcast(anchors), F.col("vec_id") != F.col("i"))
+    truth = pairs.select(
+        "i",
+        F.col("vec_id").alias("j"),
+        (
+            fx_dot(F.col("av"), F.col("embedding")).cast("double")
+            / F.sqrt(F.col("ni").cast("double") * F.col("nn").cast("double"))
+        ).alias("cos"),
+    ).filter(F.col("cos") >= _SEMDEDUP_THRESHOLD)
+    flagged = (
+        truth.join(
+            cells.select(F.col("vec_id").alias("i"), F.col("cid").alias("ci")), "i"
+        )
+        .join(cells.select(F.col("vec_id").alias("j"), F.col("cid").alias("cj")), "j")
+        .select((F.col("ci") == F.col("cj")).alias("same_cell"))
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("true_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("same_cell"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("captured_pairs"),
+    )
+    cq = (
+        cells.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.sum(F.col("sz") * F.col("sz")).cast("long").alias("cell_sum_sq"),
+            F.max("sz").cast("long").alias("max_cell"),
+        )
+    )
+    acount = anchors.agg(F.count(F.lit(1)).cast("long").alias("n_anchors"))
+    return (
+        agg.crossJoin(F.broadcast(acount))
+        .crossJoin(F.broadcast(cq))
+        .select(
+            F.lit(n).cast("long").alias("n_vectors"),
+            "n_anchors",
+            "true_pairs",
+            "captured_pairs",
+            F.expr(
+                "CASE WHEN true_pairs = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE captured_pairs * CAST(1000000 AS BIGINT) div true_pairs END"
+            ).alias("recall_ppm"),
+            "cell_sum_sq",
+            "max_cell",
+        )
+    )
