@@ -43,10 +43,11 @@ from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 # the k-parameterized ExactSubstr pair (x_substring_dedup,
 # x_substring_keep_first) — and (b) a 40-query r05/r06-era cohort due a
 # regression re-proof; new round-8 queries (x_substring_rewrite,
-# x_image_png_stats, x_semdedup_recall_eval) are unlisted so they sort
-# to the front (w_locf_gapfill returned to the verified set to keep the
-# window at exactly 50). Exactly 50 names fall outside this set = the
-# whole r08 window is deliberate.
+# x_image_png_stats, x_semdedup_recall_eval, x_semdedup_capped) are
+# unlisted so they sort to the front (w_locf_gapfill and
+# w_distribution_ranks returned to the verified set to keep the window
+# at exactly 50). Exactly 50 names fall outside this set = the whole
+# r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
     "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
     "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
@@ -92,7 +93,7 @@ _DRIVER_VERIFIED = frozenset({
     "x_tfidf_topk_terms", "x_token_stats", "x_top_terms",
     "x_triangle_count", "x_unigram_likelihood", "x_video_framesample",
     "x_vocab_coverage", "x_winnowing", "x_winnowing_matches",
-    "w_locf_gapfill",
+    "w_locf_gapfill", "w_distribution_ranks",
 })
 
 _ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}

@@ -244,3 +244,121 @@ def x_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cell",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_capped — linear-bound pair stage (cell-size cap)
+# ---------------------------------------------------------------------------
+
+# Per-cell comparison budget. Members rank by (ccos DESC, vec_id ASC) —
+# closest-to-centroid first, the paper's representative order — and
+# every member compares only against the top-_SEM_CAP ranked cell-mates
+# with a lower vec_id: candidate pairs <= N * _SEM_CAP, LINEAR in the
+# corpus, vs the uncapped within-cell N^2/k ~ N^1.5.
+_SEM_CAP = 64
+
+
+def _dd_semdedup_capped_sql() -> str:
+    from .llmdata import _FXQ
+    from .round6b import _SEMDEDUP_THRESHOLD, _dd_two_level_cells_cte
+
+    fx = _FXQ.format
+    return f"""
+WITH {_dd_two_level_cells_cte()},
+m AS (SELECT cells.vec_id, cells.cid, cells.ccos, e.embedding
+      FROM cells JOIN e USING (vec_id)),
+r AS (SELECT vec_id, cid, embedding,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY ccos DESC, vec_id ASC) AS rn
+      FROM m),
+capset AS (SELECT cid, vec_id, embedding FROM r WHERE rn <= {_SEM_CAP}),
+mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+              unnest(x.embedding) AS a, unnest(y.embedding) AS b
+       FROM capset x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pdots AS (SELECT cid, i, j, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+          FROM mp GROUP BY 1, 2, 3),
+dropped AS (
+  SELECT DISTINCT p.j AS vec_id
+  FROM pdots p JOIN norms na ON na.vec_id = p.i
+               JOIN norms nb ON nb.vec_id = p.j
+  WHERE CAST(p.dot AS DOUBLE)
+        / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+        >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT m.vec_id, m.cid AS cell,
+       (dropped.vec_id IS NULL) AS keep
+FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
+"""
+
+
+@query(
+    "x_semdedup_capped",
+    _dd_semdedup_capped_sql(),
+    doc=(
+        "SemDeDup with a LINEAR pair stage: members rank within their "
+        "cell by (cosine-to-centroid DESC, vec_id ASC) and every member "
+        "compares only against the top-64 ranked cell-mates with a "
+        "lower vec_id — candidate pairs <= 64*N regardless of cell "
+        "skew, vs the uncapped within-cell N^2/k ~ O(N^1.5) that "
+        "SCALE.md names as the family's last super-linear term. This "
+        "is the paper-sanctioned approximation (arXiv:2303.09540 "
+        "compares against cluster representatives, not all pairs): "
+        "duplicates of a crowded cell's deep tail can survive, and "
+        "when NO cell exceeds the cap the result is IDENTICAL to "
+        "x_semdedup (pinned by test: at sf0.01 max cell 42 < 64, "
+        "same keeps). Same plan skeleton as x_semdedup — one persist "
+        "of (vec_id, cid, ccos, embedding, nn), one cid-keyed rank "
+        "window, the capped self-join ships the 64-row capset side "
+        "map-side under AQE — so the 100 TB posture is the uncapped "
+        "query's with the quadratic term deleted."
+    ),
+)
+def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..caching import track_persist
+    from ..functions.similarity import fx_dot
+    from .llmdata import _emb
+    from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells
+
+    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
+    m = track_persist(
+        cells.select("vec_id", "cid", "ccos")
+        .join(emb, "vec_id")
+        .select("vec_id", "cid", "ccos", "embedding")
+        .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("ccos").desc(), F.col("vec_id").asc()
+    )
+    capset = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEM_CAP)
+        .select(
+            F.col("cid").alias("ca"),
+            F.col("vec_id").alias("i"),
+            F.col("embedding").alias("ea"),
+            F.col("nn").alias("na"),
+        )
+    )
+    b = m.select(
+        F.col("cid").alias("cb"),
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    pair_cos = fx_dot(F.col("eb"), F.col("ea")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    dropped = (
+        capset.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .filter(pair_cos >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return m.join(dropped, "vec_id", "left_outer").select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.col("__dropped").isNull().alias("keep"),
+    )

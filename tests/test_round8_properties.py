@@ -1,0 +1,64 @@
+"""Round-8 property tests: capped SemDeDup identity when no cell
+exceeds the cap, and recall-eval internal consistency."""
+
+from __future__ import annotations
+
+from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_capped_identical_when_cells_under_cap(spark):
+    """When max cell size < _SEM_CAP, every within-cell pair is still
+    compared, so x_semdedup_capped must emit EXACTLY x_semdedup's
+    verdicts (the approximation only activates on crowded cells).
+    At sf0.01 the two-level cells max out at 42 members < 64."""
+    from realtime_banking_cdc_pipeline_spark.queries.round8 import _SEM_CAP
+
+    capped = {
+        r.vec_id: (r.cell, r.keep)
+        for r in QUERIES["x_semdedup_capped"].spark(spark, SF).collect()
+    }
+    full = {
+        r.vec_id: (r.cell, r.keep)
+        for r in QUERIES["x_semdedup"].spark(spark, SF).collect()
+    }
+    sizes: dict[int, int] = {}
+    for cell, _ in capped.values():
+        sizes[cell] = sizes.get(cell, 0) + 1
+    assert max(sizes.values()) < _SEM_CAP, (
+        "fixture drifted: a cell reached the cap, identity no longer implied"
+    )
+    assert capped == full
+
+
+def test_capped_never_drops_more(spark):
+    """Capping removes comparisons, so the capped variant can only
+    KEEP MORE: keep=False in capped implies keep=False in full."""
+    capped = {
+        r.vec_id: r.keep
+        for r in QUERIES["x_semdedup_capped"].spark(spark, SF).collect()
+    }
+    full = {
+        r.vec_id: r.keep
+        for r in QUERIES["x_semdedup"].spark(spark, SF).collect()
+    }
+    for vec_id, keep in capped.items():
+        if not keep:
+            assert not full[vec_id], f"capped dropped {vec_id} but full kept it"
+
+
+def test_recall_eval_consistency(spark):
+    """x_semdedup_recall_eval: captured <= true, ppm ratio exact,
+    anchors sampled at the residue-class budget."""
+    row = QUERIES["x_semdedup_recall_eval"].spark(spark, SF).collect()[0]
+    assert 0 < row.n_anchors <= row.n_vectors
+    assert 0 <= row.captured_pairs <= row.true_pairs
+    expect_ppm = (
+        0
+        if row.true_pairs == 0
+        else row.captured_pairs * 1_000_000 // row.true_pairs
+    )
+    assert row.recall_ppm == expect_ppm
+    assert row.max_cell >= 1
+    assert row.cell_sum_sq >= row.n_vectors  # sum sz^2 >= sum sz = N
