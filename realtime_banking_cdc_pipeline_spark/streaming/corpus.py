@@ -409,34 +409,47 @@ def compact_corpus_store(
         # than the reverse
         targets.insert(0, (banded_store_path, "bucket"))
     for path, part_col in targets:
-        existing = _epoch_ids(path)
-        if not existing:
-            continue
-        df = spark.read.parquet(path)
-        if "epoch" not in df.columns:
-            continue
-        eff = _effective_epoch(df)
-        fold = df.filter(eff < epoch_id)
-        if retention_epochs is not None:
-            fold = fold.filter(eff >= epoch_id - retention_epochs)
-        fold = fold.withColumn("src_epoch", eff.cast("long")).drop("epoch")
-        # one file per bucket (banded) / bounded file count (flat): a
-        # partitionBy write from N shuffle partitions otherwise sprays
-        # N × buckets tiny files into the base partition
-        fold = (
-            fold.repartition(part_col) if part_col is not None
-            else fold.repartition(64)
-        )
-        fold = fold.localCheckpoint(eager=True)
-        writer = fold.write.mode("overwrite")
-        if part_col is not None:
-            writer = writer.partitionBy(part_col)
-        writer.parquet(os.path.join(path, f"epoch=-{int(epoch_id)}"))
-        for e in existing:
-            if e < epoch_id and e != -int(epoch_id):
-                shutil.rmtree(
-                    os.path.join(path, f"epoch={e}"), ignore_errors=True
-                )
+        _compact_store(spark, path, epoch_id, part_col, retention_epochs)
+
+
+def _compact_store(
+    spark: SparkSession,
+    path: str,
+    epoch_id: int,
+    part_col: str | None,
+    retention_epochs: int | None,
+) -> None:
+    """Fold one epoch-partitioned store (see compact_corpus_store for
+    the crash-safety argument). Shared by the MinHash corpus store and
+    the semantic embedding store (streaming/semantic.py)."""
+    existing = _epoch_ids(path)
+    if not existing:
+        return
+    df = spark.read.parquet(path)
+    if "epoch" not in df.columns:
+        return
+    eff = _effective_epoch(df)
+    fold = df.filter(eff < epoch_id)
+    if retention_epochs is not None:
+        fold = fold.filter(eff >= epoch_id - retention_epochs)
+    fold = fold.withColumn("src_epoch", eff.cast("long")).drop("epoch")
+    # one file per bucket (banded) / bounded file count (flat): a
+    # partitionBy write from N shuffle partitions otherwise sprays
+    # N × buckets tiny files into the base partition
+    fold = (
+        fold.repartition(part_col) if part_col is not None
+        else fold.repartition(64)
+    )
+    fold = fold.localCheckpoint(eager=True)
+    writer = fold.write.mode("overwrite")
+    if part_col is not None:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(os.path.join(path, f"epoch=-{int(epoch_id)}"))
+    for e in existing:
+        if e < epoch_id and e != -int(epoch_id):
+            shutil.rmtree(
+                os.path.join(path, f"epoch={e}"), ignore_errors=True
+            )
 
 
 def start_corpus_ingest(

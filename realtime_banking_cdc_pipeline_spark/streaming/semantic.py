@@ -1,0 +1,315 @@
+"""Streaming SEMANTIC dedup: the online form of x_semdedup.
+
+The batch SemDeDup ops (queries/round6b.py, arXiv:2303.09540) answer
+"semantically dedup this corpus"; the online form gates each arriving
+micro-batch of embeddings against everything already ingested without
+rescanning history. The design mirrors streaming/corpus.py's MinHash
+signature store, with three semantic-tier substitutions:
+
+- **Codebook instead of hash permutations.** MinHash needs no trained
+  state; a quantizer does. The codebook (two-level: kc coarse + k fine
+  centroids with their fine→coarse map and precomputed norms) is
+  trained ONCE on the first batch — the standard IVF bootstrap — and
+  persisted next to the store, so every later batch (and every replay)
+  assigns against identical centroids. Batch-boundary associativity
+  (one batch vs twenty yields the same survivors) holds GIVEN a fixed
+  codebook; the first-batch bootstrap is the one place the online and
+  offline answers can differ, exactly as for any IVF index trained on
+  a sample.
+- **Cell store instead of signature store.** Survivor-gating state is
+  (vec_id, cid, nn, embedding) rows in ``epoch=<id>/bucket=<cid%64>``
+  parquet partitions: the per-batch probe joins on (bucket, cid), so
+  dynamic partition pruning bounds the store scan by the CELLS the
+  batch actually touches — the semantic analog of the banded key
+  store. Embeddings must persist (exact cosine refinement needs them);
+  that is what any vector store does, and it is still dim×4 bytes/doc,
+  ~1/1000 of raw media.
+- **Exact cosine instead of component-match refinement**, the same
+  fixed-point dot + one double division as the batch family, so the
+  drop rule is bit-identical to x_semdedup's within a batch (pinned by
+  test: one-batch ingest over the whole corpus == x_semdedup's keeps).
+
+Drop rule (matches the batch op's greedy-by-id): vec j is dropped iff
+some vec i in the same fine cell has cosine >= threshold and either
+i arrived in an earlier epoch, or i < j within the same batch. ALL
+batch embeddings (kept and dropped) enter the store, which makes the
+rule associative across micro-batch boundaries for monotone vec_ids.
+
+Exactly-once under foreachBatch replay, compaction, and retention are
+inherited verbatim from the corpus store (same epoch-partition
+ownership, same ``_compact_store`` fold, same horizon filter).
+
+Reference analog: the reference's streaming surface is the Kafka→
+object-store consumer (`consumer/kafka_to_minio.py:15-24`); semantic
+gating is part of this repo's training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_against, fx_dot
+from .corpus import _compact_store, _horizon_filter
+
+_SEM_THRESHOLD_DEFAULT = 0.35  # matches queries/round6b._SEMDEDUP_THRESHOLD
+_CELL_BUCKETS = 64
+_NPROBE = 4  # matches queries/round6b._SEM_NPROBE
+
+
+def train_codebook(emb: DataFrame, path: str) -> None:
+    """Train and persist the two-level codebook from one batch: fine
+    centroids are the batch's first k vectors (k = adaptive sqrt rule),
+    coarse the first kc ≈ sqrt(k) (a prefix of the fine set), with the
+    fine→coarse argmax map and squared norms precomputed — the same
+    derivation as the batch quantizer (queries/round6b._two_level_cells)
+    so a codebook trained on the WHOLE corpus reproduces x_semdedup's
+    cells exactly. Overwrite-idempotent: a replayed bootstrap batch
+    rewrites identical content."""
+    from ..queries.llmdata import adaptive_cells
+    from ..queries.round6b import coarse_cells
+
+    n = emb.count()
+    k = adaptive_cells(n)
+    kc = coarse_cells(k)
+    coarse = (
+        emb.filter(F.col("vec_id") < kc)
+        .select(F.col("vec_id").alias("ccid"), F.col("embedding").alias("ccv"))
+        .withColumn("ccnn", fx_dot(F.col("ccv"), F.col("ccv")))
+    )
+    fine = (
+        emb.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .withColumn("cnn", fx_dot(F.col("cv"), F.col("cv")))
+    )
+    fmap = (
+        fine.crossJoin(F.broadcast(coarse.select("ccid", "ccv")))
+        .select(
+            "cid", "ccid",
+            cosine_against(F.col("ccv"), F.col("cv")).alias("cos"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("cos").alias("c"), (-F.col("ccid")).alias("nc")),
+            ).alias("ccid")
+        )
+    )
+    fine.join(fmap, "cid").write.mode("overwrite").parquet(
+        os.path.join(path, "fine")
+    )
+    coarse.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
+
+
+def assign_cells(emb: DataFrame, codebook_path: str) -> DataFrame:
+    """(vec_id, cid, nn) fine-cell assignment against a PERSISTED
+    codebook — the single-exchange multi-probe plan of the batch
+    quantizer (queries/round6b._two_level_cells), with centroids read
+    from parquet instead of derived from the corpus prefix: coarse
+    scores partial-aggregate into a kc-entry list per vector, the
+    top-_NPROBE coarse groups explode, and the fine argmax reuses the
+    groupBy partitioning. Codebook frames broadcast (kc + k rows)."""
+    spark = emb.sparkSession
+    coarse = spark.read.parquet(os.path.join(codebook_path, "coarse"))
+    fine = spark.read.parquet(os.path.join(codebook_path, "fine"))
+    cmp = (
+        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
+        " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
+        " ELSE 0 END"
+    )
+    scored_cc = (
+        emb.withColumn("__nn", fx_dot(F.col("embedding"), F.col("embedding")))
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id", "embedding", "__nn",
+            F.struct(
+                (
+                    fx_dot(F.col("ccv"), F.col("embedding")).cast("double")
+                    / F.sqrt(
+                        F.col("__nn").cast("double")
+                        * F.col("ccnn").cast("double")
+                    )
+                ).alias("cos"),
+                F.col("ccid").alias("ccid"),
+            ).alias("s"),
+        )
+    )
+    probed = (
+        scored_cc.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("__nn").alias("__nn"),
+            F.collect_list("s").alias("__ss"),
+        )
+        .select(
+            "vec_id", "embedding", "__nn",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(__ss, (x, y) -> {cmp}),"
+                    f" 1, {_NPROBE}), t -> t.ccid)"
+                )
+            ).alias("ccid"),
+        )
+    )
+    win = (
+        probed.join(F.broadcast(fine), "ccid")
+        .select(
+            "vec_id",
+            "cid",
+            "__nn",
+            (
+                fx_dot(F.col("cv"), F.col("embedding")).cast("double")
+                / F.sqrt(
+                    F.col("__nn").cast("double") * F.col("cnn").cast("double")
+                )
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("__nn").alias("nn"),
+            F.max(
+                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+            ).alias("w"),
+        )
+    )
+    return win.select("vec_id", (-F.col("w.nc")).alias("cid"), "nn")
+
+
+def semantic_ingest_batch(
+    batch_emb: DataFrame,
+    store_path: str,
+    codebook_path: str,
+    threshold: float = _SEM_THRESHOLD_DEFAULT,
+    epoch_id: int | None = None,
+    retention_epochs: int | None = None,
+) -> DataFrame:
+    """Gate ONE micro-batch of embeddings (`vec_id`, `embedding`)
+    against the cell store, returning the surviving rows; writes every
+    batch row (kept AND dropped) into the store. Trains the codebook
+    from this batch if none exists (the epoch-0 bootstrap). Epoch
+    semantics, replay safety, and retention mirror
+    corpus.ingest_batch."""
+    spark = batch_emb.sparkSession
+    if not os.path.exists(os.path.join(codebook_path, "fine")):
+        train_codebook(batch_emb, codebook_path)
+    m = (
+        assign_cells(batch_emb, codebook_path)
+        .join(batch_emb, "vec_id")
+        .select(
+            "vec_id", "cid", "nn", "embedding",
+            F.pmod(F.col("cid"), F.lit(_CELL_BUCKETS)).alias("bucket"),
+        )
+    )
+    m.persist()
+    a = m.select(
+        F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"), F.col("nn").alias("na"),
+    )
+    b = m.select(
+        F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"), F.col("nn").alias("nb"),
+    )
+    pair_cos = fx_dot(F.col("eb"), F.col("ea")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .filter(pair_cos >= threshold)
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+    )
+    if os.path.exists(store_path):
+        store = _horizon_filter(
+            spark.read.parquet(store_path), epoch_id, retention_epochs
+        ).select(
+            F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
+            F.col("embedding").alias("ea"), F.col("nn").alias("na"),
+            "bucket",
+        )
+        # redundant bucket equi-key activates dynamic partition pruning:
+        # the store scan reads only the cid buckets this batch touches
+        probe = m.select(
+            F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
+            F.col("embedding").alias("eb"), F.col("nn").alias("nb"),
+            "bucket",
+        )
+        dropped_vs_store = (
+            store.join(probe, ["bucket"])
+            .filter(F.col("ca") == F.col("cb"))
+            .filter(pair_cos >= threshold)
+            .select(F.col("j").alias("vec_id"))
+            .distinct()
+        )
+        dropped = dropped.unionByName(dropped_vs_store).distinct()
+    survivors = batch_emb.join(dropped, "vec_id", "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    out = m.repartition("bucket")
+    if epoch_id is not None:
+        out = out.withColumn("src_epoch", F.lit(int(epoch_id)))
+        out.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(store_path, f"epoch={int(epoch_id)}")
+        )
+    else:
+        out.write.mode("append").partitionBy("bucket").parquet(store_path)
+    m.unpersist()
+    return survivors
+
+
+def compact_semantic_store(
+    spark: SparkSession,
+    store_path: str,
+    epoch_id: int,
+    retention_epochs: int | None = None,
+) -> None:
+    """Fold the cell store's history into one ``epoch=-<e>`` base —
+    the corpus store's crash-safe compaction applied to the
+    bucket-partitioned semantic layout."""
+    _compact_store(spark, store_path, epoch_id, "bucket", retention_epochs)
+
+
+def start_semantic_ingest(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    codebook_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int = 1,
+    compact_every: int | None = 8,
+    retention_epochs: int | None = None,
+    **gate_kwargs,
+):
+    """File-source streaming wrapper: each discovered file is one
+    micro-batch through `semantic_ingest_batch`; survivors append to
+    `out_path` in per-epoch partitions (replay overwrites, never
+    duplicates). availableNow drains the backlog then stops."""
+    gate_kwargs.setdefault("retention_epochs", retention_epochs)
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        kept = semantic_ingest_batch(
+            batch_df, store_path, codebook_path, epoch_id=epoch, **gate_kwargs
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={int(epoch)}")
+        )
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_semantic_store(
+                spark, store_path, epoch,
+                retention_epochs=gate_kwargs["retention_epochs"],
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
