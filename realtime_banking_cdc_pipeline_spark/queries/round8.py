@@ -294,6 +294,7 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
 @query(
     "x_semdedup_capped",
     _dd_semdedup_capped_sql(),
+    bench=True,
     doc=(
         "SemDeDup with a LINEAR pair stage: members rank within their "
         "cell by (cosine-to-centroid DESC, vec_id ASC) and every member "

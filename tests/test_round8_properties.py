@@ -62,3 +62,43 @@ def test_recall_eval_consistency(spark):
     assert row.recall_ppm == expect_ppm
     assert row.max_cell >= 1
     assert row.cell_sum_sq >= row.n_vectors  # sum sz^2 >= sum sz = N
+
+
+def test_capped_pair_budget_is_linear(spark):
+    """The capped variant's candidate-pair count must respect the
+    <= _SEM_CAP * N bound that makes its pair stage linear (the
+    uncapped within-cell count at this sf already exceeds it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.queries.llmdata import _emb
+    from realtime_banking_cdc_pipeline_spark.queries.round6b import (
+        _two_level_cells,
+    )
+    from realtime_banking_cdc_pipeline_spark.queries.round8 import _SEM_CAP
+
+    sf01 = "/root/testdata/sf0.1"
+    emb, cells = _two_level_cells(spark, _emb(spark, sf01))
+    n = emb.count()
+    m = cells.select("vec_id", "cid", "ccos")
+    w = Window.partitionBy("cid").orderBy(
+        F.col("ccos").desc(), F.col("vec_id").asc()
+    )
+    capset = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEM_CAP)
+        .select(F.col("cid").alias("ca"), F.col("vec_id").alias("i"))
+    )
+    b = m.select(F.col("cid").alias("cb"), F.col("vec_id").alias("j"))
+    capped_pairs = capset.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j"))
+    ).count()
+    uncapped_pairs = (
+        m.groupBy("cid").count().agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        ).collect()[0][0]
+    )
+    assert capped_pairs <= _SEM_CAP * n
+    assert capped_pairs < uncapped_pairs, (
+        "fixture drifted: no cell exceeds the cap at sf0.1, bound untested"
+    )
