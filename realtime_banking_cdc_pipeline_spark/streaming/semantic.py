@@ -47,19 +47,20 @@ gating is part of this repo's training-data extension surface.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_against, fx_dot
-from .corpus import _compact_store, _horizon_filter
+from .corpus import _compact_store, _effective_epoch, _epoch_ids, _horizon_filter
 
 _SEM_THRESHOLD_DEFAULT = 0.35  # matches queries/round6b._SEMDEDUP_THRESHOLD
 _CELL_BUCKETS = 64
 _NPROBE = 4  # matches queries/round6b._SEM_NPROBE
 
 
-def train_codebook(emb: DataFrame, path: str) -> None:
+def train_codebook(emb: DataFrame, path: str, order_cols=None) -> None:
     """Train and persist the two-level codebook from one batch: fine
     centroids are the batch's first k vectors (k = adaptive sqrt rule),
     coarse the first kc ≈ sqrt(k) (a prefix of the fine set), with the
@@ -67,20 +68,34 @@ def train_codebook(emb: DataFrame, path: str) -> None:
     derivation as the batch quantizer (queries/round6b._two_level_cells)
     so a codebook trained on the WHOLE corpus reproduces x_semdedup's
     cells exactly. Overwrite-idempotent: a replayed bootstrap batch
-    rewrites identical content."""
+    rewrites identical content.
+
+    ``order_cols`` (a list of Column sort keys) replaces the default
+    0-based-prefix rule (``vec_id < k``, the bootstrap contract) with a
+    TakeOrdered prefix over those keys — the retrain path passes
+    ``(src_epoch DESC, vec_id DESC)`` so the refreshed codebook is
+    trained on the k MOST RECENT rows in the horizon, which is what
+    makes the re-train track distribution drift. Cell labels stay the
+    centroid rows' vec_ids either way (labels are arbitrary)."""
     from ..queries.llmdata import adaptive_cells
     from ..queries.round6b import coarse_cells
 
     n = emb.count()
     k = adaptive_cells(n)
     kc = coarse_cells(k)
+    if order_cols is None:
+        fine_rows = emb.filter(F.col("vec_id") < k)
+        coarse_rows = emb.filter(F.col("vec_id") < kc)
+    else:
+        fine_rows = emb.orderBy(*order_cols).limit(k)
+        coarse_rows = emb.orderBy(*order_cols).limit(kc)
     coarse = (
-        emb.filter(F.col("vec_id") < kc)
+        coarse_rows
         .select(F.col("vec_id").alias("ccid"), F.col("embedding").alias("ccv"))
         .withColumn("ccnn", fx_dot(F.col("ccv"), F.col("ccv")))
     )
     fine = (
-        emb.filter(F.col("vec_id") < k)
+        fine_rows
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .withColumn("cnn", fx_dot(F.col("cv"), F.col("cv")))
     )
@@ -270,6 +285,94 @@ def compact_semantic_store(
     _compact_store(spark, store_path, epoch_id, "bucket", retention_epochs)
 
 
+def retrain_semantic_codebook(
+    spark: SparkSession,
+    store_path: str,
+    codebook_path: str,
+    epoch_id: int,
+    retention_epochs: int | None = None,
+) -> None:
+    """Offline codebook re-train + full re-assign — the codebook-drift
+    remedy the store's epoch partitioning was designed to support, as
+    code rather than documentation. Protocol:
+
+    1. The horizon rows (``eff < epoch_id``, retention applied, deduped
+       on vec_id — dropped rows included: they are gating state) train
+       a FRESH codebook on the k most-recent ``(src_epoch, vec_id)``
+       embeddings, staged at ``<codebook_path>/staged-<e>``.
+    2. EVERY horizon row is re-assigned to its new fine cell and the
+       relabeled rows replace history as the compacted base
+       ``epoch=-<e>`` (``src_epoch`` preserved, so the retention
+       horizon keeps working afterwards).
+    3. The staged codebook is promoted over the live one by directory
+       rename, superseded epoch partitions are dropped, and the
+       staging dir is removed.
+
+    Crash anywhere mid-protocol degrades candidate generation only
+    (mixed-cid store vs old codebook can MISS duplicates); the
+    exact-cosine refinement means nothing is ever falsely dropped, and
+    re-running the retrain at the same epoch completes the swap — the
+    prefix rule and assignment are deterministic, so the re-run is
+    idempotent (same codebook, same base rewrite). Run it between
+    batches (the ``retrain_every`` hook in ``start_semantic_ingest``),
+    never concurrently with a gate."""
+    if not os.path.exists(store_path):
+        return
+    df = spark.read.parquet(store_path)
+    eff = _effective_epoch(df) if "epoch" in df.columns else F.lit(0)
+    rows = (
+        df.withColumn("src_epoch", eff.cast("long"))
+        .drop("epoch")
+        .filter(F.col("src_epoch") < int(epoch_id))
+    )
+    if retention_epochs is not None:
+        rows = rows.filter(
+            F.col("src_epoch") >= int(epoch_id) - int(retention_epochs)
+        )
+    rows = rows.select("vec_id", "embedding", "src_epoch").dropDuplicates(
+        ["vec_id"]
+    )
+    rows.persist()
+    try:
+        if rows.limit(1).count() == 0:
+            return
+        staged = os.path.join(codebook_path, f"staged-{int(epoch_id)}")
+        train_codebook(
+            rows,
+            staged,
+            order_cols=[F.col("src_epoch").desc(), F.col("vec_id").desc()],
+        )
+        base = (
+            assign_cells(rows.select("vec_id", "embedding"), staged)
+            .join(rows, "vec_id")
+            .select(
+                "vec_id", "cid", "nn", "embedding",
+                F.pmod(F.col("cid"), F.lit(_CELL_BUCKETS)).alias("bucket"),
+                "src_epoch",
+            )
+            .repartition("bucket")
+            .localCheckpoint(eager=True)
+        )
+        base.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+        )
+        for part in ("fine", "coarse"):
+            live = os.path.join(codebook_path, part)
+            old = f"{live}.pre{int(epoch_id)}"
+            if os.path.exists(live):
+                os.rename(live, old)
+            os.rename(os.path.join(staged, part), live)
+            shutil.rmtree(old, ignore_errors=True)
+        for e in _epoch_ids(store_path):
+            if e < int(epoch_id) and e != -int(epoch_id):
+                shutil.rmtree(
+                    os.path.join(store_path, f"epoch={e}"), ignore_errors=True
+                )
+        shutil.rmtree(staged, ignore_errors=True)
+    finally:
+        rows.unpersist()
+
+
 def start_semantic_ingest(
     spark: SparkSession,
     src_path: str,
@@ -281,12 +384,23 @@ def start_semantic_ingest(
     max_files_per_trigger: int = 1,
     compact_every: int | None = 8,
     retention_epochs: int | None = None,
+    retrain_every: int | None = None,
     **gate_kwargs,
 ):
     """File-source streaming wrapper: each discovered file is one
     micro-batch through `semantic_ingest_batch`; survivors append to
     `out_path` in per-epoch partitions (replay overwrites, never
-    duplicates). availableNow drains the backlog then stops."""
+    duplicates). availableNow drains the backlog then stops.
+
+    ``retrain_every=N`` re-trains the codebook on the most recent
+    horizon rows every N epochs (see `retrain_semantic_codebook`);
+    a retrain subsumes that epoch's compaction (it folds the whole
+    horizon into the base). The retrain runs at ``epoch + 1`` so the
+    just-gated batch is re-assigned too — a replay of that batch after
+    a crash then re-gates against the NEW codebook and rewrites its
+    live partition consistently (the only cost is benign duplicate
+    store rows for the replayed ids, which the next retrain's
+    vec_id dedup removes)."""
     gate_kwargs.setdefault("retention_epochs", retention_epochs)
 
     def on_batch(batch_df: DataFrame, epoch: int) -> None:
@@ -296,7 +410,12 @@ def start_semantic_ingest(
         kept.write.mode("overwrite").parquet(
             os.path.join(out_path, f"epoch={int(epoch)}")
         )
-        if compact_every and epoch > 0 and epoch % compact_every == 0:
+        if retrain_every and epoch > 0 and epoch % retrain_every == 0:
+            retrain_semantic_codebook(
+                spark, store_path, codebook_path, epoch + 1,
+                retention_epochs=gate_kwargs["retention_epochs"],
+            )
+        elif compact_every and epoch > 0 and epoch % compact_every == 0:
             compact_semantic_store(
                 spark, store_path, epoch,
                 retention_epochs=gate_kwargs["retention_epochs"],

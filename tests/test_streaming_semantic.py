@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
 from realtime_banking_cdc_pipeline_spark.streaming.semantic import (
     compact_semantic_store,
+    retrain_semantic_codebook,
     semantic_ingest_batch,
     start_semantic_ingest,
     train_codebook,
@@ -121,6 +122,157 @@ def test_compaction_preserves_gating(spark, tmp_path):
         if n.startswith("epoch=")
     }
     assert eps == {-2, 2, 3}
+
+
+def _vec_df(spark, rows):
+    """rows = [(vec_id, [floats])] → (vec_id, embedding array<float>)."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _unit(dim, i, scale=1.0, extra=None):
+    v = [0.0] * dim
+    v[i] = scale
+    if extra is not None:
+        v[extra] = 1.0
+    return v
+
+
+def test_retrain_codebook_closes_drift(spark, tmp_path):
+    """The codebook-drift remedy, exercised end-to-end: the bootstrap
+    codebook is trained on an A-subspace batch; a B-subspace
+    near-duplicate pair then straddles two A cells and the duplicate is
+    MISSED (the documented graceful degradation — never a false drop).
+    After `retrain_semantic_codebook` (recency-prefix codebook over the
+    store), the refreshed centroids include B-subspace rows and a new B
+    near-duplicate IS dropped; the store keeps every ingested vec_id,
+    folds to a single base partition, and a second retrain is a no-op
+    rewrite (idempotent)."""
+    dim = 16
+    store = str(tmp_path / "store")
+    cb = str(tmp_path / "cb")
+
+    # epoch 0 (bootstrap): ids 0..15 spanning A dims 0..7 twice —
+    # k=adaptive_cells(16)=16 fine centroids, kc=4 coarse (≤ nprobe, so
+    # assignment degenerates to the exact flat argmax: deterministic).
+    b0 = _vec_df(spark, [(i, _unit(dim, i % 8)) for i in range(16)])
+    semantic_ingest_batch(b0, store, cb, epoch_id=0)
+
+    # epoch 1: B-subspace near-dup pair (cos≈0.917) whose small A
+    # components pull them into DIFFERENT A cells → the dup escapes.
+    b1 = _vec_df(spark, [
+        (16, _unit(dim, 0, scale=0.3, extra=8)),
+        (17, _unit(dim, 1, scale=0.3, extra=8)),
+    ])
+    kept1 = _ids(semantic_ingest_batch(b1, store, cb, epoch_id=1))
+    assert kept1 == [16, 17], "drifted pair must straddle two A cells"
+
+    # retrain at epoch 2: prefix = most recent (src_epoch, vec_id) →
+    # centroids now include ids 17 and 16 (the B-heavy rows).
+    retrain_semantic_codebook(spark, store, cb, 2)
+    assert _ids(spark.read.parquet(store)) == list(range(18))
+    eps = {
+        int(n.split("=")[1])
+        for n in os.listdir(store)
+        if n.startswith("epoch=")
+    }
+    assert eps == {-2}
+
+    # epoch 2: another B near-dup (cos≈0.917 to both 16 and 17) now
+    # lands in a B cell and is dropped — the remedy demonstrated.
+    b2 = _vec_df(spark, [(18, _unit(dim, 2, scale=0.3, extra=8))])
+    assert _ids(semantic_ingest_batch(b2, store, cb, epoch_id=2)) == []
+
+    # idempotency: re-running the retrain leaves identical state.
+    retrain_semantic_codebook(spark, store, cb, 3)
+    snap1 = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("vec_id", "cid", "src_epoch").collect())
+    )
+    fine1 = sorted(
+        map(tuple, spark.read.parquet(os.path.join(cb, "fine"))
+            .select("cid", "ccid").collect())
+    )
+    retrain_semantic_codebook(spark, store, cb, 3)
+    snap2 = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("vec_id", "cid", "src_epoch").collect())
+    )
+    fine2 = sorted(
+        map(tuple, spark.read.parquet(os.path.join(cb, "fine"))
+            .select("cid", "ccid").collect())
+    )
+    assert snap1 == snap2 and fine1 == fine2
+    # gating still live through the rebuilt base: an exact replay of a
+    # stored B vector is dropped.
+    b3 = _vec_df(spark, [(19, _unit(dim, 2, scale=0.3, extra=8))])
+    assert _ids(semantic_ingest_batch(b3, store, cb, epoch_id=3)) == []
+
+
+def test_retrain_applies_retention_horizon(spark, tmp_path):
+    """Retrain with a retention horizon permanently drops rows older
+    than the horizon (it is also the compaction) — survivors outside
+    the horizon stop gating."""
+    dim = 16
+    store = str(tmp_path / "store")
+    cb = str(tmp_path / "cb")
+    b0 = _vec_df(spark, [(i, _unit(dim, i % 8)) for i in range(16)])
+    semantic_ingest_batch(b0, store, cb, epoch_id=0)
+    b1 = _vec_df(spark, [(16, _unit(dim, 3))])
+    semantic_ingest_batch(b1, store, cb, epoch_id=1)
+    # horizon of 1 epoch at epoch 2: only epoch-1 rows survive retrain
+    retrain_semantic_codebook(spark, store, cb, 2, retention_epochs=1)
+    assert _ids(spark.read.parquet(store)) == [16]
+    # a replica of an evicted epoch-0 row is no longer gated
+    b2 = _vec_df(spark, [(17, _unit(dim, 0))])
+    assert _ids(semantic_ingest_batch(b2, store, cb, epoch_id=2)) == [17]
+
+
+def test_readstream_wrapper_retrains(spark, tmp_path):
+    """`retrain_every` wiring through foreachBatch: the drift fixture
+    streamed as three files with retrain_every=1 — the retrain after
+    epoch 1 must make epoch 2's B near-duplicate drop (the batch-level
+    drift test, through the real stream)."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    dim = 16
+    batches = [
+        [(i, _unit(dim, i % 8)) for i in range(16)],
+        [(16, _unit(dim, 0, scale=0.3, extra=8)),
+         (17, _unit(dim, 1, scale=0.3, extra=8))],
+        [(18, _unit(dim, 2, scale=0.3, extra=8))],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for vid, vec in rows:
+                f.write(json.dumps(
+                    {"vec_id": vid, "embedding": [float(x) for x in vec]}
+                ) + "\n")
+        # distinct mtimes pin the file-source batch order (b0 first:
+        # the bootstrap batch must be the A-subspace one)
+        os.utime(src / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    q = start_semantic_ingest(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "cb"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), schema,
+        retrain_every=1,
+    )
+    q.awaitTermination(180)
+    kept = _ids(spark.read.parquet(str(tmp_path / "out")))
+    assert 18 not in kept, "retrained codebook must catch the B dup"
+    assert {16, 17} <= set(kept)
+    # every ingested id is in the store exactly once (retrain dedups)
+    store_ids = _ids(spark.read.parquet(str(tmp_path / "store")))
+    assert store_ids == list(range(19))
 
 
 def test_readstream_wrapper(spark, tmp_path):
