@@ -200,13 +200,27 @@ def semantic_ingest_batch(
     threshold: float = _SEM_THRESHOLD_DEFAULT,
     epoch_id: int | None = None,
     retention_epochs: int | None = None,
+    per_cell_budget: int | None = None,
 ) -> DataFrame:
     """Gate ONE micro-batch of embeddings (`vec_id`, `embedding`)
     against the cell store, returning the surviving rows; writes every
     batch row (kept AND dropped) into the store. Trains the codebook
     from this batch if none exists (the epoch-0 bootstrap). Epoch
     semantics, replay safety, and retention mirror
-    corpus.ingest_batch."""
+    corpus.ingest_batch.
+
+    ``per_cell_budget`` is the streaming twin of x_semdedup_capped's
+    skew proof: only the first ``budget`` arrivals per fine cell
+    (ordered by (epoch, vec_id) — deterministic, batching-invariant)
+    become gating ANCHORS and enter the store. Every batch row is still
+    gated (against store anchors and earlier same-batch anchors), so
+    the pair stage is <= budget * N_batch at ANY skew — a replica
+    burst of one document costs budget*N, not N^2/2 — and the live
+    store is bounded at budget * k_cells rows. Identical survivors to
+    the uncapped gate while no cell exceeds the budget (pinned by
+    test); past the budget, over-full cells can MISS duplicates whose
+    only match is a non-anchor, never false-drop. Replay-safe: the
+    anchor head-count excludes the replayed epoch's own partition."""
     spark = batch_emb.sparkSession
     if not os.path.exists(os.path.join(codebook_path, "fine")):
         train_codebook(batch_emb, codebook_path)
@@ -218,8 +232,34 @@ def semantic_ingest_batch(
             F.pmod(F.col("cid"), F.lit(_CELL_BUCKETS)).alias("bucket"),
         )
     )
+    store = None
+    if os.path.exists(store_path):
+        store = _horizon_filter(
+            spark.read.parquet(store_path), epoch_id, retention_epochs
+        )
+    if per_cell_budget is not None:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("cid").orderBy("vec_id")
+        )
+        m = m.withColumn("__rk", rk)
+        if store is not None:
+            head = F.broadcast(
+                store.groupBy("cid").agg(F.count("*").alias("__head"))
+            )
+            m = m.join(head, "cid", "left").withColumn(
+                "__head", F.coalesce(F.col("__head"), F.lit(0))
+            )
+        else:
+            m = m.withColumn("__head", F.lit(0))
+        m = m.withColumn(
+            "__anchor",
+            (F.col("__head") + F.col("__rk")) <= int(per_cell_budget),
+        ).drop("__rk", "__head")
     m.persist()
-    a = m.select(
+    a_src = m.filter("__anchor") if per_cell_budget is not None else m
+    a = a_src.select(
         F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
         F.col("embedding").alias("ea"), F.col("nn").alias("na"),
     )
@@ -236,10 +276,8 @@ def semantic_ingest_batch(
         .select(F.col("j").alias("vec_id"))
         .distinct()
     )
-    if os.path.exists(store_path):
-        store = _horizon_filter(
-            spark.read.parquet(store_path), epoch_id, retention_epochs
-        ).select(
+    if store is not None:
+        store_a = store.select(
             F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
             F.col("embedding").alias("ea"), F.col("nn").alias("na"),
             "bucket",
@@ -252,7 +290,7 @@ def semantic_ingest_batch(
             "bucket",
         )
         dropped_vs_store = (
-            store.join(probe, ["bucket"])
+            store_a.join(probe, ["bucket"])
             .filter(F.col("ca") == F.col("cb"))
             .filter(pair_cos >= threshold)
             .select(F.col("j").alias("vec_id"))
@@ -261,7 +299,10 @@ def semantic_ingest_batch(
         dropped = dropped.unionByName(dropped_vs_store).distinct()
     survivors = batch_emb.join(dropped, "vec_id", "left_anti")
     survivors = survivors.localCheckpoint(eager=True)
-    out = m.repartition("bucket")
+    out = m
+    if per_cell_budget is not None:
+        out = out.filter("__anchor").drop("__anchor")
+    out = out.repartition("bucket")
     if epoch_id is not None:
         out = out.withColumn("src_epoch", F.lit(int(epoch_id)))
         out.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -291,6 +332,7 @@ def retrain_semantic_codebook(
     codebook_path: str,
     epoch_id: int,
     retention_epochs: int | None = None,
+    per_cell_budget: int | None = None,
 ) -> None:
     """Offline codebook re-train + full re-assign — the codebook-drift
     remedy the store's epoch partitioning was designed to support, as
@@ -350,9 +392,22 @@ def retrain_semantic_codebook(
                 F.pmod(F.col("cid"), F.lit(_CELL_BUCKETS)).alias("bucket"),
                 "src_epoch",
             )
-            .repartition("bucket")
-            .localCheckpoint(eager=True)
         )
+        if per_cell_budget is not None:
+            # re-assignment can overfill a new cell: re-cap to the
+            # first-(src_epoch, vec_id) budget rows per cell so the
+            # gate's anchors-only store invariant survives the retrain
+            from pyspark.sql import Window
+
+            rk = F.row_number().over(
+                Window.partitionBy("cid").orderBy("src_epoch", "vec_id")
+            )
+            base = (
+                base.withColumn("__rk", rk)
+                .filter(F.col("__rk") <= int(per_cell_budget))
+                .drop("__rk")
+            )
+        base = base.repartition("bucket").localCheckpoint(eager=True)
         base.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(store_path, f"epoch=-{int(epoch_id)}")
         )
@@ -414,6 +469,7 @@ def start_semantic_ingest(
             retrain_semantic_codebook(
                 spark, store_path, codebook_path, epoch + 1,
                 retention_epochs=gate_kwargs["retention_epochs"],
+                per_cell_budget=gate_kwargs.get("per_cell_budget"),
             )
         elif compact_every and epoch > 0 and epoch % compact_every == 0:
             compact_semantic_store(

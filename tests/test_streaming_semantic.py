@@ -124,6 +124,51 @@ def test_compaction_preserves_gating(spark, tmp_path):
     assert eps == {-2, 2, 3}
 
 
+def test_per_cell_budget_matches_uncapped_when_cells_fit(spark, tmp_path):
+    """A budget no cell exceeds ⇒ byte-identical survivors to the
+    uncapped gate (the x_semdedup_capped contract, online)."""
+    emb = _emb(spark).cache()
+    cb = str(tmp_path / "cb")
+    train_codebook(emb, cb)
+    plain = _ids(semantic_ingest_batch(emb, str(tmp_path / "plain"), cb))
+    capped = _ids(
+        semantic_ingest_batch(
+            emb, str(tmp_path / "capped"), cb, per_cell_budget=10**6
+        )
+    )
+    assert plain == capped
+
+
+def test_per_cell_budget_bounds_skew_and_store(spark, tmp_path):
+    """A replica burst (one doc repeated 300×) with budget=4: the
+    burst still collapses to its first id, the store keeps only 4
+    anchor rows for that cell, and a replayed epoch rewrites the same
+    subset (replay-safe head-count)."""
+    dim = 16
+    store = str(tmp_path / "store")
+    cb = str(tmp_path / "cb")
+    b0 = _vec_df(spark, [(i, _unit(dim, i % 8)) for i in range(16)])
+    semantic_ingest_batch(b0, store, cb, epoch_id=0, per_cell_budget=4)
+
+    burst = _vec_df(
+        spark, [(100 + i, _unit(dim, 3)) for i in range(300)]
+    )
+    kept = _ids(
+        semantic_ingest_batch(burst, store, cb, epoch_id=1, per_cell_budget=4)
+    )
+    # every replica matches the stored e3 (ids 3 and 11 in epoch 0)
+    assert kept == []
+    rows_after = spark.read.parquet(store).count()
+    # epoch 0 stored 2/cell; the burst's cell (3) takes only the 2
+    # replicas that fit its budget — 18 anchor rows total, not 316
+    assert rows_after == 18
+    # replay epoch 1: same subset, same count
+    kept_replay = _ids(
+        semantic_ingest_batch(burst, store, cb, epoch_id=1, per_cell_budget=4)
+    )
+    assert kept_replay == [] and spark.read.parquet(store).count() == rows_after
+
+
 def _vec_df(spark, rows):
     """rows = [(vec_id, [floats])] → (vec_id, embedding array<float>)."""
     return spark.createDataFrame(
