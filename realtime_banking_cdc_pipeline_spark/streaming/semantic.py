@@ -15,7 +15,10 @@ signature store, with three semantic-tier substitutions:
   (one batch vs twenty yields the same survivors) holds GIVEN a fixed
   codebook; the first-batch bootstrap is the one place the online and
   offline answers can differ, exactly as for any IVF index trained on
-  a sample.
+  a sample. Under distribution drift the fixed cells degrade
+  gracefully (missed duplicates, never false drops);
+  `retrain_semantic_codebook` is the periodic remedy — re-train on
+  the most recent horizon rows, re-assign the whole store, promote.
 - **Cell store instead of signature store.** Survivor-gating state is
   (vec_id, cid, nn, embedding) rows in ``epoch=<id>/bucket=<cid%64>``
   parquet partitions: the per-batch probe joins on (bucket, cid), so
