@@ -329,6 +329,123 @@ def compact_semantic_store(
     _compact_store(spark, store_path, epoch_id, "bucket", retention_epochs)
 
 
+def _lloyd_refine(rows: DataFrame, staged: str, iters: int) -> None:
+    """Deterministic spherical-Lloyd refinement of the staged FINE
+    centroids over the horizon rows, rewriting the staged codebook in
+    place: per round one broadcast cosine assignment (flat k×N — the
+    training pass needs no probe approximation at k ≈ √N; two-level it
+    if k·N outgrows a stage) plus one (cid, dim) integer-sum agg whose
+    k×dim floor-means come back to the driver — the exact-fixed-point
+    k-means shape of x_ann_ivf_trained (queries/llmdata.py:1852).
+    Empty cells keep their previous vector. Floor means land on dyadic
+    rationals |i| < 2^24 so the float32 round-trip back into the
+    codebook is exact and the refinement bit-deterministic."""
+    import math
+
+    from ..functions.similarity import FIXED_POINT_SCALE, fixed_point
+
+    spark = rows.sparkSession
+    fine = spark.read.parquet(os.path.join(staged, "fine"))
+    old = {
+        r["cid"]: [math.floor(float(x) * FIXED_POINT_SCALE) for x in r["cv"]]
+        for r in fine.select("cid", "cv").collect()
+    }
+    ccids = [
+        r["ccid"]
+        for r in spark.read.parquet(os.path.join(staged, "coarse"))
+        .select("ccid")
+        .collect()
+    ]
+    fxv = rows.select(
+        "vec_id", F.transform("embedding", fixed_point).alias("v")
+    )
+    fxv.persist()
+    try:
+        cents = sorted(old.items())
+        for _ in range(int(iters)):
+            cdf = spark.createDataFrame(
+                [(cid, cv, sum(c * c for c in cv)) for cid, cv in cents],
+                "cid long, cv array<bigint>, cnn long",
+            )
+            dot = F.aggregate(
+                F.zip_with("v", "cv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            nn_v = F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cos = dot.cast("double") / F.sqrt(
+                nn_v.cast("double") * F.col("cnn").cast("double")
+            )
+            assigned = (
+                fxv.crossJoin(F.broadcast(cdf))
+                .select("vec_id", "v", "cid", cos.alias("cos"))
+                .groupBy("vec_id")
+                .agg(
+                    F.first("v").alias("v"),
+                    F.max(
+                        F.struct(
+                            F.col("cos").alias("c"), (-F.col("cid")).alias("nc")
+                        )
+                    ).alias("w"),
+                )
+                .select("v", (-F.col("w.nc")).alias("cid"))
+            )
+            sums = (
+                assigned.select("cid", F.posexplode("v").alias("i", "x"))
+                .groupBy("cid", "i")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in sums:
+                by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(
+                    r["s"] / r["cnt"]
+                )
+            cents = sorted(
+                (
+                    cid,
+                    [by_cid[cid][i] for i in sorted(by_cid[cid])]
+                    if cid in by_cid
+                    else cv,
+                )
+                for cid, cv in cents
+            )
+    finally:
+        fxv.unpersist()
+    scale = float(FIXED_POINT_SCALE)
+    refined = spark.createDataFrame(
+        [(cid, [x / scale for x in cv]) for cid, cv in cents],
+        "cid long, cv array<float>",
+    ).withColumn("cnn", fx_dot(F.col("cv"), F.col("cv")))
+    coarse = refined.filter(F.col("cid").isin(ccids)).select(
+        F.col("cid").alias("ccid"),
+        F.col("cv").alias("ccv"),
+        F.col("cnn").alias("ccnn"),
+    )
+    fmap = (
+        refined.crossJoin(F.broadcast(coarse.select("ccid", "ccv")))
+        .select(
+            "cid", "ccid",
+            cosine_against(F.col("ccv"), F.col("cv")).alias("cos"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("cos").alias("c"), (-F.col("ccid")).alias("nc")),
+            ).alias("ccid")
+        )
+    )
+    new_fine = refined.join(fmap, "cid").localCheckpoint(eager=True)
+    new_coarse = coarse.localCheckpoint(eager=True)
+    new_fine.write.mode("overwrite").parquet(os.path.join(staged, "fine"))
+    new_coarse.write.mode("overwrite").parquet(os.path.join(staged, "coarse"))
+
+
 def retrain_semantic_codebook(
     spark: SparkSession,
     store_path: str,
@@ -336,6 +453,7 @@ def retrain_semantic_codebook(
     epoch_id: int,
     retention_epochs: int | None = None,
     per_cell_budget: int | None = None,
+    lloyd_iters: int = 0,
 ) -> None:
     """Offline codebook re-train + full re-assign — the codebook-drift
     remedy the store's epoch partitioning was designed to support, as
@@ -344,7 +462,11 @@ def retrain_semantic_codebook(
     1. The horizon rows (``eff < epoch_id``, retention applied, deduped
        on vec_id — dropped rows included: they are gating state) train
        a FRESH codebook on the k most-recent ``(src_epoch, vec_id)``
-       embeddings, staged at ``<codebook_path>/staged-<e>``.
+       embeddings, staged at ``<codebook_path>/staged-<e>``;
+       ``lloyd_iters > 0`` then refines the staged fine centroids with
+       that many deterministic fixed-point k-means rounds over the
+       horizon rows (`_lloyd_refine`) — the recall rung above the
+       prefix-sample codebook when drift coverage matters.
     2. EVERY horizon row is re-assigned to its new fine cell and the
        relabeled rows replace history as the compacted base
        ``epoch=-<e>`` (``src_epoch`` preserved, so the retention
@@ -387,6 +509,8 @@ def retrain_semantic_codebook(
             staged,
             order_cols=[F.col("src_epoch").desc(), F.col("vec_id").desc()],
         )
+        if lloyd_iters:
+            _lloyd_refine(rows, staged, lloyd_iters)
         base = (
             assign_cells(rows.select("vec_id", "embedding"), staged)
             .join(rows, "vec_id")
@@ -443,6 +567,7 @@ def start_semantic_ingest(
     compact_every: int | None = 8,
     retention_epochs: int | None = None,
     retrain_every: int | None = None,
+    retrain_lloyd_iters: int = 0,
     **gate_kwargs,
 ):
     """File-source streaming wrapper: each discovered file is one
@@ -473,6 +598,7 @@ def start_semantic_ingest(
                 spark, store_path, codebook_path, epoch + 1,
                 retention_epochs=gate_kwargs["retention_epochs"],
                 per_cell_budget=gate_kwargs.get("per_cell_budget"),
+                lloyd_iters=retrain_lloyd_iters,
             )
         elif compact_every and epoch > 0 and epoch % compact_every == 0:
             compact_semantic_store(

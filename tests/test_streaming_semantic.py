@@ -256,6 +256,43 @@ def test_retrain_codebook_closes_drift(spark, tmp_path):
     assert _ids(semantic_ingest_batch(b3, store, cb, epoch_id=3)) == []
 
 
+def test_retrain_with_lloyd_refinement(spark, tmp_path):
+    """lloyd_iters refinement: the retrain still preserves the store,
+    still gates (a B replica of a refined-cell resident drops), and is
+    bit-deterministic — two retrains over identical state produce
+    identical fine codebooks (fixed iteration count, floor means,
+    exact float32 round-trip)."""
+    dim = 16
+    store = str(tmp_path / "store")
+    cb = str(tmp_path / "cb")
+    b0 = _vec_df(spark, [(i, _unit(dim, i % 8)) for i in range(16)])
+    semantic_ingest_batch(b0, store, cb, epoch_id=0)
+    b1 = _vec_df(spark, [
+        (16, _unit(dim, 0, scale=0.3, extra=8)),
+        (17, _unit(dim, 1, scale=0.3, extra=8)),
+    ])
+    semantic_ingest_batch(b1, store, cb, epoch_id=1)
+
+    retrain_semantic_codebook(spark, store, cb, 2, lloyd_iters=2)
+    assert _ids(spark.read.parquet(store)) == list(range(18))
+    # refined codebook still concentrates the B subspace: new B dup drops
+    b2 = _vec_df(spark, [(18, _unit(dim, 2, scale=0.3, extra=8))])
+    assert _ids(semantic_ingest_batch(b2, store, cb, epoch_id=2)) == []
+
+    # determinism: re-running the lloyd retrain reproduces the codebook
+    def fine_snap():
+        return sorted(
+            (r["cid"], tuple(round(float(x), 9) for x in r["cv"]))
+            for r in spark.read.parquet(os.path.join(cb, "fine"))
+            .select("cid", "cv").collect()
+        )
+
+    retrain_semantic_codebook(spark, store, cb, 3, lloyd_iters=2)
+    s1 = fine_snap()
+    retrain_semantic_codebook(spark, store, cb, 3, lloyd_iters=2)
+    assert fine_snap() == s1
+
+
 def test_retrain_applies_retention_horizon(spark, tmp_path):
     """Retrain with a retention horizon permanently drops rows older
     than the horizon (it is also the compaction) — survivors outside
