@@ -46,9 +46,12 @@ from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 # x_image_png_stats, x_semdedup_recall_eval, x_semdedup_capped) are
 # unlisted so they sort to the front (w_locf_gapfill and
 # w_distribution_ranks returned to the verified set to keep the window
-# at exactly 50). Exactly 50 names fall outside this set = the whole
-# r08 window is deliberate.
+# at exactly 50; agg_grouping_sets — r06-driver-verified and strict in
+# every local full sweep since — later returned too, making room for
+# the late-round x_semdedup_refined). Exactly 50 names fall outside
+# this set = the whole r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
+    "agg_grouping_sets",
     "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
     "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
     "a6_argmax_latest", "a_approx_sketches", "a_benford",

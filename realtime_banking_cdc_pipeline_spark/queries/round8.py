@@ -363,3 +363,209 @@ def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cell"),
         F.col("__dropped").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_refined — SemDeDup over a 1-round-Lloyd-refined quantizer
+# ---------------------------------------------------------------------------
+
+_REFINE_ITERS = 1
+
+
+def _dd_semdedup_refined_sql() -> str:
+    """Oracle with the Lloyd round UNROLLED into CTE generations
+    (c0→a0→c1→a1 — the x_ann_ivf_trained pattern, adaptive k): floor
+    means over exact fixed-point components, members-only centroids,
+    (cos DESC, cid ASC) tiebreaks everywhere."""
+    from .llmdata import _ADAPTIVE_CELLS_SQL, _FXLIST
+
+    def assign(tag: str, cents: str, cnorm: str) -> str:
+        return f"""
+p{tag} AS (SELECT f.vec_id, c.cid, unnest(f.v) AS a, unnest(c.cv) AS b
+           FROM fx f, {cents} c),
+d{tag} AS (SELECT vec_id, cid, SUM(a * b) AS dot
+           FROM p{tag} GROUP BY vec_id, cid),
+s{tag} AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE)
+           / sqrt(CAST(v.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM d{tag} d JOIN vn v USING (vec_id) JOIN {cnorm} c USING (cid)
+),
+a{tag} AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+  FROM s{tag}) WHERE rn = 1)"""
+
+    return f"""
+WITH nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
+fx AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
+vn AS (SELECT vec_id, SUM(x * x) AS nn
+       FROM (SELECT vec_id, unnest(v) AS x FROM fx) GROUP BY vec_id),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM fx, nk WHERE vec_id < nk.k),
+cn0 AS (SELECT cid, SUM(x * x) AS nn
+        FROM (SELECT cid, unnest(cv) AS x FROM c0) GROUP BY cid),
+{assign("0", "c0", "cn0")},
+comp1 AS (
+  SELECT a0.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
+  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        FROM fx) t
+  JOIN a0 USING (vec_id)
+  GROUP BY a0.cid, t.i
+),
+c1 AS (SELECT cid,
+              list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+                   ORDER BY i) AS cv
+       FROM comp1 GROUP BY cid),
+cn1 AS (SELECT cid, SUM(x * x) AS nn
+        FROM (SELECT cid, unnest(cv) AS x FROM c1) GROUP BY cid),
+{assign("1", "c1", "cn1")},
+mp AS (SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+              unnest(fa.v) AS x, unnest(fb.v) AS y
+       FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN fx fa ON fa.vec_id = a.vec_id
+            JOIN fx fb ON fb.vec_id = b.vec_id),
+pd AS (SELECT i, j, SUM(x * y) AS dot FROM mp GROUP BY 1, 2),
+dropped AS (
+  SELECT DISTINCT pd.j AS vec_id
+  FROM pd JOIN vn na ON na.vec_id = pd.i
+          JOIN vn nb ON nb.vec_id = pd.j
+  WHERE CAST(pd.dot AS DOUBLE)
+          / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.35
+)
+SELECT a1.vec_id, a1.cid AS cell,
+       (dropped.vec_id IS NULL) AS keep
+FROM a1 LEFT JOIN dropped ON dropped.vec_id = a1.vec_id
+"""
+
+
+@query(
+    "x_semdedup_refined",
+    _dd_semdedup_refined_sql(),
+    doc=(
+        "SemDeDup over a TRAINED quantizer: one deterministic Lloyd "
+        "(k-means) round refines the first-k prefix centroids before "
+        "cells are cut — integer component sums, floor-mean centroids, "
+        "members-only survival (the x_ann_ivf_trained arithmetic, "
+        "queries/llmdata.py:1852, at the adaptive k ~ sqrt(N)) — so "
+        "the cell partition tracks corpus density instead of the "
+        "arrival prefix, the batch analog of the streaming retrain's "
+        "_lloyd_refine rung whose measured drift A/B cut the "
+        "post-shift leak 34% (SCALE.md). Training is one broadcast "
+        "assignment pass + one (cell, dim) hash agg with k x dim ints "
+        "on the driver (the accepted k-means scalar state); the pair "
+        "stage and keep rule are exactly x_semdedup's. The oracle "
+        "unrolls the round into CTE generations — training itself "
+        "sits under the strict hash gate."
+    ),
+)
+def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..caching import track_persist
+    from ..functions.similarity import FIXED_POINT_SCALE, fixed_point
+    from .llmdata import _emb, adaptive_cells
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = adaptive_cells(n)
+    fxv = track_persist(
+        emb.select("vec_id", F.transform("embedding", fixed_point).alias("v"))
+    )
+    nn_self = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vn = track_persist(fxv.select("vec_id", nn_self.alias("nn")))
+
+    def score(cents: list) -> DataFrame:
+        cdf = spark.createDataFrame(
+            cents, "cid long, cv array<bigint>, cnn long"
+        )
+        dot = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            fxv.join(vn, "vec_id")
+            .crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id", "cid",
+                (
+                    dot.cast("double")
+                    / F.sqrt(
+                        F.col("nn").cast("double") * F.col("cnn").cast("double")
+                    )
+                ).alias("cos"),
+            )
+        )
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+                ).alias("w")
+            )
+            .select("vec_id", (-F.col("w.nc")).alias("cid"))
+        )
+
+    def with_norm(cid: int, cv: list) -> tuple:
+        return (cid, cv, sum(c * c for c in cv))
+
+    cents = [
+        with_norm(
+            r["vec_id"],
+            [math.floor(float(x) * FIXED_POINT_SCALE) for x in r["embedding"]],
+        )
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    ]
+    for _ in range(_REFINE_ITERS):
+        a_prev = argmax(score(cents))
+        comp = (
+            fxv.join(a_prev, "vec_id")
+            .select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in comp:
+            by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(r["s"] / r["cnt"])
+        cents = [
+            with_norm(cid, [dims[i] for i in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    cells = track_persist(argmax(score(cents)))
+    m = cells.join(fxv, "vec_id").join(vn, "vec_id")
+    a = m.select(
+        F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
+        F.col("v").alias("va"), F.col("nn").alias("na"),
+    )
+    b = m.select(
+        F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
+        F.col("v").alias("vb"), F.col("nn").alias("nb"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .filter(
+            pair_dot.cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            >= 0.35
+        )
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return cells.join(dropped, "vec_id", "left_outer").select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        F.col("__dropped").isNull().alias("keep"),
+    )
