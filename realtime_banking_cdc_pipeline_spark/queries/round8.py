@@ -369,48 +369,35 @@ def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_semdedup_refined — SemDeDup over a 1-round-Lloyd-refined quantizer
 # ---------------------------------------------------------------------------
 
-_REFINE_ITERS = 1
+_SEM_NPROBE = 4  # matches queries/round6b._SEM_NPROBE (shared constant)
 
 
 def _dd_semdedup_refined_sql() -> str:
-    """Oracle with the Lloyd round UNROLLED into CTE generations
-    (c0→a0→c1→a1 — the x_ann_ivf_trained pattern, adaptive k): floor
-    means over exact fixed-point components, members-only centroids,
-    (cos DESC, cid ASC) tiebreaks everywhere."""
-    from .llmdata import _ADAPTIVE_CELLS_SQL, _FXLIST
+    """Oracle with the Lloyd round UNROLLED on top of the shared
+    two-level assignment CTE: ``cells`` (the x_semdedup assignment) is
+    generation 0, floor-mean refined centroids c1 are cut from it, and
+    the SECOND assignment runs the same two-level (coarse-probe → fine)
+    chain against c1 — so BOTH assignment passes are two-level and the
+    whole training round sits under the strict hash gate."""
+    from .llmdata import _FXLIST
+    from .round6b import (
+        _COARSE_CELLS_SQL,
+        _SEMDEDUP_THRESHOLD,
+        _dd_two_level_cells_cte,
+    )
 
-    def assign(tag: str, cents: str, cnorm: str) -> str:
-        return f"""
-p{tag} AS (SELECT f.vec_id, c.cid, unnest(f.v) AS a, unnest(c.cv) AS b
-           FROM fx f, {cents} c),
-d{tag} AS (SELECT vec_id, cid, SUM(a * b) AS dot
-           FROM p{tag} GROUP BY vec_id, cid),
-s{tag} AS (
-  SELECT d.vec_id, d.cid,
-         CAST(d.dot AS DOUBLE)
-           / sqrt(CAST(v.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
-  FROM d{tag} d JOIN vn v USING (vec_id) JOIN {cnorm} c USING (cid)
-),
-a{tag} AS (SELECT vec_id, cid FROM (
-  SELECT vec_id, cid, ROW_NUMBER() OVER (
-    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-  FROM s{tag}) WHERE rn = 1)"""
-
+    kc1_expr = _COARSE_CELLS_SQL.replace(
+        "CAST(k AS BIGINT)", "CAST(COUNT(*) AS BIGINT)"
+    )
     return f"""
-WITH nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
-fx AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
-vn AS (SELECT vec_id, SUM(x * x) AS nn
-       FROM (SELECT vec_id, unnest(v) AS x FROM fx) GROUP BY vec_id),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM fx, nk WHERE vec_id < nk.k),
-cn0 AS (SELECT cid, SUM(x * x) AS nn
-        FROM (SELECT cid, unnest(cv) AS x FROM c0) GROUP BY cid),
-{assign("0", "c0", "cn0")},
+WITH {_dd_two_level_cells_cte()},
+fxl AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
 comp1 AS (
-  SELECT a0.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
+  SELECT cells.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
   FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
-        FROM fx) t
-  JOIN a0 USING (vec_id)
-  GROUP BY a0.cid, t.i
+        FROM fxl) t
+  JOIN cells USING (vec_id)
+  GROUP BY cells.cid, t.i
 ),
 c1 AS (SELECT cid,
               list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT)
@@ -418,19 +405,67 @@ c1 AS (SELECT cid,
        FROM comp1 GROUP BY cid),
 cn1 AS (SELECT cid, SUM(x * x) AS nn
         FROM (SELECT cid, unnest(cv) AS x FROM c1) GROUP BY cid),
-{assign("1", "c1", "cn1")},
+kc1 AS (SELECT {kc1_expr} AS kc FROM c1),
+cc1 AS (SELECT cid AS ccid, cv AS ccv FROM (
+          SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid ASC) AS rn
+          FROM c1), kc1
+        WHERE rn <= kc1.kc),
+ccn1 AS (SELECT ccid, SUM(x * x) AS nn
+         FROM (SELECT ccid, unnest(ccv) AS x FROM cc1) GROUP BY ccid),
+fcp1 AS (SELECT c1.cid, cc1.ccid, unnest(c1.cv) AS a, unnest(cc1.ccv) AS b
+         FROM c1, cc1),
+fcd1 AS (SELECT cid, ccid, SUM(a * b) AS dot FROM fcp1 GROUP BY 1, 2),
+fcs1 AS (
+  SELECT d.cid, d.ccid,
+         CAST(d.dot AS DOUBLE)
+           / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM fcd1 d JOIN cn1 n USING (cid) JOIN ccn1 cn USING (ccid)
+),
+fmap1 AS (SELECT cid, ccid FROM (
+    SELECT cid, ccid, ROW_NUMBER() OVER (
+      PARTITION BY cid ORDER BY cos DESC, ccid ASC) AS rn FROM fcs1)
+  WHERE rn = 1),
+vcp1 AS (SELECT f.vec_id, cc1.ccid, unnest(f.v) AS a, unnest(cc1.ccv) AS b
+         FROM fxl f, cc1),
+vcd1 AS (SELECT vec_id, ccid, SUM(a * b) AS dot FROM vcp1 GROUP BY 1, 2),
+vcs1 AS (
+  SELECT d.vec_id, d.ccid,
+         CAST(d.dot AS DOUBLE)
+           / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM vcd1 d JOIN norms n USING (vec_id) JOIN ccn1 cn USING (ccid)
+),
+vmap1 AS (SELECT vec_id, ccid FROM (
+    SELECT vec_id, ccid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, ccid ASC) AS rn FROM vcs1)
+  WHERE rn <= {_SEM_NPROBE}),
+vfp1 AS (SELECT f.vec_id, fm.cid, unnest(f.v) AS a, unnest(c1.cv) AS b
+         FROM fxl f JOIN vmap1 vm USING (vec_id)
+              JOIN fmap1 fm ON fm.ccid = vm.ccid
+              JOIN c1 ON c1.cid = fm.cid),
+vfd1 AS (SELECT vec_id, cid, SUM(a * b) AS dot FROM vfp1 GROUP BY 1, 2),
+vfs1 AS (
+  SELECT d.vec_id, d.cid,
+         CAST(d.dot AS DOUBLE)
+           / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
+  FROM vfd1 d JOIN norms n USING (vec_id) JOIN cn1 cn USING (cid)
+),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs1)
+  WHERE rn = 1),
 mp AS (SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
               unnest(fa.v) AS x, unnest(fb.v) AS y
        FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-            JOIN fx fa ON fa.vec_id = a.vec_id
-            JOIN fx fb ON fb.vec_id = b.vec_id),
+            JOIN fxl fa ON fa.vec_id = a.vec_id
+            JOIN fxl fb ON fb.vec_id = b.vec_id),
 pd AS (SELECT i, j, SUM(x * y) AS dot FROM mp GROUP BY 1, 2),
 dropped AS (
   SELECT DISTINCT pd.j AS vec_id
-  FROM pd JOIN vn na ON na.vec_id = pd.i
-          JOIN vn nb ON nb.vec_id = pd.j
+  FROM pd JOIN norms na ON na.vec_id = pd.i
+          JOIN norms nb ON nb.vec_id = pd.j
   WHERE CAST(pd.dot AS DOUBLE)
-          / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.35
+          / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+        >= {_SEMDEDUP_THRESHOLD}
 )
 SELECT a1.vec_id, a1.cid AS cell,
        (dropped.vec_id IS NULL) AS keep
@@ -443,31 +478,34 @@ FROM a1 LEFT JOIN dropped ON dropped.vec_id = a1.vec_id
     _dd_semdedup_refined_sql(),
     doc=(
         "SemDeDup over a TRAINED quantizer: one deterministic Lloyd "
-        "(k-means) round refines the first-k prefix centroids before "
-        "cells are cut — integer component sums, floor-mean centroids, "
+        "(k-means) round refines the adaptive-k prefix cells before "
+        "the final cut — integer component sums, floor-mean centroids, "
         "members-only survival (the x_ann_ivf_trained arithmetic, "
-        "queries/llmdata.py:1852, at the adaptive k ~ sqrt(N)) — so "
-        "the cell partition tracks corpus density instead of the "
-        "arrival prefix, the batch analog of the streaming retrain's "
-        "_lloyd_refine rung whose measured drift A/B cut the "
-        "post-shift leak 34% (SCALE.md). Training is one broadcast "
-        "assignment pass + one (cell, dim) hash agg with k x dim ints "
-        "on the driver (the accepted k-means scalar state); the pair "
-        "stage and keep rule are exactly x_semdedup's. The oracle "
-        "unrolls the round into CTE generations — training itself "
-        "sits under the strict hash gate."
+        "queries/llmdata.py:1852) — so the cell partition tracks "
+        "corpus density instead of the arrival prefix, the batch "
+        "analog of the streaming retrain's _lloyd_refine rung whose "
+        "measured drift A/B cut the post-shift leak 34% (SCALE.md). "
+        "BOTH assignment passes are two-level (coarse probe -> fine "
+        "within the top-4 probed groups): generation 0 IS x_semdedup's "
+        "shared assignment, and the refined pass runs the same chain "
+        "against the floor-mean centroids — measured dense-sf10 "
+        "479 s flat -> two-level (SCALE.md r8). Training state is "
+        "k x dim ints on the driver (the accepted k-means scalar "
+        "state); the pair stage and keep rule are exactly "
+        "x_semdedup's. The oracle unrolls the full round into CTE "
+        "generations — training itself sits under the strict hash "
+        "gate."
     ),
 )
 def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from ..caching import track_persist
-    from ..functions.similarity import FIXED_POINT_SCALE, fixed_point
-    from .llmdata import _emb, adaptive_cells
+    from ..functions.similarity import fixed_point
+    from .llmdata import _emb
+    from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells, coarse_cells
 
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    k = adaptive_cells(n)
+    emb, cells0 = _two_level_cells(spark, _emb(spark, sf_dir))
     fxv = track_persist(
         emb.select("vec_id", F.transform("embedding", fixed_point).alias("v"))
     )
@@ -478,67 +516,121 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vn = track_persist(fxv.select("vec_id", nn_self.alias("nn")))
 
-    def score(cents: list) -> DataFrame:
-        cdf = spark.createDataFrame(
-            cents, "cid long, cv array<bigint>, cnn long"
-        )
-        dot = F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: a * b),
+    # Lloyd round: per-(cell, dim) integer sums over the generation-0
+    # cells -> floor-mean refined centroids (k x dim ints on driver)
+    comp = (
+        fxv.join(cells0.select("vec_id", "cid"), "vec_id")
+        .select("cid", F.posexplode("v").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in comp:
+        by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(r["s"] / r["cnt"])
+    cents1 = [
+        (cid, [dims[i] for i in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+    cents1 = [(cid, cv, sum(c * c for c in cv)) for cid, cv in cents1]
+
+    # two-level assignment against the REFINED centroids: coarse1 =
+    # first kc1 refined cells by cid, same probe/argmax chain (and the
+    # same tiebreaks) as _two_level_cells, centroid frames broadcast
+    kc1 = coarse_cells(len(cents1))
+    cdf = spark.createDataFrame(cents1, "cid long, cv array<bigint>, cnn long")
+    ccdf = spark.createDataFrame(
+        [(cid, cv, cnn) for cid, cv, cnn in sorted(cents1)[:kc1]],
+        "ccid long, ccv array<bigint>, ccnn long",
+    )
+
+    def fxdot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        return (
-            fxv.join(vn, "vec_id")
-            .crossJoin(F.broadcast(cdf))
-            .select(
-                "vec_id", "cid",
+
+    fmap1 = (
+        cdf.crossJoin(F.broadcast(ccdf))
+        .select(
+            "cid", "ccid",
+            (
+                fxdot("cv", "ccv").cast("double")
+                / F.sqrt(
+                    F.col("cnn").cast("double") * F.col("ccnn").cast("double")
+                )
+            ).alias("cos"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("cos").alias("c"), (-F.col("ccid")).alias("nc")),
+            ).alias("ccid")
+        )
+    )
+    cmp = (
+        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
+        " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
+        " ELSE 0 END"
+    )
+    scored_cc = (
+        fxv.join(vn, "vec_id")
+        .crossJoin(F.broadcast(ccdf))
+        .select(
+            "vec_id", "v", "nn",
+            F.struct(
                 (
-                    dot.cast("double")
+                    fxdot("v", "ccv").cast("double")
                     / F.sqrt(
-                        F.col("nn").cast("double") * F.col("cnn").cast("double")
+                        F.col("nn").cast("double") * F.col("ccnn").cast("double")
                     )
                 ).alias("cos"),
-            )
+                F.col("ccid").alias("ccid"),
+            ).alias("s"),
         )
+    )
+    probed = (
+        scored_cc.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nn").alias("nn"),
+            F.collect_list("s").alias("__ss"),
+        )
+        .select(
+            "vec_id", "v", "nn",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(__ss, (x, y) -> {cmp}),"
+                    f" 1, {_SEM_NPROBE}), t -> t.ccid)"
+                )
+            ).alias("ccid"),
+        )
+    )
+    probe = fmap1.join(cdf, "cid")
+    cells = (
+        probed.join(F.broadcast(probe), "ccid")
+        .select(
+            "vec_id",
+            "cid",
+            (
+                fxdot("v", "cv").cast("double")
+                / F.sqrt(
+                    F.col("nn").cast("double") * F.col("cnn").cast("double")
+                )
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+            ).alias("w")
+        )
+        .select("vec_id", (-F.col("w.nc")).alias("cid"))
+    )
+    cells = track_persist(cells)
 
-    def argmax(scored: DataFrame) -> DataFrame:
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
-                ).alias("w")
-            )
-            .select("vec_id", (-F.col("w.nc")).alias("cid"))
-        )
-
-    def with_norm(cid: int, cv: list) -> tuple:
-        return (cid, cv, sum(c * c for c in cv))
-
-    cents = [
-        with_norm(
-            r["vec_id"],
-            [math.floor(float(x) * FIXED_POINT_SCALE) for x in r["embedding"]],
-        )
-        for r in emb.filter(F.col("vec_id") < k).collect()
-    ]
-    for _ in range(_REFINE_ITERS):
-        a_prev = argmax(score(cents))
-        comp = (
-            fxv.join(a_prev, "vec_id")
-            .select("cid", F.posexplode("v").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        by_cid: dict = {}
-        for r in comp:
-            by_cid.setdefault(r["cid"], {})[r["i"]] = math.floor(r["s"] / r["cnt"])
-        cents = [
-            with_norm(cid, [dims[i] for i in sorted(dims)])
-            for cid, dims in sorted(by_cid.items())
-        ]
-    cells = track_persist(argmax(score(cents)))
     m = cells.join(fxv, "vec_id").join(vn, "vec_id")
     a = m.select(
         F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
@@ -558,7 +650,7 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             pair_dot.cast("double")
             / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-            >= 0.35
+            >= _SEMDEDUP_THRESHOLD
         )
         .select(F.col("j").alias("vec_id"))
         .distinct()
