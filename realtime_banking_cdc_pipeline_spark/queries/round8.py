@@ -476,6 +476,7 @@ FROM a1 LEFT JOIN dropped ON dropped.vec_id = a1.vec_id
 @query(
     "x_semdedup_refined",
     _dd_semdedup_refined_sql(),
+    bench=True,
     doc=(
         "SemDeDup over a TRAINED quantizer: one deterministic Lloyd "
         "(k-means) round refines the adaptive-k prefix cells before "
