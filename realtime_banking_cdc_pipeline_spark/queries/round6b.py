@@ -71,6 +71,15 @@ _COARSE_CELLS_SQL = "GREATEST(4, 1 << (length(bin(CAST(k AS BIGINT))) // 2))"
 # assignment ≈ N·(kc + 4k/kc) ≈ 8× under the flat N·k.
 _SEM_NPROBE = 4
 
+# Struct comparator for the coarse-probe top-nprobe array sort:
+# (cos DESC, ccid ASC) — the ONE tiebreak rule every two-level
+# assignment (batch, refined, streaming) and its oracle must share.
+_TL_CMP = (
+    "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
+    " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
+    " ELSE 0 END"
+)
+
 def _two_level_cells(spark: SparkSession, emb: DataFrame):
     """Two-level (coarse→fine) quantizer assignment for the SemDeDup
     family: ``(emb, cells)`` where cells = (vec_id, cid, ccos) — each
@@ -135,11 +144,7 @@ def _two_level_cells(spark: SparkSession, emb: DataFrame):
     # sort, no embedding re-join. (Measured: the row_number-window
     # form's extra exchanges doubled x_semdedup at duplicate-light
     # sf0.1 where stage overhead dominates.)
-    cmp = (
-        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
-        " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
-        " ELSE 0 END"
-    )
+    cmp = _TL_CMP
     scored_cc = (
         emb.withColumn("__nn", fx_dot(F.col("embedding"), F.col("embedding")))
         .crossJoin(F.broadcast(ccents))

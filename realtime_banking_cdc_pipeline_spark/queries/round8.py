@@ -369,9 +369,6 @@ def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_semdedup_refined — SemDeDup over a 1-round-Lloyd-refined quantizer
 # ---------------------------------------------------------------------------
 
-_SEM_NPROBE = 4  # matches queries/round6b._SEM_NPROBE (shared constant)
-
-
 def _dd_semdedup_refined_sql() -> str:
     """Oracle with the Lloyd round UNROLLED on top of the shared
     two-level assignment CTE: ``cells`` (the x_semdedup assignment) is
@@ -382,6 +379,7 @@ def _dd_semdedup_refined_sql() -> str:
     from .llmdata import _FXLIST
     from .round6b import (
         _COARSE_CELLS_SQL,
+        _SEM_NPROBE,
         _SEMDEDUP_THRESHOLD,
         _dd_two_level_cells_cte,
     )
@@ -504,7 +502,13 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
     from ..functions.similarity import fixed_point
     from .llmdata import _emb
-    from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells, coarse_cells
+    from .round6b import (
+        _SEM_NPROBE,
+        _SEMDEDUP_THRESHOLD,
+        _TL_CMP,
+        _two_level_cells,
+        coarse_cells,
+    )
 
     emb, cells0 = _two_level_cells(spark, _emb(spark, sf_dir))
     fxv = track_persist(
@@ -571,11 +575,7 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccid")
         )
     )
-    cmp = (
-        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
-        " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
-        " ELSE 0 END"
-    )
+    cmp = _TL_CMP
     scored_cc = (
         fxv.join(vn, "vec_id")
         .crossJoin(F.broadcast(ccdf))

@@ -122,6 +122,25 @@ def train_codebook(emb: DataFrame, path: str, order_cols=None) -> None:
     coarse.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
 
 
+_CB_POINTER = "CURRENT"
+
+
+def _codebook_dir(codebook_path: str) -> str:
+    """Resolve the LIVE codebook generation. A retrain promotes its
+    staged codebook by renaming the whole staged directory to
+    ``gen-<e>`` (one atomic rename carrying fine AND coarse together)
+    and then atomically replacing the ``CURRENT`` pointer file — so
+    readers always see a complete, internally consistent (fine, coarse)
+    pair: either the old generation or the new one, never a mix and
+    never a missing half. No pointer = the bootstrap layout
+    (fine/coarse at the codebook root)."""
+    ptr = os.path.join(codebook_path, _CB_POINTER)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(codebook_path, f.read().strip())
+    return codebook_path
+
+
 def assign_cells(emb: DataFrame, codebook_path: str) -> DataFrame:
     """(vec_id, cid, nn) fine-cell assignment against a PERSISTED
     codebook — the single-exchange multi-probe plan of the batch
@@ -130,14 +149,13 @@ def assign_cells(emb: DataFrame, codebook_path: str) -> DataFrame:
     scores partial-aggregate into a kc-entry list per vector, the
     top-_NPROBE coarse groups explode, and the fine argmax reuses the
     groupBy partitioning. Codebook frames broadcast (kc + k rows)."""
+    from ..queries.round6b import _TL_CMP
+
     spark = emb.sparkSession
-    coarse = spark.read.parquet(os.path.join(codebook_path, "coarse"))
-    fine = spark.read.parquet(os.path.join(codebook_path, "fine"))
-    cmp = (
-        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
-        " WHEN x.ccid < y.ccid THEN -1 WHEN x.ccid > y.ccid THEN 1"
-        " ELSE 0 END"
-    )
+    live = _codebook_dir(codebook_path)
+    coarse = spark.read.parquet(os.path.join(live, "coarse"))
+    fine = spark.read.parquet(os.path.join(live, "fine"))
+    cmp = _TL_CMP
     scored_cc = (
         emb.withColumn("__nn", fx_dot(F.col("embedding"), F.col("embedding")))
         .crossJoin(F.broadcast(coarse))
@@ -225,7 +243,7 @@ def semantic_ingest_batch(
     only match is a non-anchor, never false-drop. Replay-safe: the
     anchor head-count excludes the replayed epoch's own partition."""
     spark = batch_emb.sparkSession
-    if not os.path.exists(os.path.join(codebook_path, "fine")):
+    if not os.path.exists(os.path.join(_codebook_dir(codebook_path), "fine")):
         train_codebook(batch_emb, codebook_path)
     m = (
         assign_cells(batch_emb, codebook_path)
@@ -248,8 +266,13 @@ def semantic_ingest_batch(
         )
         m = m.withColumn("__rk", rk)
         if store is not None:
+            # eager localCheckpoint severs the head frame's lineage from
+            # the store files this batch later overwrites (the same
+            # recompute-on-eviction guard the survivors frame gets)
             head = F.broadcast(
-                store.groupBy("cid").agg(F.count("*").alias("__head"))
+                store.groupBy("cid")
+                .agg(F.count("*").alias("__head"))
+                .localCheckpoint(eager=True)
             )
             m = m.join(head, "cid", "left").withColumn(
                 "__head", F.coalesce(F.col("__head"), F.lit(0))
@@ -359,6 +382,15 @@ def _lloyd_refine(rows: DataFrame, staged: str, iters: int) -> None:
     fxv = rows.select(
         "vec_id", F.transform("embedding", fixed_point).alias("v")
     )
+    # self-norm computed ONCE per vector, not once per (vector, centroid)
+    fxv = fxv.withColumn(
+        "__nn",
+        F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
     fxv.persist()
     try:
         cents = sorted(old.items())
@@ -372,13 +404,8 @@ def _lloyd_refine(rows: DataFrame, staged: str, iters: int) -> None:
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
-            nn_v = F.aggregate(
-                F.zip_with("v", "v", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
             cos = dot.cast("double") / F.sqrt(
-                nn_v.cast("double") * F.col("cnn").cast("double")
+                F.col("__nn").cast("double") * F.col("cnn").cast("double")
             )
             assigned = (
                 fxv.crossJoin(F.broadcast(cdf))
@@ -471,12 +498,16 @@ def retrain_semantic_codebook(
        relabeled rows replace history as the compacted base
        ``epoch=-<e>`` (``src_epoch`` preserved, so the retention
        horizon keeps working afterwards).
-    3. The staged codebook is promoted over the live one by directory
-       rename, superseded epoch partitions are dropped, and the
-       staging dir is removed.
+    3. The staged codebook is promoted ATOMICALLY: one directory rename
+       moves the whole staged generation (fine AND coarse together) to
+       ``gen-<e>``, then the ``CURRENT`` pointer file is replaced with
+       ``os.replace`` — readers resolve through `_codebook_dir`, so
+       they always see a complete, matched (fine, coarse) pair.
+       Superseded generations and epoch partitions are dropped last.
 
     Crash anywhere mid-protocol degrades candidate generation only
-    (mixed-cid store vs old codebook can MISS duplicates); the
+    (mixed-cid store vs old codebook can MISS duplicates — the live
+    codebook itself is never missing or half-swapped); the
     exact-cosine refinement means nothing is ever falsely dropped, and
     re-running the retrain at the same epoch completes the swap — the
     prefix rule and assignment are deterministic, so the re-run is
@@ -486,9 +517,14 @@ def retrain_semantic_codebook(
     if not os.path.exists(store_path):
         return
     df = spark.read.parquet(store_path)
-    eff = _effective_epoch(df) if "epoch" in df.columns else F.lit(0)
+    if "epoch" not in df.columns:
+        raise ValueError(
+            "retrain_semantic_codebook requires an epoch-partitioned store "
+            "(ingest with epoch_id); a flat append-mode store has no epoch "
+            "layout for the rebuilt base to replace"
+        )
     rows = (
-        df.withColumn("src_epoch", eff.cast("long"))
+        df.withColumn("src_epoch", _effective_epoch(df).cast("long"))
         .drop("epoch")
         .filter(F.col("src_epoch") < int(epoch_id))
     )
@@ -538,19 +574,34 @@ def retrain_semantic_codebook(
         base.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(store_path, f"epoch=-{int(epoch_id)}")
         )
-        for part in ("fine", "coarse"):
-            live = os.path.join(codebook_path, part)
-            old = f"{live}.pre{int(epoch_id)}"
-            if os.path.exists(live):
-                os.rename(live, old)
-            os.rename(os.path.join(staged, part), live)
-            shutil.rmtree(old, ignore_errors=True)
+        gen_name = f"gen-{int(epoch_id)}"
+        gen = os.path.join(codebook_path, gen_name)
+        if os.path.exists(gen):
+            # a crashed earlier attempt renamed but never promoted —
+            # the pointer doesn't reference it, safe to rebuild
+            shutil.rmtree(gen)
+        os.rename(staged, gen)
+        tmp = os.path.join(codebook_path, _CB_POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(gen_name)
+        os.replace(tmp, os.path.join(codebook_path, _CB_POINTER))
+        # cleanup AFTER the atomic pointer flip: superseded generations,
+        # the legacy bootstrap layout, stale staging dirs, old epochs
+        for name in os.listdir(codebook_path):
+            if name == gen_name or name == _CB_POINTER:
+                continue
+            if (
+                name.startswith(("gen-", "staged-"))
+                or name in ("fine", "coarse")
+            ):
+                shutil.rmtree(
+                    os.path.join(codebook_path, name), ignore_errors=True
+                )
         for e in _epoch_ids(store_path):
             if e < int(epoch_id) and e != -int(epoch_id):
                 shutil.rmtree(
                     os.path.join(store_path, f"epoch={e}"), ignore_errors=True
                 )
-        shutil.rmtree(staged, ignore_errors=True)
     finally:
         rows.unpersist()
 

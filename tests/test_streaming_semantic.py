@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from realtime_banking_cdc_pipeline_spark.queries.registry import QUERIES
 from realtime_banking_cdc_pipeline_spark.streaming.semantic import (
+    _codebook_dir,
     compact_semantic_store,
     retrain_semantic_codebook,
     semantic_ingest_batch,
@@ -218,6 +219,11 @@ def test_retrain_codebook_closes_drift(spark, tmp_path):
     # centroids now include ids 17 and 16 (the B-heavy rows).
     retrain_semantic_codebook(spark, store, cb, 2)
     assert _ids(spark.read.parquet(store)) == list(range(18))
+    # promote is pointer-based: CURRENT names the gen dir, the legacy
+    # bootstrap layout is gone, and the resolver follows the pointer
+    assert os.path.exists(os.path.join(cb, "CURRENT"))
+    assert not os.path.exists(os.path.join(cb, "fine"))
+    assert _codebook_dir(cb).endswith("gen-2")
     eps = {
         int(n.split("=")[1])
         for n in os.listdir(store)
@@ -237,7 +243,8 @@ def test_retrain_codebook_closes_drift(spark, tmp_path):
             .select("vec_id", "cid", "src_epoch").collect())
     )
     fine1 = sorted(
-        map(tuple, spark.read.parquet(os.path.join(cb, "fine"))
+        map(tuple, spark.read.parquet(
+            os.path.join(_codebook_dir(cb), "fine"))
             .select("cid", "ccid").collect())
     )
     retrain_semantic_codebook(spark, store, cb, 3)
@@ -246,7 +253,8 @@ def test_retrain_codebook_closes_drift(spark, tmp_path):
             .select("vec_id", "cid", "src_epoch").collect())
     )
     fine2 = sorted(
-        map(tuple, spark.read.parquet(os.path.join(cb, "fine"))
+        map(tuple, spark.read.parquet(
+            os.path.join(_codebook_dir(cb), "fine"))
             .select("cid", "ccid").collect())
     )
     assert snap1 == snap2 and fine1 == fine2
@@ -283,8 +291,9 @@ def test_retrain_with_lloyd_refinement(spark, tmp_path):
     def fine_snap():
         return sorted(
             (r["cid"], tuple(round(float(x), 9) for x in r["cv"]))
-            for r in spark.read.parquet(os.path.join(cb, "fine"))
-            .select("cid", "cv").collect()
+            for r in spark.read.parquet(
+                os.path.join(_codebook_dir(cb), "fine")
+            ).select("cid", "cv").collect()
         )
 
     retrain_semantic_codebook(spark, store, cb, 3, lloyd_iters=2)
