@@ -421,10 +421,32 @@ def _compact_store(
 ) -> None:
     """Fold one epoch-partitioned store (see compact_corpus_store for
     the crash-safety argument). Shared by the MinHash corpus store and
-    the semantic embedding store (streaming/semantic.py)."""
+    the semantic embedding store (streaming/semantic.py).
+
+    A REPLAYED compaction epoch must not rewrite an already-committed
+    base: the base would then be both a fold source and the overwrite
+    target, re-opening the clear-then-crash window the epoch layout
+    exists to close. If ``epoch=-<epoch_id>`` carries a ``_SUCCESS``
+    marker the fold is durable — only the leftover source partitions
+    are cleared. A base WITHOUT the marker is a crashed partial write
+    (its sources are still on disk, because deletion only runs after
+    commit), so it is dropped and refolded."""
     existing = _epoch_ids(path)
     if not existing:
         return
+    base = os.path.join(path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e < epoch_id and e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(path, f"epoch={e}"), ignore_errors=True
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
+        existing = _epoch_ids(path)
+        if not existing:
+            return
     df = spark.read.parquet(path)
     if "epoch" not in df.columns:
         return

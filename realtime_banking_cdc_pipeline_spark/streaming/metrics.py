@@ -66,11 +66,31 @@ def compact_hll_store(
     ``-e'`` with ``e' < epoch_id``), so sources remain on disk until
     the new base is fully committed; any partition left behind by a
     crash mid-delete re-folds idempotently and is removed by the next
-    compaction. A replayed compaction epoch rewrites the same base.
+    compaction.
+
+    A REPLAYED compaction epoch does NOT rewrite the base — that would
+    make ``epoch=-<epoch_id>`` both a fold source and the overwrite
+    target, re-opening the clear-then-crash register-loss window this
+    layout exists to close. A base with a ``_SUCCESS`` marker is
+    durable: only leftover source partitions are cleared. A base
+    WITHOUT the marker is a crashed partial write (sources still on
+    disk — deletion only runs after commit), so it is dropped and
+    refolded.
     """
     if epoch_id <= 0:
         raise ValueError("compaction epoch must be positive")
     existing = _epoch_ids(store_path)
+    base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(store_path, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
     folded = read_hll_store(spark, store_path).localCheckpoint(eager=True)
     folded.write.mode("overwrite").parquet(
         os.path.join(store_path, f"epoch=-{int(epoch_id)}")

@@ -304,3 +304,90 @@ def test_banded_store_divergence_repair(spark, tmp_path):
     assert got == expected
     assert got == []  # every injected copy has an original in epochs 0-1
     docs.unpersist()
+
+
+def test_replayed_compaction_never_rewrites_committed_base(spark, tmp_path):
+    """A replayed compaction epoch must be a pure no-op on an
+    already-committed base (rewriting it would make epoch=-<e> both a
+    fold source and the overwrite target — the clear-then-crash loss
+    window), while a PARTIAL base (no _SUCCESS: crash mid-write, fold
+    sources still on disk) must be dropped and refolded."""
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    store = str(tmp_path / "store")
+    banded = store + "_b"
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, t in enumerate(thirds[:2]):
+        ingest_batch(t, store, epoch_id=i, banded_store_path=banded)
+    compact_corpus_store(spark, store, 2, banded_store_path=banded)
+    base = os.path.join(store, "epoch=-2")
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+
+    # committed base: replay must not touch its files
+    sentinel = os.path.join(base, "_sentinel_replay_guard")
+    open(sentinel, "w").close()
+    compact_corpus_store(spark, store, 2, banded_store_path=banded)
+    assert os.path.exists(sentinel), "committed base was rewritten on replay"
+    os.remove(sentinel)
+
+    # partial base: strip _SUCCESS (simulates crash mid-write with the
+    # fold sources still present) and re-create a source partition —
+    # the replay must rebuild the base and gating must still drop every
+    # known near-dup
+    os.remove(os.path.join(base, "_SUCCESS"))
+    ingest_batch(thirds[0], store, epoch_id=0, banded_store_path=banded)
+    compact_corpus_store(spark, store, 2, banded_store_path=banded)
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    got = _survivor_ids(
+        ingest_batch(
+            docs.filter(F.col("doc_id") >= 1000),
+            store, epoch_id=2, banded_store_path=banded,
+        )
+    )
+    assert got == []  # originals folded in the rebuilt base still gate
+    docs.unpersist()
+
+
+def test_replayed_hll_compaction_preserves_committed_base(spark, tmp_path):
+    """Same replay contract for the HLL register store: committed base
+    untouched on replay; partial base refolded from surviving sources."""
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        compact_hll_store,
+        read_hll_store,
+        update_hll_store,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("source", "text")
+    )
+    store = str(tmp_path / "hll")
+    update_hll_store(docs.filter(F.length("text") % 2 == 0), store,
+                     key_col="source", value_col="text", epoch_id=1)
+    update_hll_store(docs.filter(F.length("text") % 2 == 1), store,
+                     key_col="source", value_col="text", epoch_id=2)
+    whole = {
+        (r.key, r.bucket): r.m_j
+        for r in read_hll_store(spark, store).collect()
+    }
+    compact_hll_store(spark, store, epoch_id=2)
+    base = os.path.join(store, "epoch=-2")
+    sentinel = os.path.join(base, "_sentinel_replay_guard")
+    open(sentinel, "w").close()
+    compact_hll_store(spark, store, epoch_id=2)
+    assert os.path.exists(sentinel), "committed base was rewritten on replay"
+
+    # partial base: drop _SUCCESS, restore a source partition, refold
+    os.remove(os.path.join(base, "_SUCCESS"))
+    update_hll_store(docs, store, key_col="source", value_col="text",
+                     epoch_id=1)
+    compact_hll_store(spark, store, epoch_id=2)
+    got = {
+        (r.key, r.bucket): r.m_j
+        for r in read_hll_store(spark, store).collect()
+    }
+    assert got == whole
+    docs.unpersist()
