@@ -50,3 +50,90 @@ def merge_hll_registers(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("key", "bucket").agg(F.max("m_j").alias("m_j"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch cells (shared by queries/round7b.py:x_cms_heavy_hitters
+# and the streaming heavy-hitters monitor, streaming/metrics.py)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # depth (independent md5-salted hash rows)
+CMS_W = 256  # width (counters per row)
+
+
+def cms_col_idx(term: Column, row: Column) -> Column:
+    """Deterministic column index of ``term`` in salt row ``row`` —
+    28 md5 bits mod CMS_W, exactly replayable by the DuckDB oracle
+    (queries/round7b.py generates the same expression)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"), row.cast("string"),
+                        F.lit(":"), term,
+                    ).cast("binary")
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_cells(
+    df: DataFrame, term_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """(row_idx, col_idx, cnt) Count-Min cell table over the term
+    stream (or a pre-contracted (term, weight) table) — one map-side-
+    combinable sum agg; at most CMS_D x CMS_W rows out regardless of
+    input size. Cells are ADDITIVE: summing per-batch cell tables
+    equals the cells of the concatenated stream (the streaming-fold
+    property — the exactly-once contract differs from HLL's, see
+    streaming/metrics.py)."""
+    w = (F.col(weight_col) if weight_col is not None else F.lit(1)).alias(
+        "__w"
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    return (
+        df.select(F.col(term_col).alias("__t"), w, idx)
+        .select(
+            F.col("i").alias("row_idx"),
+            cms_col_idx(F.col("__t"), F.col("i")).alias("col_idx"),
+            "__w",
+        )
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def merge_cms_cells(*tables: DataFrame) -> DataFrame:
+    """Fold cell tables: union + per-(row, col) SUM. Associative and
+    commutative but NOT idempotent — folding the same batch twice
+    double-counts, which is why the streaming store keys batches by
+    epoch partition (a replay overwrites its own partition) instead of
+    relying on merge idempotence the way the HLL store does."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row_idx", "col_idx").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimates(cells: DataFrame, terms: DataFrame, term_col: str = "term") -> DataFrame:
+    """Point estimates (term, cms_estimate) = min over the CMS_D probed
+    cells — the one-sided (estimate >= truth) Count-Min read. The cell
+    table is broadcast-sized by construction (<= CMS_D x CMS_W rows)."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    probes = terms.select(F.col(term_col).alias("term"), idx).select(
+        "term",
+        F.col("i").alias("row_idx"),
+        cms_col_idx(F.col("term"), F.col("i")).alias("col_idx"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_idx", "col_idx"])
+        .groupBy("term")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )

@@ -289,8 +289,8 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_cms_heavy_hitters — deterministic Count-Min sketch point queries
 # ---------------------------------------------------------------------------
 
-_CMS_D = 4  # depth (independent md5-salted hash rows)
-_CMS_W = 256  # width (counters per row)
+from ..functions.sketches import CMS_D as _CMS_D  # noqa: E402
+from ..functions.sketches import CMS_W as _CMS_W  # noqa: E402
 _CMS_TOPK = 20
 
 _CMS_TOKS = (
@@ -352,6 +352,7 @@ GROUP BY p.term, p.exact_cnt
 )
 def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track_persist
+    from ..functions.sketches import cms_cells, cms_estimates
 
     d = read_table(spark, sf_dir, "documents")
     toks = F.filter(
@@ -359,51 +360,22 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # term counts contract the stream FIRST; the sketch (and its md5
     # per salt row) is then built over the distinct vocabulary, not the
-    # raw token stream — identical counters, |vocab| x depth hashes
+    # raw token stream — identical counters, |vocab| x depth hashes.
+    # Cell build + probe are the SHARED primitives the streaming
+    # heavy-hitters monitor folds incrementally (streaming/metrics.py)
+    # — parity between this batch sketch and the streamed store is the
+    # monitor's pinned invariant.
     exact = track_persist(
         d.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
     )
-    idx = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
-    col_idx = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("cms"), F.col("i").cast("string"),
-                        F.lit(":"), F.col("term"),
-                    ).cast("binary")
-                ),
-                1, 7,
-            ),
-            16, 10,
-        ).cast("long")
-        % _CMS_W
-    )
-    cells = (
-        exact.select("term", "exact_cnt", idx)
-        .select(
-            F.col("i").alias("row_idx"),
-            col_idx.alias("col_idx"),
-            "exact_cnt",
-        )
-        .groupBy("row_idx", "col_idx")
-        .agg(F.sum("exact_cnt").cast("long").alias("cnt"))
-    )
+    cells = cms_cells(exact, "term", "exact_cnt")
     top = exact.orderBy(
         F.col("exact_cnt").desc(), F.col("term").asc()
     ).limit(_CMS_TOPK)
-    probes = top.select("term", "exact_cnt", idx).select(
-        "term",
-        "exact_cnt",
-        F.col("i").alias("row_idx"),
-        col_idx.alias("col_idx"),
-    )
     return (
-        probes.join(F.broadcast(cells), ["row_idx", "col_idx"])
-        .groupBy("term", "exact_cnt")
-        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        top.join(cms_estimates(cells, top.select("term")), "term")
         .select(
             "term",
             "exact_cnt",

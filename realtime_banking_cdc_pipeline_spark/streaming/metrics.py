@@ -1,5 +1,8 @@
-"""Streaming distinct-count monitoring via the deterministic HLL
-register store (functions/sketches.py).
+"""Streaming sketch monitors: distinct counts via the deterministic
+HLL register store, heavy hitters via the Count-Min cell store
+(functions/sketches.py). The two stores deliberately demonstrate the
+two exactly-once regimes — idempotent merge (HLL max) vs epoch-keyed
+additive state (CMS sum, see the section comment below).
 
 Unlike the signature/gram stores (corpus.py, substr.py), the HLL
 register store needs NO epoch bookkeeping for exactly-once CORRECTNESS:
@@ -34,8 +37,15 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..functions.sketches import hll_registers, merge_hll_registers
+from ..functions.sketches import (
+    cms_cells,
+    cms_estimates,
+    hll_registers,
+    merge_cms_cells,
+    merge_hll_registers,
+)
 
 
 def read_hll_store(spark: SparkSession, store_path: str) -> DataFrame:
@@ -156,6 +166,221 @@ def start_distinct_monitor(
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitters: Count-Min cell store + candidate tracking
+# ---------------------------------------------------------------------------
+#
+# CMS state is ADDITIVE (cells sum), so its exactly-once contract is the
+# OPPOSITE of the HLL store's: max-merge made HLL replay-safe by
+# idempotence, while summing a replayed batch twice double-counts.
+# Replay safety here comes from the epoch layout itself — each batch
+# OVERWRITES its own ``epoch=<id>`` partition with deterministically
+# identical cells, so at-least-once delivery folds to the same sums.
+#
+# The additive twist bites compaction too: after a fold commits, a
+# crash mid-delete leaves subsumed source partitions next to the base,
+# and a naive sum-on-read would count them twice. Reads therefore apply
+# BASE SUBSUMPTION: the newest committed base ``epoch=-b`` wins, and
+# every partition older than ``b`` (earlier bases, batch epochs < b)
+# is ignored — leftover partitions are cleanup debt, never double
+# counts. (HLL never needed this; max over duplicates is a no-op.)
+#
+# Heavy-hitter candidates: a CMS alone cannot enumerate its heavy
+# hitters, so each batch also records its own exact top
+# ``candidates_per_batch`` terms (deterministic (count DESC, term ASC)
+# order) into a candidate store. Candidate folding is DISTINCT-union —
+# idempotent, so it needs no subsumption — and the monitor's read
+# probes the folded cells for every tracked candidate: the standard
+# sketch + candidate-set heavy-hitters design, with the one-sided
+# estimate >= true-count guarantee.
+
+
+def _cms_live(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's live partitions under base subsumption: the newest
+    COMMITTED base plus batch epochs >= its magnitude. Uncommitted
+    (partial-write) bases and subsumed older partitions are excluded —
+    additive state would double-count them where HLL's max shrugged."""
+    df = spark.read.parquet(store_path)
+    if "epoch" not in df.columns:
+        return df
+    bases = [
+        -e for e in _epoch_ids(store_path)
+        if e < 0 and os.path.exists(
+            os.path.join(store_path, f"epoch={e}", "_SUCCESS")
+        )
+    ]
+    if bases:
+        b = max(bases)
+        df = df.filter(
+            (F.col("epoch") == -b) | (F.col("epoch") >= b)
+        )
+    else:
+        df = df.filter(F.col("epoch") >= 0)
+    return df.drop("epoch")
+
+
+def read_cms_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the live partitions into one (row_idx, col_idx, cnt) cell
+    table — the sketch's logical value."""
+    return merge_cms_cells(_cms_live(spark, store_path))
+
+
+def read_cms_hitters(spark: SparkSession, store_path: str) -> DataFrame:
+    """(term, cms_estimate) for every tracked candidate, estimates
+    from the folded cells (min over CMS_D probed counters)."""
+    cells = read_cms_store(spark, store_path)
+    cand = _cms_live(spark, store_path + "_cand").select("term").distinct()
+    return cms_estimates(cells, cand)
+
+
+def compact_cms_store(
+    spark: SparkSession, store_path: str, epoch_id: int
+) -> None:
+    """Fold partitions STRICTLY EARLIER than ``epoch_id`` into the base
+    ``epoch=-<epoch_id>`` for both the cell and candidate stores, then
+    delete the subsumed ones. Strictly-earlier (unlike the HLL fold of
+    everything) because a replay of ``epoch_id`` itself must still be
+    able to overwrite its own partition without its counts having been
+    baked into a base. Same replay guard as the other epoch stores: a
+    committed base is never rewritten, a partial one (no _SUCCESS —
+    sources still on disk) is dropped and refolded."""
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    for path, fold_fn in (
+        (store_path, merge_cms_cells),
+        (store_path + "_cand", lambda df: df.select("term").distinct()),
+    ):
+        if not os.path.exists(path):
+            continue
+        existing = _epoch_ids(path)
+        if not existing:
+            continue
+        base = os.path.join(path, f"epoch=-{int(epoch_id)}")
+        if os.path.exists(base):
+            if os.path.exists(os.path.join(base, "_SUCCESS")):
+                for e in existing:
+                    if e < epoch_id and e != -int(epoch_id):
+                        shutil.rmtree(
+                            os.path.join(path, f"epoch={e}"),
+                            ignore_errors=True,
+                        )
+                continue
+            shutil.rmtree(base, ignore_errors=True)
+        folded = fold_fn(
+            _cms_live_before(spark, path, epoch_id)
+        ).localCheckpoint(eager=True)
+        folded.write.mode("overwrite").parquet(base)
+        for e in _epoch_ids(path):
+            if e < epoch_id and e != -int(epoch_id):
+                shutil.rmtree(
+                    os.path.join(path, f"epoch={e}"), ignore_errors=True
+                )
+
+
+def _cms_live_before(
+    spark: SparkSession, store_path: str, epoch_id: int
+) -> DataFrame:
+    """Live partitions (base subsumption) restricted to epochs strictly
+    earlier than ``epoch_id`` — the compaction fold's source set."""
+    df = spark.read.parquet(store_path)
+    if "epoch" not in df.columns:
+        return df
+    bases = [
+        -e for e in _epoch_ids(store_path)
+        if e < 0 and os.path.exists(
+            os.path.join(store_path, f"epoch={e}", "_SUCCESS")
+        )
+    ]
+    if bases:
+        b = max(bases)
+        df = df.filter(
+            (F.col("epoch") == -b)
+            | ((F.col("epoch") >= b) & (F.col("epoch") < epoch_id))
+        )
+    else:
+        df = df.filter(
+            (F.col("epoch") >= 0) & (F.col("epoch") < epoch_id)
+        )
+    return df.drop("epoch")
+
+
+def update_cms_store(
+    batch_df: DataFrame,
+    store_path: str,
+    term_col: str,
+    epoch_id: int = 0,
+    compact_every: int | None = None,
+    candidates_per_batch: int = 32,
+) -> DataFrame:
+    """Fold one micro-batch of terms into the cell store (own epoch
+    partition — a replay rewrites it identically, so at-least-once is
+    exactly-once despite the additive state) and record the batch's
+    exact top candidates; returns the folded heavy-hitter estimates."""
+    spark = batch_df.sparkSession
+    counts = (
+        batch_df.select(F.col(term_col).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).localCheckpoint(eager=True)
+    cms_cells(counts, "term", "n").write.mode("overwrite").parquet(
+        os.path.join(store_path, f"epoch={int(epoch_id)}")
+    )
+    cand_path = store_path + "_cand"
+    (
+        counts.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(candidates_per_batch)
+        .select("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(cand_path, f"epoch={int(epoch_id)}"))
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_cms_store(spark, store_path, epoch_id)
+    return read_cms_hitters(spark, store_path)
+
+
+def start_heavy_hitters_monitor(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema,
+    terms_expr: str,
+    max_files_per_trigger: int = 1,
+    compact_every: int = 16,
+    candidates_per_batch: int = 32,
+):
+    """File-source streaming wrapper: every micro-batch explodes
+    ``terms_expr`` (a SQL expression yielding an ARRAY of terms per
+    row) and folds the term stream into the Count-Min store.
+    availableNow drains then stops (test mode); drop the trigger for a
+    continuous monitor."""
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        terms = batch_df.select(
+            F.explode(F.expr(terms_expr)).alias("term")
+        )
+        update_cms_store(
+            terms,
+            store_path,
+            "term",
+            epoch_id=epoch,
+            compact_every=compact_every,
+            candidates_per_batch=candidates_per_batch,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(src_path)
     )
     return (
