@@ -621,18 +621,25 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nn").cast("double") * F.col("cnn").cast("double")
                 )
             ).alias("cos"),
+            "v",
+            "nn",
         )
         .groupBy("vec_id")
         .agg(
             F.max(
                 F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
-            ).alias("w")
+            ).alias("w"),
+            # v/nn are functionally dependent on vec_id: carrying them
+            # through the argmax agg saves the pair stage two shuffled
+            # re-joins against the substrate frames
+            F.first("v").alias("v"),
+            F.first("nn").alias("nn"),
         )
-        .select("vec_id", (-F.col("w.nc")).alias("cid"))
+        .select("vec_id", (-F.col("w.nc")).alias("cid"), "v", "nn")
     )
     cells = track_persist(cells)
 
-    m = cells.join(fxv, "vec_id").join(vn, "vec_id")
+    m = cells
     a = m.select(
         F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
         F.col("v").alias("va"), F.col("nn").alias("na"),
