@@ -189,11 +189,217 @@ def _png_unfilter(payload: bytes) -> "tuple[int, int, bytes]":
     return w, h, bytes(recon)
 
 
+def synthesize_gif(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL GIF87a (256-color global palette, genuine
+    variable-width LZW image data): pixel k's palette index is
+    (media_id + k) % 256 and palette entry i is
+    ((7*i) % 256, (11*i) % 256, (13*i) % 256), so the DuckDB oracle
+    recomputes the decoded channel sums analytically. The LZW stream is
+    produced by a real greedy longest-match compressor whose code-width
+    state machine mirrors the decoder's exactly (the encoder simulates
+    the decoder's dictionary growth, which lags the encoder's by one
+    entry — the classic GIF width-bump trap), including the 4096-entry
+    CLEAR reset, so large images exercise every decoder path."""
+    import struct
+
+    header = b"GIF87a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+    palette = bytes(
+        c
+        for i in range(256)
+        for c in ((7 * i) % 256, (11 * i) % 256, (13 * i) % 256)
+    )
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    indices = bytes(
+        (media_id + k) % 256 for k in range(width * height)
+    )
+    lzw = _gif_lzw_compress(indices, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + palette + descriptor + bytes(blocks) + b"\x3b"
+
+
+class _BitWriter:
+    """LSB-first bit packer (the GIF LZW bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_compress(indices: bytes, mcs: int) -> bytes:
+    """Greedy longest-match GIF LZW. The emitted code width follows the
+    DECODER's dictionary size (which lags the encoder's by one entry:
+    the decoder creates entry j while reading data code j+1), so both
+    sides bump from w to w+1 bits on exactly the same code boundary."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+
+    def fresh() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(1 << mcs)}, end + 1
+
+    table, next_code = fresh()
+    width = mcs + 1
+    sim_next = end + 1  # decoder's dictionary cursor
+    first_data = True  # decoder adds nothing on the 1st data code
+    bw.write(clear, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal sim_next, width, first_data
+        bw.write(code, width)
+        if first_data:
+            first_data = False
+            return
+        if sim_next < 4096:
+            sim_next += 1
+            if sim_next == (1 << width) and width < 12:
+                width += 1
+
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        else:
+            bw.write(clear, width)
+            table, next_code = fresh()
+            width = mcs + 1
+            sim_next = end + 1
+            first_data = True
+        w = bytes([c])
+    if w:
+        emit_data(table[w])
+    bw.write(end, width)
+    return bw.flush()
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int) -> bytes:
+    """Full GIF LZW decoder: LSB-first variable-width codes, CLEAR/END
+    handling, dictionary growth with the width bump at 2^w, and the
+    KwKwK (code == next undefined entry) special case."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    pos = 0  # bit cursor
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = mcs + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("GIF LZW: code beyond dictionary")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _gif_decode(payload: bytes) -> "tuple[int, int, bytes, bytes]":
+    """Parse a GIF87a/89a container: logical screen descriptor, global
+    palette, skipped extensions, first image descriptor, LZW image
+    data. Returns (width, height, palette_rgb, index_stream)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    _, _, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    _, _, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if iflags & 0x80:  # local palette overrides
+        n = 2 << (iflags & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF not decoded in-container")
+    mcs = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    indices = _gif_lzw_decompress(bytes(lzw), mcs)
+    if len(indices) != w * h:
+        raise ValueError("GIF index stream length mismatch")
+    return w, h, palette, indices
+
+
 def decode_image(payload: bytes) -> dict:
     """REAL image decode for the in-container formats — binary P6 PPM,
-    uncompressed 24-bit BMP, and 8-bit RGB PNG (stdlib zlib inflates
-    IDAT; the five row filters are undone exactly) — parsed with
-    stdlib + numpy only (no Pillow in this container). Returns
+    uncompressed 24-bit BMP, 8-bit RGB PNG (stdlib zlib inflates
+    IDAT; the five row filters are undone exactly), and 256-color
+    GIF87a/89a (a from-scratch variable-width LZW decoder) — parsed
+    with stdlib + numpy only (no Pillow in this container). Returns
     width/height/channels plus exact integer per-channel pixel sums.
     Formats that genuinely need an external codec (JPEG/WebP/...)
     raise instead of faking."""
@@ -201,6 +407,18 @@ def decode_image(payload: bytes) -> dict:
 
     import numpy as np
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, palette, indices = _gif_decode(payload)
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[np.frombuffer(indices, dtype=np.uint8)].astype(np.int64)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": 3,
+            "sum_r": int(rgb[:, 0].sum()),
+            "sum_g": int(rgb[:, 1].sum()),
+            "sum_b": int(rgb[:, 2].sum()),
+        }
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, raw = _png_unfilter(payload)
         rgb = (

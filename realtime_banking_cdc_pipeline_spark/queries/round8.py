@@ -6,6 +6,9 @@ surface the survey calls for):
   PNG's sole compression is deflate (stdlib zlib) and its five row
   filters are exact integer arithmetic, so the whole codec fits
   in-container. Extends the image battery beyond PPM/BMP.
+- x_image_gif_stats — REAL GIF87a decode: a from-scratch
+  variable-width LZW decoder (stdlib only) — a second, genuinely
+  different compression algorithm under the strict hash gate.
 
 Determinism follows queries/_det.py house rules.
 """
@@ -669,3 +672,81 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cell"),
         F.col("__dropped").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_image_gif_stats — stdlib-only GIF87a decode (real variable-width LZW)
+# ---------------------------------------------------------------------------
+
+_GIF_W = "8 + doc_id % 13"
+_GIF_H = "5 + doc_id % 7"
+
+_XGIF_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_GIF_W} AS w, {_GIF_H} AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS k FROM m
+),
+s AS (
+  SELECT doc_id, w, h,
+         SUM((7 * ((doc_id + k) % 256)) % 256) AS sum_r,
+         SUM((11 * ((doc_id + k) % 256)) % 256) AS sum_g,
+         SUM((13 * ((doc_id + k) % 256)) % 256) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b
+FROM s
+"""
+
+
+@query(
+    "x_image_gif_stats",
+    _XGIF_SQL,
+    doc=(
+        "REAL GIF decode with NO codec library: deterministic "
+        "256-color GIF87a payloads (global palette, genuine greedy "
+        "longest-match LZW with variable-width codes) are synthesized "
+        "per doc, then fully decoded inside mapInPandas — container "
+        "parse, from-scratch LSB-first LZW decoder (CLEAR/END codes, "
+        "dictionary growth with the width bump at 2^w, the KwKwK "
+        "special case, 4096-entry reset), palette mapping, per-channel "
+        "pixel sums. The oracle recomputes the sums analytically from "
+        "the palette/index generative formulas, so a single wrong bit "
+        "anywhere in the LZW path breaks the hash gate — a genuinely "
+        "different compression algorithm from the PNG twin's deflate "
+        "(functions/multimodal.py:synthesize_gif/_gif_lzw_decompress). "
+        "Payloads are built and consumed executor-side in Arrow "
+        "batches and never shuffle; output is 7 small columns per "
+        "image — the 100 TB media posture (move features, not bytes)."
+    ),
+)
+def x_image_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from ..functions.multimodal import extract_image_features, synthesize_gif
+
+    def _make_gif(mid, w, h):
+        return pd.Series(
+            [synthesize_gif(int(m), int(a), int(b)) for m, a, b in zip(mid, w, h)]
+        )
+
+    make_gif = pandas_udf(_make_gif, "binary", PandasUDFType.SCALAR)
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = d.select(
+        "media_id",
+        make_gif(
+            F.col("media_id"),
+            F.expr(_GIF_W.replace("doc_id", "media_id")).cast("int"),
+            F.expr(_GIF_H.replace("doc_id", "media_id")).cast("int"),
+        ).alias("payload"),
+    )
+    return extract_image_features(media)

@@ -102,3 +102,50 @@ def test_capped_pair_budget_is_linear(spark):
     assert capped_pairs < uncapped_pairs, (
         "fixture drifted: no cell exceeds the cap at sf0.1, bound untested"
     )
+
+
+def test_gif_codec_round_trip_and_edge_cases():
+    """The from-scratch GIF LZW codec: synthesized payloads decode to
+    the analytic formula; adversarial small-alphabet streams (deep
+    dictionaries, KwKwK codes, 4096 resets) round-trip exactly;
+    extension blocks are skipped; truncation is loud."""
+    import random
+
+    from realtime_banking_cdc_pipeline_spark.functions.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+        decode_image,
+        synthesize_gif,
+    )
+
+    for mid, w, h in [(0, 8, 5), (255, 31, 7), (3, 200, 200)]:
+        got = decode_image(synthesize_gif(mid, w, h))
+        n = w * h
+        exp = {
+            "width": w, "height": h, "channels": 3,
+            "sum_r": sum((7 * ((mid + k) % 256)) % 256 for k in range(n)),
+            "sum_g": sum((11 * ((mid + k) % 256)) % 256 for k in range(n)),
+            "sum_b": sum((13 * ((mid + k) % 256)) % 256 for k in range(n)),
+        }
+        assert got == exp
+
+    rnd = random.Random(7)
+    for _ in range(3):
+        # tiny alphabet -> deep dictionary strings + KwKwK; long random
+        # 256-alphabet stream -> ~1 add/symbol, forcing the 4096 reset
+        s = bytes(rnd.choice([0, 1, 2]) for _ in range(20000))
+        assert _gif_lzw_decompress(_gif_lzw_compress(s, 8), 8) == s
+        s2 = bytes(rnd.randrange(256) for _ in range(10000))
+        assert _gif_lzw_decompress(_gif_lzw_compress(s2, 8), 8) == s2
+
+    # a GIF89a graphic-control extension before the descriptor is skipped
+    payload = synthesize_gif(9, 10, 6)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = payload[:13 + 768] + ext + payload[13 + 768:]
+    assert decode_image(patched) == decode_image(payload)
+
+    # truncated LZW stream raises instead of returning wrong sums
+    import pytest
+
+    with pytest.raises(ValueError):
+        _gif_lzw_decompress(_gif_lzw_compress(bytes(range(100)), 8)[:-3], 8)
