@@ -51,8 +51,9 @@ from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 # the late-round x_semdedup_refined; x_cms_heavy_hitters dropped after
 # its refactor onto the shared sketches.cms_* primitives and
 # x_image_gif_stats registered new, with q05_local_supplier_volume +
-# q10_returned_items — r05-era, unmodified, strict in every sweep —
-# returned in exchange). Exactly 50 names fall outside this
+# q10_returned_items + q14_promo_revenue — r05-era, unmodified, strict
+# in every sweep — returned in exchange for the GIF/CMS-calibration
+# registrations). Exactly 50 names fall outside this
 # set = the whole r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
     "agg_grouping_sets",
@@ -83,7 +84,7 @@ _DRIVER_VERIFIED = frozenset({
     "x_ann_pq_adc", "x_ann_recall_eval", "x_ann_sq8",
     "x_ann_sq8_rescore", "x_audio_decode", "x_bigram_likelihood",
     "x_bloom_decontaminate", "x_chunk_documents", "x_clean_normalize",
-    "q05_local_supplier_volume", "q10_returned_items",
+    "q05_local_supplier_volume", "q10_returned_items", "q14_promo_revenue",
     "x_containment_pairs", "x_corpus_pipeline_v3",
     "x_curriculum_order", "x_dataset_card", "x_dataset_manifest",
     "x_dedup_exact", "x_embedding_centroids", "x_embedding_outliers",

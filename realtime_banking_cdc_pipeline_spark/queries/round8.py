@@ -750,3 +750,147 @@ def x_image_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# x_cms_calibration — full-vocabulary Count-Min error scorecard
+# ---------------------------------------------------------------------------
+
+# e * 1e9 as an integer: the CMS guarantee bound e*N/w evaluated in
+# exact integer arithmetic (HUGEINT / DECIMAL(38,0)) — a libm exp(1)
+# could differ in the last ulp between engines and flip a term sitting
+# exactly on the bound.
+_E_1E9 = 2718281828
+
+_XCMSCAL_SQL = f"""
+WITH tok AS (
+  SELECT unnest({{toks}}) AS term FROM documents
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY term
+),
+cells AS (
+  SELECT t.i AS row_idx,
+         CAST('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || ':' || term),
+                             1, 7) AS BIGINT) % {{w}} AS col_idx,
+         CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+  FROM exact, unnest(generate_series(0, {{d}} - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT exact.term, exact.exact_cnt, t.i AS row_idx,
+         CAST('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || ':' || term),
+                             1, 7) AS BIGINT) % {{w}} AS col_idx
+  FROM exact, unnest(generate_series(0, {{d}} - 1)) AS t(i)
+),
+est AS (
+  SELECT p.term, p.exact_cnt,
+         CAST(MIN(c.cnt) AS BIGINT) - p.exact_cnt AS over_cnt
+  FROM probes p JOIN cells c USING (row_idx, col_idx)
+  GROUP BY p.term, p.exact_cnt
+),
+tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS total_tokens FROM exact),
+bnd AS (SELECT CAST(CAST({_E_1E9} AS HUGEINT) * total_tokens
+               // {{wdiv}} AS BIGINT) AS bound
+        FROM tot)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       CAST(SUM(CASE WHEN over_cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_err_terms,
+       CAST(MAX(over_cnt) AS BIGINT) AS max_over,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+            ELSE CAST(SUM(over_cnt) AS HUGEINT) * 1000000 // COUNT(*) END
+            AS BIGINT) AS mean_over_ppm,
+       (SELECT bound FROM bnd) AS bound,
+       CAST(SUM(CASE WHEN over_cnt <= (SELECT bound FROM bnd)
+                THEN 1 ELSE 0 END) AS BIGINT) AS within_bound
+FROM est
+"""
+
+
+def _dd_cms_cal_sql() -> str:
+    from ..functions.sketches import CMS_D, CMS_W
+    from .round7b import _CMS_TOKS
+
+    return _XCMSCAL_SQL.format(
+        toks=_CMS_TOKS, d=CMS_D, w=CMS_W, wdiv=1000000000 * CMS_W
+    )
+
+
+@query(
+    "x_cms_calibration",
+    _dd_cms_cal_sql(),
+    doc=(
+        "Count-Min error scorecard over the FULL vocabulary (the "
+        "heavy-hitters query probes only the top 20): per-term "
+        "overestimate = min-of-cells - exact, aggregated into one row "
+        "— zero-error share, max/mean overestimate, and the fraction "
+        "of terms within the theoretical Markov bound e*N/w that the "
+        "Cormode-Muthukrishnan guarantee says >= 1 - e^-d of terms "
+        "must satisfy (e carried as an exact integer 2718281828/1e9 in "
+        "HUGEINT/DECIMAL(38,0) arithmetic — a libm exp(1) ulp "
+        "difference could flip a boundary term between engines). "
+        "Completes the sketch eval tier alongside x_ann_recall_eval / "
+        "x_semdedup_recall_eval / x_lsh_dedup_eval: every approximate "
+        "structure ships with a measured-quality query under the same "
+        "hash gate. Scale: vocab-contracted stream, |vocab| x 4 probe "
+        "rows against the broadcast <=1024-cell sketch, one final agg."
+    ),
+)
+def x_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.sketches import CMS_W, cms_cells, cms_estimates
+    from ..sources.parquet_io import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
+    )
+    exact = track_persist(
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    cells = cms_cells(exact, "term", "exact_cnt")
+    est = (
+        cms_estimates(cells, exact.select("term"))
+        .join(exact, "term")
+        .select(
+            "term",
+            "exact_cnt",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("over_cnt"),
+        )
+    )
+    tot = exact.agg(
+        F.sum("exact_cnt").cast("long").alias("total_tokens")
+    )
+    bnd = tot.select(
+        "total_tokens",
+        F.expr(
+            f"CAST(CAST({_E_1E9} AS DECIMAL(38,0)) * total_tokens"
+            f" div {1000000000 * CMS_W} AS BIGINT)"
+        ).alias("bound"),
+    )
+    agg = est.crossJoin(F.broadcast(bnd)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.first("total_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("over_cnt") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_err_terms"),
+        F.max("over_cnt").cast("long").alias("max_over"),
+        F.expr(
+            "CASE WHEN COUNT(1) = 0 THEN 0"
+            " ELSE CAST(SUM(over_cnt) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(1) END"
+        )
+        .cast("long")
+        .alias("mean_over_ppm"),
+        F.first("bound").alias("bound"),
+        F.sum(
+            F.when(F.col("over_cnt") <= F.col("bound"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )
+    return agg
