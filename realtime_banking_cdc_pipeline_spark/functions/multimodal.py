@@ -585,9 +585,48 @@ def synthesize_wav(media_id: int, n_samples: int, sample_rate: int = 8000) -> by
     return hdr + data
 
 
+def _mulaw_decode_table() -> "np.ndarray":
+    """The 256-entry G.711 mu-law byte -> linear PCM table (ITU-T
+    G.711 / the classic Sun g711.c expansion): complement the byte,
+    rebuild mantissa<<3 + bias, shift by the 3-bit segment, then
+    re-apply sign. Pure integer arithmetic, so the DuckDB oracle
+    replays the exact same map in SQL."""
+    import numpy as np
+
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def synthesize_wav_mulaw(
+    media_id: int, n_samples: int, sample_rate: int = 8000
+) -> bytes:
+    """Deterministic G.711 mu-law mono WAV (format code 7, 8-bit
+    samples): encoded byte k is (media_id*13 + k*7) % 256, so the
+    oracle can regenerate the byte stream and expand it through the
+    same closed-form G.711 map."""
+    import struct
+
+    import numpy as np
+
+    k = np.arange(n_samples, dtype=np.int64)
+    data = ((media_id * 13 + k * 7) % 256).astype(np.uint8).tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 7, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
 def decode_audio(payload: bytes) -> dict:
-    """REAL WAV decode: RIFF chunk walk, PCM/16-bit validation, numpy
-    int16 samples. Exact integer statistics (abs-sum, energy, peak) —
+    """REAL WAV decode: RIFF chunk walk, PCM-16 or G.711 mu-law
+    (format 7 — expanded through the exact integer G.711 table),
+    numpy samples. Exact integer statistics (abs-sum, energy, peak) —
     RMS and dBFS are one engine-side division/log away and carry no
     extra information for the parity check. Compressed audio (MP3/OGG/
     FLAC) raises: it needs codec libraries, honestly absent here."""
@@ -610,9 +649,14 @@ def decode_audio(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(f"only PCM-16 ({audio_format=} {bits=})")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if audio_format == 7 and bits == 8:
+        samples = _mulaw_decode_table()[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"only PCM-16 / mu-law-8 ({audio_format=} {bits=})"
+        )
     return {
         "n_samples": int(samples.size) // channels,
         "sample_rate": int(sample_rate),

@@ -32,6 +32,7 @@ from . import round6c  # noqa: F401,E402  (decontamination, export manifests)
 from . import round7  # noqa: F401,E402  (ExactSubstr substring dedup)
 from . import round7b  # noqa: F401,E402  (deterministic sketches: bloom/HLL/CMS)
 from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
+from . import round8b  # noqa: F401,E402  (mu-law, Z-order layout, HLL overlap)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.
@@ -53,7 +54,10 @@ from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 # x_image_gif_stats registered new, with q05_local_supplier_volume +
 # q10_returned_items + q14_promo_revenue — r05-era, unmodified, strict
 # in every sweep — returned in exchange for the GIF/CMS-calibration
-# registrations). Exactly 50 names fall outside this
+# registrations; same exchange again for the late round8b trio
+# x_audio_mulaw_stats + x_zorder_layout + x_hll_overlap, with
+# q02_min_cost_supplier + q08_market_share + q13_customer_distribution
+# returning). Exactly 50 names fall outside this
 # set = the whole r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
     "agg_grouping_sets",
@@ -85,6 +89,7 @@ _DRIVER_VERIFIED = frozenset({
     "x_ann_sq8_rescore", "x_audio_decode", "x_bigram_likelihood",
     "x_bloom_decontaminate", "x_chunk_documents", "x_clean_normalize",
     "q05_local_supplier_volume", "q10_returned_items", "q14_promo_revenue",
+    "q02_min_cost_supplier", "q08_market_share", "q13_customer_distribution",
     "x_containment_pairs", "x_corpus_pipeline_v3",
     "x_curriculum_order", "x_dataset_card", "x_dataset_manifest",
     "x_dedup_exact", "x_embedding_centroids", "x_embedding_outliers",

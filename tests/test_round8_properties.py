@@ -149,3 +149,47 @@ def test_gif_codec_round_trip_and_edge_cases():
 
     with pytest.raises(ValueError):
         _gif_lzw_decompress(_gif_lzw_compress(bytes(range(100)), 8)[:-3], 8)
+
+
+def test_mulaw_table_matches_stdlib_and_wav_roundtrip():
+    """The from-scratch G.711 mu-law expansion must bit-match an
+    independent implementation (stdlib ``audioop.ulaw2lin``) on every
+    possible byte, and the mu-law WAV path through decode_audio must
+    report exact integer stats for the synthesized stream."""
+    import numpy as np
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.functions.multimodal import (
+        _mulaw_decode_table,
+        decode_audio,
+        synthesize_wav_mulaw,
+    )
+
+    t = _mulaw_decode_table()
+    try:
+        import audioop  # removed in Python 3.13 — gate, don't fail
+    except ImportError:
+        pass
+    else:
+        ref = np.frombuffer(
+            audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2"
+        ).astype(np.int64)
+        assert (t == ref).all()
+
+    # canonical endpoints of the G.711 map
+    assert t[0xFF] == 0 and t[0x7F] == 0
+    assert t[0x00] == -32124 and t[0x80] == 32124
+
+    for mid, n in ((0, 1), (255, 3), (12345, 257)):
+        d = decode_audio(synthesize_wav_mulaw(mid, n))
+        s = t[(mid * 13 + np.arange(n) * 7) % 256]
+        assert d["n_samples"] == n
+        assert d["sum_abs"] == int(np.abs(s).sum())
+        assert d["sum_sq"] == int((s * s).sum())
+        assert d["peak"] == int(np.abs(s).max())
+
+    # unsupported format codes still raise
+    bad = bytearray(synthesize_wav_mulaw(1, 4))
+    bad[20] = 2  # ADPCM
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(bad))
