@@ -394,13 +394,13 @@ def _gif_decode(payload: bytes) -> "tuple[int, int, bytes, bytes]":
     return w, h, palette, indices
 
 
-def decode_image(payload: bytes) -> dict:
+def decode_image_rgb(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """REAL image decode for the in-container formats — binary P6 PPM,
     uncompressed 24-bit BMP, 8-bit RGB PNG (stdlib zlib inflates
     IDAT; the five row filters are undone exactly), and 256-color
     GIF87a/89a (a from-scratch variable-width LZW decoder) — parsed
     with stdlib + numpy only (no Pillow in this container). Returns
-    width/height/channels plus exact integer per-channel pixel sums.
+    ``(width, height, rgb)`` with ``rgb`` shaped ``(h, w, 3)`` int64.
     Formats that genuinely need an external codec (JPEG/WebP/...)
     raise instead of faking."""
     import struct
@@ -410,15 +410,12 @@ def decode_image(payload: bytes) -> dict:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, palette, indices = _gif_decode(payload)
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
-        rgb = pal[np.frombuffer(indices, dtype=np.uint8)].astype(np.int64)
-        return {
-            "width": int(w),
-            "height": int(h),
-            "channels": 3,
-            "sum_r": int(rgb[:, 0].sum()),
-            "sum_g": int(rgb[:, 1].sum()),
-            "sum_b": int(rgb[:, 2].sum()),
-        }
+        rgb = (
+            pal[np.frombuffer(indices, dtype=np.uint8)]
+            .astype(np.int64)
+            .reshape(h, w, 3)
+        )
+        return int(w), int(h), rgb
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, raw = _png_unfilter(payload)
         rgb = (
@@ -426,14 +423,7 @@ def decode_image(payload: bytes) -> dict:
             .reshape(h, w, 3)
             .astype(np.int64)
         )
-        return {
-            "width": int(w),
-            "height": int(h),
-            "channels": 3,
-            "sum_r": int(rgb[:, :, 0].sum()),
-            "sum_g": int(rgb[:, :, 1].sum()),
-            "sum_b": int(rgb[:, :, 2].sum()),
-        }
+        return int(w), int(h), rgb
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB
         fields, pos = [], 2
@@ -468,13 +458,46 @@ def decode_image(payload: bytes) -> dict:
             "only in-container formats (P6 PPM, 24-bit BMP, 8-bit RGB PNG) "
             "decode here; JPEG/WebP need an image codec library"
         )
+    return int(w), int(h), rgb
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode (any in-container format, :func:`decode_image_rgb`) and
+    report width/height/channels plus exact integer per-channel sums."""
+    w, h, rgb = decode_image_rgb(payload)
     return {
-        "width": int(w),
-        "height": int(h),
+        "width": w,
+        "height": h,
         "channels": 3,
         "sum_r": int(rgb[:, :, 0].sum()),
         "sum_g": int(rgb[:, :, 1].sum()),
         "sum_b": int(rgb[:, :, 2].sum()),
+    }
+
+
+def resize_image_box(payload: bytes, factor: int = 2) -> dict:
+    """REAL image downsample: decode (:func:`decode_image_rgb`), then a
+    ``factor``×``factor`` box filter — each output pixel is the integer
+    mean (sum of the block, floor-divided by factor²) of its source
+    block, dims must divide evenly (the resize a training pipeline runs
+    before feature extraction; bilinear at integer scale IS the box
+    filter). Exact integer arithmetic end-to-end, so the DuckDB oracle
+    can replay the block sums analytically from the generative pixel
+    formula."""
+    w, h, rgb = decode_image_rgb(payload)
+    if w % factor or h % factor:
+        raise ValueError(f"dims {w}x{h} not divisible by {factor}")
+    ow, oh = w // factor, h // factor
+    blocks = rgb.reshape(oh, factor, ow, factor, 3).sum(axis=(1, 3))
+    out = blocks // (factor * factor)
+    return {
+        "width": w,
+        "height": h,
+        "out_width": ow,
+        "out_height": oh,
+        "sum_r": int(out[:, :, 0].sum()),
+        "sum_g": int(out[:, :, 1].sum()),
+        "sum_b": int(out[:, :, 2].sum()),
     }
 
 
@@ -513,6 +536,46 @@ def extract_image_features(media: DataFrame, id_col: str = "media_id",
 
     return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, IMAGE_FEATURE_SCHEMA
+    )
+
+
+IMAGE_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def extract_image_resize(media: DataFrame, factor: int = 2,
+                         id_col: str = "media_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Decode + box-downsample over ``mapInPandas`` (Arrow batches,
+    payloads never shuffle); undecodable/odd-dim payloads yield null
+    features rather than failing the batch."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_RESIZE_SCHEMA.fields]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    f = resize_image_box(bytes(payload), factor)
+                except (NotImplementedError, ValueError, IndexError):
+                    f = {}
+                for k in cols[1:]:
+                    out[k].append(f.get(k))
+            yield pd.DataFrame(out)
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, IMAGE_RESIZE_SCHEMA
     )
 
 

@@ -33,6 +33,7 @@ from . import round7  # noqa: F401,E402  (ExactSubstr substring dedup)
 from . import round7b  # noqa: F401,E402  (deterministic sketches: bloom/HLL/CMS)
 from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 from . import round8b  # noqa: F401,E402  (mu-law, Z-order layout, HLL overlap)
+from . import round8c  # noqa: F401,E402  (image resize, KMV distinct sketch)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.
@@ -57,6 +58,8 @@ from . import round8b  # noqa: F401,E402  (mu-law, Z-order layout, HLL overlap)
 # registrations; same exchange again for the late round8b trio
 # x_audio_mulaw_stats + x_zorder_layout + x_hll_overlap, with
 # q02_min_cost_supplier + q08_market_share + q13_customer_distribution
+# returning, and once more for the round8c pair x_image_resize +
+# x_kmv_distinct, with q07_volume_shipping + q09_product_profit
 # returning). Exactly 50 names fall outside this
 # set = the whole r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
@@ -90,6 +93,7 @@ _DRIVER_VERIFIED = frozenset({
     "x_bloom_decontaminate", "x_chunk_documents", "x_clean_normalize",
     "q05_local_supplier_volume", "q10_returned_items", "q14_promo_revenue",
     "q02_min_cost_supplier", "q08_market_share", "q13_customer_distribution",
+    "q07_volume_shipping", "q09_product_profit",
     "x_containment_pairs", "x_corpus_pipeline_v3",
     "x_curriculum_order", "x_dataset_card", "x_dataset_manifest",
     "x_dedup_exact", "x_embedding_centroids", "x_embedding_outliers",

@@ -193,3 +193,44 @@ def test_mulaw_table_matches_stdlib_and_wav_roundtrip():
     bad[20] = 2  # ADPCM
     with pytest.raises(NotImplementedError):
         decode_audio(bytes(bad))
+
+
+def test_resize_box_filter_exact_and_format_agnostic():
+    """resize_image_box must equal the hand-computed per-block integer
+    mean on the PPM path, produce IDENTICAL stats through the PNG and
+    GIF decode paths when the raw pixels agree, and reject odd dims."""
+    import numpy as np
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.functions.multimodal import (
+        decode_image,
+        decode_image_rgb,
+        resize_image_box,
+        synthesize_png,
+        synthesize_ppm,
+    )
+
+    for mid, w, h in ((0, 2, 2), (7, 10, 8), (123, 16, 14)):
+        got = resize_image_box(synthesize_ppm(mid, w, h))
+        idx = np.arange(w * h * 3, dtype=np.int64)
+        rgb = ((mid + idx) % 256).reshape(h, w, 3)
+        exp = (
+            rgb.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3)) // 4
+        )
+        assert got == {
+            "width": w, "height": h,
+            "out_width": w // 2, "out_height": h // 2,
+            "sum_r": int(exp[:, :, 0].sum()),
+            "sum_g": int(exp[:, :, 1].sum()),
+            "sum_b": int(exp[:, :, 2].sum()),
+        }
+        # PNG carries the same generative pixels -> identical resize
+        assert resize_image_box(synthesize_png(mid, w, h)) == got
+
+    with pytest.raises(ValueError):
+        resize_image_box(synthesize_ppm(1, 3, 4))
+
+    # the decode_image wrapper still reports the full-res sums
+    d = decode_image(synthesize_ppm(5, 4, 4))
+    _, _, rgb = decode_image_rgb(synthesize_ppm(5, 4, 4))
+    assert d["sum_r"] == int(rgb[:, :, 0].sum())
