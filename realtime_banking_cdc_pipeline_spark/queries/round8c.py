@@ -220,3 +220,197 @@ def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("bigint").alias("est_distinct"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# x_kmv_jaccard — pairwise Jaccard / intersection from bottom-k sketches
+# ---------------------------------------------------------------------------
+
+_XKMVJ_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5('kmv:' || text), 1, {_KMV_HEX}) AS BIGINT)
+           AS hv
+  FROM documents
+),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+    FROM h
+  ) WHERE rk <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uni AS (
+  SELECT p.sa, p.sb, s.hv,
+         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+  GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT sa, sb, hv, in_a, in_b,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rk
+  FROM uni
+),
+top AS (
+  SELECT sa, sb,
+         CAST(COUNT(*) AS BIGINT) AS combined_size,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS in_both,
+         MAX(hv) AS hk
+  FROM comb WHERE rk <= {_KMV_K} GROUP BY sa, sb
+),
+est AS (
+  SELECT sa, sb, combined_size, in_both,
+         CASE WHEN combined_size < {_KMV_K} THEN CAST(combined_size AS DOUBLE)
+              ELSE floor({_KMV_K - 1}.0 * {_KMV_H!r} / CAST(hk AS DOUBLE)) END
+           AS est_union_d
+  FROM top
+),
+st AS (SELECT DISTINCT source, text FROM documents),
+ecnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY source),
+einter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n
+  FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.sa, e.sb,
+       CAST({_KMV_K} AS INTEGER) AS k,
+       e.combined_size,
+       e.in_both,
+       CAST(e.est_union_d AS BIGINT) AS est_union,
+       CAST(floor(CAST(e.in_both AS DOUBLE) * e.est_union_d
+                  / e.combined_size) AS BIGINT) AS est_intersection,
+       1000000 * e.in_both // e.combined_size AS est_jaccard_ppm,
+       CAST(COALESCE(i.n, 0) AS BIGINT) AS exact_intersection,
+       ca.c + cb.c - CAST(COALESCE(i.n, 0) AS BIGINT) AS exact_union,
+       1000000 * CAST(COALESCE(i.n, 0) AS BIGINT)
+         // (ca.c + cb.c - CAST(COALESCE(i.n, 0) AS BIGINT))
+         AS exact_jaccard_ppm
+FROM est e
+LEFT JOIN einter i ON i.sa = e.sa AND i.sb = e.sb
+JOIN ecnt ca ON ca.source = e.sa
+JOIN ecnt cb ON cb.source = e.sb
+"""
+
+
+@query(
+    "x_kmv_jaccard",
+    _XKMVJ_SQL,
+    doc=(
+        "Pairwise set similarity from KMV bottom-k sketches (Beyer et "
+        "al., SIGMOD 2007 'On synopses for distinct-value estimation "
+        "under multiset operations'): the combined sketch of A union B "
+        "is the k smallest of the two sketches' union, Jaccard is "
+        "estimated by the fraction of combined members present in BOTH "
+        "sketches, and the intersection estimate is that fraction "
+        "times the union's KMV estimate — set INTERSECTION from "
+        "64-long sketches, the operation HLL register algebra cannot "
+        "express directly (x_hll_overlap needs inclusion-exclusion of "
+        "three estimates; this reads the sketches alone). Exact "
+        "pairwise Jaccard rides along as the error scorecard. Scale: "
+        "pair stage touches only sketch rows (<= k per source), never "
+        "the corpus; P pairs cost P*2k rows. Determinism: integer "
+        "hashes and integer ppm ratios; the two union/intersection "
+        "estimates use floor() around an identical double op chain."
+    ),
+)
+def x_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("source", "text")
+    h = d.select(
+        "source",
+        md5_long(F.concat(F.lit("kmv:"), F.col("text")), _KMV_HEX).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .drop("rk")
+    )
+    srcs = d.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    # tag sketch rows by side via two equi-joins (no OR-join), then
+    # merge membership flags per (pair, hash)
+    left = pairs.join(sk, F.col("source") == F.col("sa")).select(
+        "sa", "sb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    right = pairs.join(sk, F.col("source") == F.col("sb")).select(
+        "sa", "sb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    uni = (
+        left.unionByName(right)
+        .groupBy("sa", "sb", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("hv")
+    top = (
+        uni.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("combined_size"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("in_both"),
+            F.max("hv").alias("hk"),
+        )
+    )
+    est_union_d = F.when(
+        F.col("combined_size") < _KMV_K, F.col("combined_size").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(_KMV_H)
+            / F.col("hk").cast("double")
+        ).cast("double")
+    )
+    est = top.withColumn("est_union_d", est_union_d)
+
+    st = d.distinct()
+    ecnt = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    einter = (
+        st.select(F.col("source").alias("sa"), "text")
+        .join(st.select(F.col("source").alias("sb"), "text"), ["text"])
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ca = ecnt.select(F.col("source").alias("sa"), F.col("c").alias("ca"))
+    cb = ecnt.select(F.col("source").alias("sb"), F.col("c").alias("cb"))
+    exact_i = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    exact_u = F.col("ca") + F.col("cb") - exact_i
+    return (
+        est.join(einter, ["sa", "sb"], "left")
+        .join(ca, "sa")
+        .join(cb, "sb")
+        .select(
+            "sa",
+            "sb",
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "combined_size",
+            "in_both",
+            F.col("est_union_d").cast("bigint").alias("est_union"),
+            F.floor(
+                F.col("in_both").cast("double")
+                * F.col("est_union_d")
+                / F.col("combined_size")
+            )
+            .cast("bigint")
+            .alias("est_intersection"),
+            F.expr("1000000 * in_both div combined_size")
+            .cast("long")
+            .alias("est_jaccard_ppm"),
+            exact_i.alias("exact_intersection"),
+            exact_u.cast("long").alias("exact_union"),
+            (F.lit(1000000) * exact_i).cast("long").alias("_num"),
+        )
+        .withColumn(
+            "exact_jaccard_ppm",
+            F.expr("_num div exact_union").cast("long"),
+        )
+        .drop("_num")
+    )
