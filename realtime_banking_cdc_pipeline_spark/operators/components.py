@@ -388,3 +388,41 @@ def k_core(
         f"k_core did not converge within {max_iter} peeling rounds — "
         "raise max_iter (and the oracle's unroll count) for this graph"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over the symmetrized edge list: hop distance
+    from the nearest seed, expanded for a fixed ``iters`` rounds
+    (nodes further than ``iters`` hops are absent from the result —
+    the bounded-radius contract that keeps lineage and cost constant).
+
+    Per round: one co-partitioned join (frontier x edges) + one
+    min-agg on the node key — the Pregel pattern as DataFrame ops, no
+    driver-side state at all (cf. pagerank_fixed_point's node-count
+    scalar). Distances are small exact integers, so results hash
+    across engines with no fixed-point machinery. Each round's
+    frontier is persisted: the union references the previous dist
+    frame twice and unbounded lineage would recompute it 2^iters
+    times."""
+    from ..caching import track_persist
+
+    sym = track_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    dist = track_persist(seeds.select("id", F.lit(0).alias("dist")))
+    for _ in range(iters):
+        hop = sym.join(dist.withColumnRenamed("id", "a"), "a").select(
+            F.col("b").alias("id"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = track_persist(
+            dist.unionByName(hop).groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("id", F.col("dist").cast("long").alias("dist"))

@@ -61,7 +61,8 @@ from . import round8c  # noqa: F401,E402  (image resize, KMV distinct sketch)
 # returning, and once more for the round8c quartet x_image_resize +
 # x_kmv_distinct + x_kmv_jaccard + x_zorder_pruning_eval, with
 # q07_volume_shipping + q09_product_profit + q11_revenue_concentration
-# + q12_late_shipments returning). Exactly 50 names fall outside this
+# + q12_late_shipments returning, then q15_top_supplier for
+# x_bfs_layers). Exactly 50 names fall outside this
 # set = the whole r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
     "agg_grouping_sets",
@@ -95,7 +96,7 @@ _DRIVER_VERIFIED = frozenset({
     "q05_local_supplier_volume", "q10_returned_items", "q14_promo_revenue",
     "q02_min_cost_supplier", "q08_market_share", "q13_customer_distribution",
     "q07_volume_shipping", "q09_product_profit", "q11_revenue_concentration",
-    "q12_late_shipments",
+    "q12_late_shipments", "q15_top_supplier",
     "x_containment_pairs", "x_corpus_pipeline_v3",
     "x_curriculum_order", "x_dataset_card", "x_dataset_manifest",
     "x_dedup_exact", "x_embedding_centroids", "x_embedding_outliers",

@@ -564,3 +564,122 @@ def x_zorder_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_bfs_layers — bounded-radius entity blast-radius BFS (multi-source)
+# ---------------------------------------------------------------------------
+
+_BFS_ITERS = 4
+_BFS_SEED_MOD = 200
+_BFS_T = 1_000_000_000  # typed-id stride: 1=customer 2=order 3=part 4=supplier
+
+
+def _dd_bfs_sql() -> str:
+    """Oracle twin of operators/components.py:bfs_distances over the
+    heterogeneous entity graph, BFS rounds unrolled (min-union per
+    round — identical semantics to the Spark loop)."""
+    rounds = []
+    for i in range(_BFS_ITERS):
+        rounds.append(f"""
+r{i + 1} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM r{i}
+    UNION ALL
+    SELECT e.dst AS id, r{i}.dist + 1 AS dist
+    FROM edges e JOIN r{i} ON r{i}.id = e.src
+  ) GROUP BY id
+)""")
+    return f"""
+WITH e0 AS (
+  SELECT {_BFS_T} + o_custkey AS src, {2 * _BFS_T} + o_orderkey AS dst
+  FROM orders
+  UNION
+  SELECT {2 * _BFS_T} + l_orderkey, {3 * _BFS_T} + l_partkey FROM lineitem
+  UNION
+  SELECT {3 * _BFS_T} + l_partkey, {4 * _BFS_T} + l_suppkey FROM lineitem
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+r0 AS (
+  SELECT id, 0 AS dist FROM nodes
+  WHERE id % {_BFS_SEED_MOD} = 0 AND id < {2 * _BFS_T}
+),
+{",".join(rounds)}
+SELECT id AS node_id,
+       CASE id // {_BFS_T} WHEN 1 THEN 'customer' WHEN 2 THEN 'order'
+            WHEN 3 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(dist AS BIGINT) AS dist
+FROM r{_BFS_ITERS}
+"""
+
+
+@query(
+    "x_bfs_layers",
+    _dd_bfs_sql(),
+    doc=(
+        f"Bounded-radius multi-source BFS ({_BFS_ITERS} rounds) over "
+        "the heterogeneous entity graph customer—order—part—supplier "
+        "(typed node ids in disjoint 1e9 strides; edges from orders + "
+        "lineitem) — the blast-radius / fraud-ring-expansion traversal "
+        "a lineage or investigation pipeline runs from flagged seed "
+        "entities (here: every 200th customer), and the reachability "
+        "primitive the graph tier lacked beside components/PageRank/"
+        "triangles/k-core (operators/components.py:bfs_distances). Per "
+        "round: one co-partitioned frontier-x-edges join + one min-agg "
+        "on the node key; no driver state at all; nodes beyond the "
+        "radius are absent by contract so cost and lineage stay "
+        "constant (each round's frontier is persisted — the min-union "
+        "references it twice and unbounded lineage would recompute "
+        "2^iters times). Distances are small exact integers — "
+        "hash-identical across engines with no fixed-point machinery; "
+        "the oracle unrolls the identical min-union rounds over the "
+        "identical edge set. Scale: frontier <= nodes, every round is "
+        "the connected-components join shape on a hash-partitioned "
+        "node key; bounded radius is how 100 TB neighborhoods stay "
+        "computable."
+    ),
+)
+def x_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import bfs_distances
+    from ..sources.parquet_io import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.select(
+            (F.lit(_BFS_T) + F.col("o_custkey")).alias("src"),
+            (F.lit(2 * _BFS_T) + F.col("o_orderkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                (F.lit(2 * _BFS_T) + F.col("l_orderkey")).alias("src"),
+                (F.lit(3 * _BFS_T) + F.col("l_partkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                (F.lit(3 * _BFS_T) + F.col("l_partkey")).alias("src"),
+                (F.lit(4 * _BFS_T) + F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        (F.col("id") % _BFS_SEED_MOD == 0) & (F.col("id") < 2 * _BFS_T)
+    )
+    d = bfs_distances(e0, seeds, src="src", dst="dst", iters=_BFS_ITERS)
+    node_type = (
+        F.when(F.expr(f"id div {_BFS_T}") == 1, "customer")
+        .when(F.expr(f"id div {_BFS_T}") == 2, "order")
+        .when(F.expr(f"id div {_BFS_T}") == 3, "part")
+        .otherwise("supplier")
+    )
+    return d.select(
+        F.col("id").alias("node_id"), node_type.alias("node_type"), "dist"
+    )

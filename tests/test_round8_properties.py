@@ -234,3 +234,40 @@ def test_resize_box_filter_exact_and_format_agnostic():
     d = decode_image(synthesize_ppm(5, 4, 4))
     _, _, rgb = decode_image_rgb(synthesize_ppm(5, 4, 4))
     assert d["sum_r"] == int(rgb[:, :, 0].sum())
+
+
+def test_bfs_distances_path_graph(spark):
+    """Hand-built graph: a 6-path with two seeds and a disconnected
+    edge — distances must be min-over-seeds, symmetric, and truncated
+    at the radius (nodes further than iters hops absent)."""
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5-6, island 10-11; seeds 1 and 6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (6,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges, seeds, iters=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 2, 5: 1, 6: 0}
+
+    # radius 1: the middle of the path is unreached
+    got1 = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges, seeds, iters=1).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 5: 1, 6: 0}
+
+    # island seed reaches only the island
+    giso = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            edges, spark.createDataFrame([(10,)], "id long"), iters=3
+        ).collect()
+    }
+    assert giso == {10: 0, 11: 1}
