@@ -402,14 +402,17 @@ def bfs_distances(
     (nodes further than ``iters`` hops are absent from the result —
     the bounded-radius contract that keeps lineage and cost constant).
 
-    Per round: one co-partitioned join (frontier x edges) + one
-    min-agg on the node key — the Pregel pattern as DataFrame ops, no
-    driver-side state at all (cf. pagerank_fixed_point's node-count
-    scalar). Distances are small exact integers, so results hash
-    across engines with no fixed-point machinery. Each round's
-    frontier is persisted: the union references the previous dist
-    frame twice and unbounded lineage would recompute it 2^iters
-    times."""
+    Frontier-based expansion (in unweighted BFS the FIRST discovery is
+    the min distance, so only the newly-settled frontier needs to
+    expand): per round one co-partitioned join (frontier x edges), one
+    distinct, one anti-join against the settled set — each node's
+    adjacency is scanned exactly once across the whole run, O(E) total
+    instead of the naive min-union's O(E x iters). No driver-side
+    state at all (cf. pagerank_fixed_point's node-count scalar).
+    Distances are small exact integers, so results hash across engines
+    with no fixed-point machinery. Frontier and settled frames are
+    persisted per round — both are referenced twice and unbounded
+    lineage would recompute 2^iters times."""
     from ..caching import track_persist
 
     sym = track_persist(
@@ -417,12 +420,19 @@ def bfs_distances(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    dist = track_persist(seeds.select("id", F.lit(0).alias("dist")))
-    for _ in range(iters):
-        hop = sym.join(dist.withColumnRenamed("id", "a"), "a").select(
-            F.col("b").alias("id"), (F.col("dist") + F.lit(1)).alias("dist")
+    settled = track_persist(seeds.select("id", F.lit(0).alias("dist")))
+    frontier = settled
+    for i in range(1, iters + 1):
+        hop = (
+            sym.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
         )
-        dist = track_persist(
-            dist.unionByName(hop).groupBy("id").agg(F.min("dist").alias("dist"))
+        new = track_persist(
+            hop.join(settled, "id", "left_anti").withColumn(
+                "dist", F.lit(i)
+            )
         )
-    return dist.select("id", F.col("dist").cast("long").alias("dist"))
+        settled = track_persist(settled.unionByName(new))
+        frontier = new
+    return settled.select("id", F.col("dist").cast("long").alias("dist"))
