@@ -58,3 +58,43 @@ def test_approx_sketches_within_bounds_of_exact_twins(spark):
         for i, name in enumerate(["approx_p50", "approx_p90", "approx_p99"]):
             lo, hi = bounds[et][2 * i], bounds[et][2 * i + 1]
             assert lo <= row[name] <= hi, (et, name, row[name], lo, hi)
+
+
+def test_kmv_estimate_error_bound(spark):
+    """KMV distinct estimates on a synthetic corpus with known
+    cardinalities: exact when the sketch holds everything, within the
+    ~3/sqrt(k) relative-error band when full (k=64 -> 37.5%, generous
+    vs the theoretical 1/sqrt(k-2) ~ 12.7% std)."""
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.queries.round8c import (
+        _KMV_K,
+        x_kmv_distinct,
+    )
+
+    import pandas as pd
+    import tempfile, os
+
+    rows = []
+    # source "small": 40 distinct (< k, sketch exact); "big": 5000 distinct
+    for i in range(40):
+        rows.append(("small", f"small text {i}"))
+    for i in range(5000):
+        rows.append(("big", f"big text {i} with more tokens"))
+    # duplicates must not move either estimate
+    rows += rows[:500]
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td, "sf")
+        os.makedirs(sf)
+        pd.DataFrame(rows, columns=["source", "text"]).assign(
+            doc_id=range(len(rows)), lang="en", n_chars=10
+        ).to_parquet(os.path.join(sf, "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in x_kmv_distinct(spark, sf).collect()
+        }
+    assert got["small"]["in_sketch"] == 40
+    assert got["small"]["est_distinct"] == 40 == got["small"]["exact_distinct"]
+    big = got["big"]
+    assert big["in_sketch"] == _KMV_K and big["exact_distinct"] == 5000
+    assert abs(big["est_distinct"] - 5000) / 5000 < 3 / (_KMV_K ** 0.5)
