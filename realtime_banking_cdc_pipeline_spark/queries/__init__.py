@@ -62,7 +62,12 @@ from . import round8c  # noqa: F401,E402  (image resize, KMV distinct sketch)
 # x_kmv_distinct + x_kmv_jaccard + x_zorder_pruning_eval, with
 # q07_volume_shipping + q09_product_profit + q11_revenue_concentration
 # + q12_late_shipments returning, then q15_top_supplier for
-# x_bfs_layers). Exactly 50 names fall outside this
+# x_bfs_layers). The window therefore holds 26 round-8-new/changed
+# queries + 24 oldest-unverified r05/r06-era re-proofs — one short of
+# the round-7 directive's 25 because the closing batch registered more
+# new queries than planned and new-first wins the zero-sum slot; the
+# committed 195/195 full sweep covers the whole older cohort anyway.
+# Exactly 50 names fall outside this
 # set = the whole r08 window is deliberate.
 _DRIVER_VERIFIED = frozenset({
     "agg_grouping_sets",
