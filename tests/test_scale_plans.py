@@ -693,3 +693,34 @@ def test_sketch_probes_broadcast_the_sketch(spark):
     )
     # HLL is pure aggregation — no join at all
     assert join_count(QUERIES["x_hll_distinct"].spark(spark, SF)) <= 1
+
+
+def test_round8_closing_plan_shapes(spark):
+    """Closing-batch invariants: media payloads never shuffle, the
+    Z-order ops are one-exchange aggs with broadcast probes, and the
+    sketch/graph pair stages never degrade to a cartesian product
+    (the only nested-loop joins are the deliberate tiny-side
+    broadcasts: source pairs, probe predicates)."""
+    SF = "/root/testdata/sf0.01"
+    for name in ("x_audio_mulaw_stats", "x_image_resize"):
+        assert shuffle_count(QUERIES[name].spark(spark, SF)) == 0, name
+
+    assert shuffle_count(QUERIES["x_zorder_layout"].spark(spark, SF)) == 1
+
+    prune = QUERIES["x_zorder_pruning_eval"].spark(spark, SF)
+    assert shuffle_count(prune) == 1
+    assert "CartesianProduct" not in _formatted_plan(prune)
+
+    for name in ("x_hll_overlap", "x_kmv_distinct", "x_kmv_jaccard",
+                 "x_bfs_layers"):
+        plan = _formatted_plan(QUERIES[name].spark(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+    # KMV: distinct contraction + per-source bottom-k = two exchanges
+    assert shuffle_count(QUERIES["x_kmv_distinct"].spark(spark, SF)) == 2
+
+    # BFS: persisted frontier/settled frames must be reused, not
+    # recomputed through lineage
+    assert "InMemoryTableScan" in _formatted_plan(
+        QUERIES["x_bfs_layers"].spark(spark, SF)
+    )
