@@ -683,3 +683,155 @@ def x_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("id").alias("node_id"), node_type.alias("node_type"), "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# x_ddsketch_quantiles — mergeable relative-error quantile sketch
+# ---------------------------------------------------------------------------
+
+_DDS_QS = (1, 25, 50, 75, 90, 99)
+
+# Integer bin index: values < 32 get exact unit bins; otherwise
+# 16 sub-buckets per power of two (4 mantissa bits) -> relative bin
+# width 1/16. e = bit_length(v) via length(bin(v)) (the house no-libm
+# log2); shifts stay well under 63 bits for any DECIMAL(18,2) cents.
+_DDS_IDX = (
+    "CASE WHEN e <= 5 THEN cents ELSE 16 * e"
+    " + (cents - (val1 << (e - 1))) {intdiv} (val1 << (e - 5)) END"
+)
+_DDS_LB = (
+    "CASE WHEN idx <= 31 THEN idx ELSE (val1 << (idx {intdiv} 16 - 1))"
+    " + (idx % 16) * (val1 << (idx {intdiv} 16 - 5)) END"
+)
+
+_XDDS_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         1::BIGINT AS val1
+  FROM orders
+),
+binned AS (
+  SELECT prio, cents,
+         {_DDS_IDX.format(intdiv="//")} AS idx
+  FROM (SELECT prio, cents, val1, length(bin(cents)) AS e FROM base)
+),
+hist AS (
+  SELECT prio, idx, COUNT(*) AS cnt FROM binned GROUP BY prio, idx
+),
+cum AS (
+  SELECT prio, idx,
+         SUM(cnt) OVER (PARTITION BY prio ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+n AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY prio),
+qs AS (SELECT unnest(ARRAY{list(_DDS_QS)}) AS q_pct),
+targets AS (
+  SELECT n.prio, n.n, qs.q_pct,
+         (qs.q_pct * n.n + 99) // 100 AS k FROM n, qs
+),
+est AS (
+  SELECT t.prio, t.q_pct, t.n, MIN(c.idx) AS idx
+  FROM targets t JOIN cum c ON c.prio = t.prio AND c.cum >= t.k
+  GROUP BY t.prio, t.q_pct, t.n
+),
+ranked AS (
+  SELECT prio, cents,
+         row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn
+  FROM binned
+),
+exact AS (
+  SELECT t.prio, t.q_pct, r.cents AS exact_cents
+  FROM targets t JOIN ranked r ON r.prio = t.prio AND r.rn = t.k
+)
+SELECT e.prio, CAST(e.q_pct AS INTEGER) AS q_pct, e.n,
+       CAST({_DDS_LB.format(intdiv="//")} AS BIGINT) AS est_cents,
+       x.exact_cents,
+       1000000 * (x.exact_cents
+                  - CAST({_DDS_LB.format(intdiv="//")} AS BIGINT))
+         // x.exact_cents AS err_ppm
+FROM (SELECT prio, q_pct, n, idx, 1::BIGINT AS val1 FROM est) e
+JOIN exact x ON x.prio = e.prio AND x.q_pct = e.q_pct
+"""
+
+
+@query(
+    "x_ddsketch_quantiles",
+    _XDDS_SQL,
+    doc=(
+        "Mergeable relative-error quantile sketch (DDSketch, Masson et "
+        "al. VLDB 2019, adapted to deterministic integer bins): money "
+        "routes through the house DECIMAL(18,2)->cents rule, bin index "
+        "= 16*bit_length + 4 mantissa bits (unit bins below 32) so the "
+        "bin width is 1/16 of the value — guaranteed <= 6.25% relative "
+        "error at ANY quantile, and the histogram is pure additive "
+        "state (a few hundred longs per group: merge = add counts, the "
+        "property exact sort-based percentiles lack at 100 TB). "
+        "Quantile estimate = lower bound of the first bin whose "
+        "cumulative count reaches ceil(q*N/100); the exact order "
+        "statistic rides along as the error scorecard (err_ppm, "
+        "bounded by construction). Completes the sketch taxonomy: "
+        "distinct (HLL/KMV), frequency (CMS), membership (Bloom), "
+        "quantiles (this). All arithmetic integer (bit_length via "
+        "length(bin(x)), checked shifts <= 40); one corpus scan for "
+        "the histogram, one for the scorecard's exact ranks."
+    ),
+)
+def x_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.parquet_io import read_table
+    from ._det import dec
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr("cast(1 as bigint)").alias("val1"),
+    )
+    binned = base.withColumn("e", F.length(F.bin("cents"))).selectExpr(
+        "prio", "cents", _DDS_IDX.format(intdiv="div") + " AS idx"
+    )
+    hist = binned.groupBy("prio", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("prio").orderBy("idx").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    n = base.groupBy("prio").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _DDS_QS], "q_pct int")
+    targets = n.join(F.broadcast(qs)).withColumn(
+        "k", F.expr("(q_pct * n + 99) div 100")
+    )
+    est = (
+        targets.join(
+            cum.withColumnRenamed("prio", "cprio"),
+            (F.col("cprio") == F.col("prio")) & (F.col("cum") >= F.col("k")),
+        )
+        .groupBy("prio", "q_pct", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    ranked = binned.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("prio").orderBy("cents")),
+    )
+    exact = targets.join(
+        ranked.withColumnRenamed("prio", "rprio"),
+        (F.col("rprio") == F.col("prio")) & (F.col("rn") == F.col("k")),
+    ).select("prio", "q_pct", F.col("cents").alias("exact_cents"))
+    lb = _DDS_LB.format(intdiv="div")
+    return (
+        est.withColumn("val1", F.expr("cast(1 as bigint)"))
+        .join(exact, ["prio", "q_pct"])
+        .selectExpr(
+            "prio",
+            "cast(q_pct as int) as q_pct",
+            "n",
+            f"cast({lb} as bigint) as est_cents",
+            "exact_cents",
+            f"1000000 * (exact_cents - cast({lb} as bigint))"
+            " div exact_cents as err_ppm",
+        )
+    )

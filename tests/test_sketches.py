@@ -98,3 +98,18 @@ def test_kmv_estimate_error_bound(spark):
     big = got["big"]
     assert big["in_sketch"] == _KMV_K and big["exact_distinct"] == 5000
     assert abs(big["est_distinct"] - 5000) / 5000 < 3 / (_KMV_K ** 0.5)
+
+
+def test_ddsketch_error_bound_and_lb_side(spark):
+    """Every DDSketch quantile estimate must sit at or below the exact
+    order statistic (lower-bound convention) and within the 1/16
+    relative-error bound the bin geometry guarantees."""
+    from realtime_banking_cdc_pipeline_spark.queries.round8c import (
+        x_ddsketch_quantiles,
+    )
+
+    rows = x_ddsketch_quantiles(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 30  # 5 priorities x 6 quantiles
+    for r in rows:
+        assert 0 < r["est_cents"] <= r["exact_cents"]
+        assert 0 <= r["err_ppm"] <= 62_500, r
