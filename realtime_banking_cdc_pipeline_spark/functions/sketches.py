@@ -137,3 +137,85 @@ def cms_estimates(cells: DataFrame, terms: DataFrame, term_col: str = "term") ->
         .groupBy("term")
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantile bins (shared by queries/round8c.py:
+# x_ddsketch_quantiles and the streaming quantile monitor,
+# streaming/metrics.py). Integer geometry: unit bins below 32, then 16
+# sub-buckets per power of two -> bin width 1/16 of the value, i.e. a
+# guaranteed <= 6.25% relative error at any quantile. State is a pure
+# ADDITIVE histogram (merge = sum counts), the property exact
+# sort-based percentiles lack at scale.
+# ---------------------------------------------------------------------------
+
+DDS_SUB_BITS = 4  # mantissa bits kept -> 16 sub-buckets per octave
+
+
+def dds_bins(df: DataFrame, value_col: str, key_cols: list | None = None) -> DataFrame:
+    """(key..., idx, cnt) additive histogram of a positive integer
+    column. Output is at most a few hundred rows per key regardless of
+    input size (16 bins per octave x ~60 octaves)."""
+    keys = key_cols or []
+    b = df.select(
+        *keys, F.col(value_col).cast("bigint").alias("v")
+    ).withColumn("e", F.length(F.bin("v")))
+    idx = F.when(F.col("e") <= 5, F.col("v")).otherwise(
+        F.lit(16) * F.col("e")
+        + F.expr(
+            "(v - (cast(1 as bigint) << cast(e - 1 as int)))"
+            " div (cast(1 as bigint) << cast(e - 5 as int))"
+        )
+    )
+    return (
+        b.select(*keys, idx.cast("long").alias("idx"))
+        .groupBy(*keys, "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_dds_bins(*tables: DataFrame) -> DataFrame:
+    """Fold histograms: union + per-(key..., idx) count sum. ADDITIVE —
+    replaying a batch double-counts, so streaming consumers must use
+    epoch-keyed partitions (the CMS exactly-once regime, not HLL's)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def dds_quantiles(hist: DataFrame, q_pcts: list) -> DataFrame:
+    """(q_pct, est) lower-bound quantile estimates from a folded
+    single-key histogram (columns idx, cnt): est = lower bound of the
+    first bin whose cumulative count reaches ceil(q*N/100)."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("idx").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    n = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.createDataFrame([(int(q),) for q in q_pcts], "q_pct int")
+    targets = n.join(F.broadcast(qs)).withColumn(
+        "k", F.expr("(q_pct * n + 99) div 100")
+    )
+    est = (
+        targets.join(cum, F.col("cum") >= F.col("k"))
+        .groupBy("q_pct", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    lb = (
+        "CASE WHEN idx <= 31 THEN idx"
+        " ELSE (cast(1 as bigint) << cast(idx div 16 - 1 as int))"
+        " + (idx % 16) * (cast(1 as bigint) << cast(idx div 16 - 5 as int))"
+        " END"
+    )
+    return est.selectExpr(
+        "cast(q_pct as int) as q_pct", "n", f"cast({lb} as bigint) as est"
+    )

@@ -42,8 +42,11 @@ from pyspark.sql import functions as F
 from ..functions.sketches import (
     cms_cells,
     cms_estimates,
+    dds_bins,
+    dds_quantiles,
     hll_registers,
     merge_cms_cells,
+    merge_dds_bins,
     merge_hll_registers,
 )
 
@@ -376,6 +379,124 @@ def start_heavy_hitters_monitor(
             epoch_id=epoch,
             compact_every=compact_every,
             candidates_per_batch=candidates_per_batch,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantiles: DDSketch histogram store
+# ---------------------------------------------------------------------------
+#
+# The bin histogram is ADDITIVE like CMS (counts sum), so it inherits
+# the CMS exactly-once regime wholesale: each batch overwrites its own
+# ``epoch=<id>`` partition with deterministically identical bins (a
+# replay folds to the same sums), reads apply base subsumption, and
+# compaction folds strictly-earlier partitions. State is a few hundred
+# longs total (16 bins per octave), so the store is effectively
+# constant-size — the p50/p99 latency/value monitor every ops pipeline
+# runs, with the batch twin (queries/round8c.py:x_ddsketch_quantiles)
+# pinned bit-equal by the parity test.
+
+
+def read_dds_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the live partitions (base subsumption — additive state)
+    into one (idx, cnt) histogram — the sketch's logical value."""
+    return merge_dds_bins(_cms_live(spark, store_path))
+
+
+def read_dds_quantiles(
+    spark: SparkSession, store_path: str, q_pcts: list
+) -> DataFrame:
+    """(q_pct, n, est) lower-bound quantile estimates from the folded
+    store."""
+    return dds_quantiles(read_dds_store(spark, store_path), q_pcts)
+
+
+def compact_dds_store(
+    spark: SparkSession, store_path: str, epoch_id: int
+) -> None:
+    """Fold partitions strictly earlier than ``epoch_id`` into the
+    base ``epoch=-<epoch_id>``; same replay/crash contract as
+    compact_cms_store (committed bases never rewritten, partial bases
+    dropped and refolded, leftovers excluded by subsumption)."""
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    existing = _epoch_ids(store_path)
+    if not existing:
+        return
+    base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e < epoch_id and e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(store_path, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
+    folded = merge_dds_bins(
+        _cms_live_before(spark, store_path, epoch_id)
+    ).localCheckpoint(eager=True)
+    folded.write.mode("overwrite").parquet(base)
+    for e in _epoch_ids(store_path):
+        if e < epoch_id and e != -int(epoch_id):
+            shutil.rmtree(
+                os.path.join(store_path, f"epoch={e}"), ignore_errors=True
+            )
+
+
+def update_dds_store(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str,
+    epoch_id: int = 0,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Fold one micro-batch of positive integer values into the
+    histogram store (own epoch partition — a replay rewrites it
+    identically, so at-least-once is exactly-once despite additive
+    state); returns the folded histogram."""
+    spark = batch_df.sparkSession
+    dds_bins(batch_df, value_col).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"epoch={int(epoch_id)}")
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_dds_store(spark, store_path, epoch_id)
+    return read_dds_store(spark, store_path)
+
+
+def start_quantile_monitor(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema,
+    value_expr: str,
+    max_files_per_trigger: int = 1,
+    compact_every: int = 16,
+):
+    """File-source streaming wrapper: every micro-batch bins
+    ``value_expr`` (a SQL expression yielding a positive integer per
+    row) into the DDSketch store. availableNow drains then stops (test
+    mode); drop the trigger for a continuous monitor."""
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        vals = batch_df.select(F.expr(value_expr).alias("v"))
+        update_dds_store(
+            vals, store_path, "v", epoch_id=epoch,
+            compact_every=compact_every,
         )
 
     stream = (
