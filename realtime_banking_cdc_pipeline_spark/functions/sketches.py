@@ -219,3 +219,104 @@ def dds_quantiles(hist: DataFrame, q_pcts: list) -> DataFrame:
     return est.selectExpr(
         "cast(q_pct as int) as q_pct", "n", f"cast({lb} as bigint) as est"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter words (shared salt scheme with queries/round7b.py:
+# x_bloom_decontaminate; consumed by the streaming seen-set dedup gate,
+# streaming/metrics.py). Merge is bitwise OR — associative, commutative
+# and IDEMPOTENT, the same exactly-once class as HLL max-merge.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_WORDS = BLOOM_BITS // 32  # 32-bit words: shifts stay < 31
+BLOOM_K = 4
+
+
+def bloom_words(df: DataFrame, text_col: str) -> DataFrame:
+    """(word_idx, bits) filter words for the DISTINCT values of
+    ``text_col`` — at most BLOOM_WORDS rows regardless of input size."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom"), F.col("i").cast("string"),
+                        F.lit(":"), F.col(text_col),
+                    ).cast("binary")
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+    return (
+        df.select(F.col(text_col)).distinct()
+        .select(idx, text_col)
+        .select(pos.alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 32").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+            ).alias("bits")
+        )
+    )
+
+
+def merge_bloom_words(*tables: DataFrame) -> DataFrame:
+    """Fold word tables: union + per-word bit_or. Idempotent — a
+    replayed batch ORs to the identical filter."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maybe_member(
+    df: DataFrame, id_col: str, text_col: str, words: DataFrame
+) -> DataFrame:
+    """(id, maybe_member) one-sided membership probe: true members are
+    ALWAYS flagged; non-members flag at the fp rate. The filter side
+    broadcasts (<= BLOOM_WORDS rows)."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom"), F.col("i").cast("string"),
+                        F.lit(":"), F.col(text_col),
+                    ).cast("binary")
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+    probe = df.select(F.col(id_col), F.col(text_col)).select(
+        id_col, idx, F.col(text_col)
+    ).select(id_col, pos.alias("pos"))
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+    return (
+        probe.join(
+            F.broadcast(words),
+            F.expr("pos div 32") == F.col("word_idx"),
+            "left_outer",
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(mask) == mask),
+                1,
+            )
+            .otherwise(0)
+            .alias("set_bit"),
+        )
+        .groupBy(id_col)
+        .agg((F.sum("set_bit") == BLOOM_K).alias("maybe_member"))
+    )

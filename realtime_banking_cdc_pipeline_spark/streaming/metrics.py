@@ -40,11 +40,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketches import (
+    bloom_maybe_member,
+    bloom_words,
     cms_cells,
     cms_estimates,
     dds_bins,
     dds_quantiles,
     hll_registers,
+    merge_bloom_words,
     merge_cms_cells,
     merge_dds_bins,
     merge_hll_registers,
@@ -497,6 +500,132 @@ def start_quantile_monitor(
         update_dds_store(
             vals, store_path, "v", epoch_id=epoch,
             compact_every=compact_every,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming seen-set dedup gate: Bloom word store
+# ---------------------------------------------------------------------------
+#
+# The third exactly-once class alongside HLL (idempotent max) and
+# CMS/DDSketch (additive sum): Bloom words merge by bitwise OR —
+# idempotent, so like the HLL store a replayed batch folds to the
+# identical filter and epoch partitioning exists only for crash safety.
+# The gate is the O(1)-state approximate counterpart of the exact
+# signature-store ingest (corpus.py): each batch is probed against the
+# filter of everything seen BEFORE it (one-sided: a true repeat is
+# ALWAYS flagged; fresh text is flagged only at the fp rate, which the
+# caller sizes via BLOOM_BITS), then ORs its own words in. The STORE is
+# exactly-once under replays; the per-batch flag output is
+# at-least-once (a replayed batch re-probes a store that already
+# contains its own words) — the documented trade for constant state.
+
+
+def read_bloom_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold every epoch partition into one (word_idx, bits) filter —
+    idempotent OR, so leftovers are never corruption."""
+    store = spark.read.parquet(store_path)
+    if "epoch" in store.columns:
+        store = store.drop("epoch")
+    return merge_bloom_words(store)
+
+
+def compact_bloom_store(
+    spark: SparkSession, store_path: str, epoch_id: int
+) -> None:
+    """Fold all partitions into the base ``epoch=-<epoch_id>`` —
+    identical contract to compact_hll_store (idempotent state: fold of
+    everything, committed bases never rewritten, partial bases dropped
+    and refolded, leftovers re-fold to the same filter)."""
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    existing = _epoch_ids(store_path)
+    base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(store_path, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
+    folded = read_bloom_store(spark, store_path).localCheckpoint(eager=True)
+    folded.write.mode("overwrite").parquet(base)
+    for e in existing:
+        if e != -int(epoch_id):
+            shutil.rmtree(
+                os.path.join(store_path, f"epoch={e}"), ignore_errors=True
+            )
+
+
+def bloom_gate_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    epoch_id: int = 0,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Probe one micro-batch against the seen-set filter, then fold the
+    batch's own words into the store (own epoch partition). Returns
+    (id, maybe_seen): every text seen in an EARLIER batch is flagged
+    (one-sided guarantee); fresh text flags at the fp rate."""
+    spark = batch_df.sparkSession
+    if os.path.exists(store_path) and _epoch_ids(store_path):
+        words = read_bloom_store(spark, store_path)
+    else:
+        words = spark.createDataFrame([], "word_idx bigint, bits bigint")
+    flags = bloom_maybe_member(
+        batch_df, id_col, text_col, words
+    ).withColumnRenamed("maybe_member", "maybe_seen").localCheckpoint(
+        eager=True
+    )
+    bloom_words(batch_df, text_col).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"epoch={int(epoch_id)}")
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_bloom_store(spark, store_path, epoch_id)
+    return flags
+
+
+def start_bloom_dedup_gate(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    id_col: str,
+    text_col: str,
+    max_files_per_trigger: int = 1,
+    compact_every: int = 16,
+):
+    """File-source streaming wrapper: every micro-batch is gated
+    against the seen-set Bloom store and its (id, maybe_seen) verdicts
+    land in ``out_path`` under the batch's own epoch partition (replay
+    overwrites it). availableNow drains then stops (test mode)."""
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        flags = bloom_gate_batch(
+            batch_df, store_path, id_col, text_col,
+            epoch_id=epoch, compact_every=compact_every,
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={int(epoch)}")
         )
 
     stream = (

@@ -1,0 +1,127 @@
+"""Streaming seen-set Bloom dedup gate (streaming/metrics.py).
+
+The third exactly-once class: Bloom words OR-merge idempotently (the
+HLL regime — replay folds to the identical filter; epoch partitions
+are crash safety only). Invariants under test: stream-fold ≡ batch
+filter over the concatenated corpus, one-sided gating (every true
+cross-batch repeat flagged; false-positive rate bounded on the
+fixture), replay idempotence of the store, and compaction parity.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from realtime_banking_cdc_pipeline_spark.functions.sketches import (
+    bloom_maybe_member,
+    bloom_words,
+)
+from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+    bloom_gate_batch,
+    compact_bloom_store,
+    read_bloom_store,
+    start_bloom_dedup_gate,
+)
+
+
+def _words_dict(df):
+    return {r.word_idx: r.bits for r in df.collect()}
+
+
+def _mk_batches(spark):
+    """Three batches; batch texts overlap earlier batches on purpose."""
+    b0 = [(i, f"text number {i}") for i in range(40)]
+    b1 = [(100 + i, f"text number {i}") for i in range(10)] + [
+        (200 + i, f"fresh batch-1 {i}") for i in range(30)
+    ]
+    b2 = [(300 + i, f"fresh batch-1 {i}") for i in range(5)] + [
+        (400 + i, f"fresh batch-2 {i}") for i in range(30)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(b0), mk(b1), mk(b2)
+
+
+def test_bloom_gate_one_sided_and_store_parity(spark, tmp_path):
+    b0, b1, b2 = _mk_batches(spark)
+    store = str(tmp_path / "bloom")
+
+    f0 = {r.doc_id: r.maybe_seen for r in
+          bloom_gate_batch(b0, store, "doc_id", "text", epoch_id=0).collect()}
+    f1 = {r.doc_id: r.maybe_seen for r in
+          bloom_gate_batch(b1, store, "doc_id", "text", epoch_id=1).collect()}
+    f2 = {r.doc_id: r.maybe_seen for r in
+          bloom_gate_batch(b2, store, "doc_id", "text", epoch_id=2).collect()}
+
+    # one-sided guarantee: every true cross-batch repeat is flagged
+    assert all(f1[100 + i] for i in range(10))
+    assert all(f2[300 + i] for i in range(5))
+    # batch 0 probed an empty store: nothing flagged
+    assert not any(f0.values())
+    # fp rate on fresh text stays small on this fixture (4096 bits,
+    # ~80 distinct texts inserted -> expected fp << 10%)
+    fresh_flags = [f1[200 + i] for i in range(30)] + [
+        f2[400 + i] for i in range(30)
+    ]
+    assert sum(fresh_flags) <= 3
+
+    # store parity: streamed fold == batch filter over all three
+    batch_filter = _words_dict(
+        bloom_words(b0.unionByName(b1).unionByName(b2), "text")
+    )
+    assert _words_dict(read_bloom_store(spark, store)) == batch_filter
+
+    # replay idempotence: re-running epoch 1 leaves the store identical
+    bloom_gate_batch(b1, store, "doc_id", "text", epoch_id=1)
+    assert _words_dict(read_bloom_store(spark, store)) == batch_filter
+
+    # compaction parity + leftover tolerance (idempotent OR)
+    compact_bloom_store(spark, store, epoch_id=2)
+    assert _words_dict(read_bloom_store(spark, store)) == batch_filter
+    bloom_words(b0, "text").write.mode("overwrite").parquet(
+        os.path.join(store, "epoch=0")
+    )
+    assert _words_dict(read_bloom_store(spark, store)) == batch_filter
+
+
+def test_bloom_gate_stream_wiring(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"doc_id": i, "text": f"stream doc {i % 150}"} for i in range(300)]
+    for i in range(3):
+        with open(src / f"part{i}.json", "w") as f:
+            for r in rows[i * 100 : (i + 1) * 100]:
+                f.write(_json.dumps(r) + "\n")
+
+    store = str(tmp_path / "bloom")
+    out = str(tmp_path / "out")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = start_bloom_dedup_gate(
+        spark, str(src), store, out, str(tmp_path / "ckpt"), schema,
+        "doc_id", "text", compact_every=2,
+    )
+    q.awaitTermination(120)
+
+    flags = {
+        r.doc_id: r.maybe_seen for r in spark.read.parquet(out).collect()
+    }
+    assert len(flags) == 300
+    # docs 150..299 repeat docs 0..149 from earlier batches (files sort
+    # part0<part1<part2, one file per trigger) -> all flagged
+    assert all(flags[i] for i in range(150, 300))
+    # the whole-stream filter equals the batch filter
+    batch_filter = _words_dict(
+        bloom_words(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in rows],
+                "doc_id long, text string",
+            ),
+            "text",
+        )
+    )
+    assert _words_dict(read_bloom_store(spark, store)) == batch_filter
