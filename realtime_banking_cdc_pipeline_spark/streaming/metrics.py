@@ -1,8 +1,10 @@
 """Streaming sketch monitors: distinct counts via the deterministic
-HLL register store, heavy hitters via the Count-Min cell store
-(functions/sketches.py). The two stores deliberately demonstrate the
-two exactly-once regimes — idempotent merge (HLL max) vs epoch-keyed
-additive state (CMS sum, see the section comment below).
+HLL register store, heavy hitters via the Count-Min cell store,
+quantiles via the DDSketch histogram store, and a seen-set Bloom dedup
+gate (functions/sketches.py). Together the four stores demonstrate the
+exactly-once regimes by merge class — idempotent max (HLL), idempotent
+OR (Bloom), and epoch-keyed additive sums (CMS, DDSketch; see the
+section comments below).
 
 Unlike the signature/gram stores (corpus.py, substr.py), the HLL
 register store needs NO epoch bookkeeping for exactly-once CORRECTNESS:
