@@ -92,9 +92,14 @@ def test_bloom_gate_stream_wiring(spark, tmp_path):
     src.mkdir()
     rows = [{"doc_id": i, "text": f"stream doc {i % 150}"} for i in range(300)]
     for i in range(3):
-        with open(src / f"part{i}.json", "w") as f:
+        p = src / f"part{i}.json"
+        with open(p, "w") as f:
             for r in rows[i * 100 : (i + 1) * 100]:
                 f.write(_json.dumps(r) + "\n")
+        # the file source orders by mtime; same-second writes tie and
+        # batches can arrive out of order — pin distinct mtimes so the
+        # "repeats come after originals" fixture assumption holds
+        os.utime(p, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
 
     store = str(tmp_path / "bloom")
     out = str(tmp_path / "out")
