@@ -130,3 +130,42 @@ def test_bloom_gate_stream_wiring(spark, tmp_path):
         )
     )
     assert _words_dict(read_bloom_store(spark, store)) == batch_filter
+
+
+def test_shared_salt_scheme_matches_batch_query_filter(spark):
+    """The streaming gate's bloom_words must build the EXACT filter the
+    batch decontamination query builds inline (same 'bloom{i}:{text}'
+    salt, same 28-bit positions, same 32-bit words) — pinned via the
+    DuckDB oracle CTE from x_bloom_decontaminate on the same texts."""
+    import duckdb
+
+    texts = [(f"doc number {i}",) for i in range(50)]
+    got = {
+        r.word_idx: r.bits
+        for r in bloom_words(
+            spark.createDataFrame(texts, "text string"), "text"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t[0]}')" for t in texts)
+        + ") AS v(text)"
+    )
+    want = {
+        int(r[0]): int(r[1])
+        for r in con.execute("""
+            WITH bpos AS (
+              SELECT DISTINCT
+                CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR)
+                                        || ':' || text), 1, 7) AS BIGINT)
+                  % 4096 AS pos
+              FROM t, unnest(generate_series(0, 3)) AS u(i)
+            )
+            SELECT pos // 32 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+                     AS bits
+            FROM bpos GROUP BY 1
+        """).fetchall()
+    }
+    assert got == want
