@@ -663,15 +663,17 @@ def x_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(4 * _BFS_T) + F.col("l_suppkey")).alias("dst"),
             )
         )
-        .distinct()
+        # no pre-distinct: bfs_distances dedupes the symmetrized edge
+        # set once — a second full-corpus distinct here doubled the
+        # shuffle volume for nothing (plan audit)
     )
-    nodes = (
-        e0.select(F.col("src").alias("id"))
-        .unionByName(e0.select(F.col("dst").alias("id")))
+    # customer nodes are exactly the customers with >= 1 order, so the
+    # seed set derives from the orders dim without materializing the
+    # full node set (another full-corpus distinct saved)
+    seeds = (
+        o.select((F.lit(_BFS_T) + F.col("o_custkey")).alias("id"))
         .distinct()
-    )
-    seeds = nodes.filter(
-        (F.col("id") % _BFS_SEED_MOD == 0) & (F.col("id") < 2 * _BFS_T)
+        .filter(F.col("id") % _BFS_SEED_MOD == 0)
     )
     d = bfs_distances(e0, seeds, src="src", dst="dst", iters=_BFS_ITERS)
     node_type = (
