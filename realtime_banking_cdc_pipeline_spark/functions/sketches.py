@@ -233,10 +233,15 @@ BLOOM_WORDS = BLOOM_BITS // 32  # 32-bit words: shifts stay < 31
 BLOOM_K = 4
 
 
-def bloom_words(df: DataFrame, text_col: str) -> DataFrame:
+def bloom_words(
+    df: DataFrame, text_col: str, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
     """(word_idx, bits) filter words for the DISTINCT values of
-    ``text_col`` — at most BLOOM_WORDS rows regardless of input size."""
-    idx = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    ``text_col`` — at most ``bits // 32`` rows regardless of input
+    size. Size ``bits`` ~ 10x the expected distinct count for a ~1% fp
+    rate (production seen-sets pass a larger value; the 4096 default
+    matches the batch decontamination fixture)."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     pos = (
         F.conv(
             F.substring(
@@ -250,7 +255,7 @@ def bloom_words(df: DataFrame, text_col: str) -> DataFrame:
             ),
             16, 10,
         ).cast("long")
-        % BLOOM_BITS
+        % bits
     )
     return (
         df.select(F.col(text_col)).distinct()
@@ -276,12 +281,14 @@ def merge_bloom_words(*tables: DataFrame) -> DataFrame:
 
 
 def bloom_maybe_member(
-    df: DataFrame, id_col: str, text_col: str, words: DataFrame
+    df: DataFrame, id_col: str, text_col: str, words: DataFrame,
+    bits: int = BLOOM_BITS, k: int = BLOOM_K,
 ) -> DataFrame:
-    """(id, maybe_member) one-sided membership probe: true members are
-    ALWAYS flagged; non-members flag at the fp rate. The filter side
-    broadcasts (<= BLOOM_WORDS rows)."""
-    idx = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    """(id, maybe_member) one-sided membership probe (``bits``/``k``
+    must match the words' build parameters): true members are ALWAYS
+    flagged; non-members flag at the fp rate. The filter side
+    broadcasts (<= bits // 32 rows)."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     pos = (
         F.conv(
             F.substring(
@@ -295,7 +302,7 @@ def bloom_maybe_member(
             ),
             16, 10,
         ).cast("long")
-        % BLOOM_BITS
+        % bits
     )
     probe = df.select(F.col(id_col), F.col(text_col)).select(
         id_col, idx, F.col(text_col)
@@ -318,5 +325,5 @@ def bloom_maybe_member(
             .alias("set_bit"),
         )
         .groupBy(id_col)
-        .agg((F.sum("set_bit") == BLOOM_K).alias("maybe_member"))
+        .agg((F.sum("set_bit") == k).alias("maybe_member"))
     )

@@ -581,24 +581,32 @@ def bloom_gate_batch(
     text_col: str,
     epoch_id: int = 0,
     compact_every: int | None = None,
+    bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Probe one micro-batch against the seen-set filter, then fold the
     batch's own words into the store (own epoch partition). Returns
     (id, maybe_seen): every text seen in an EARLIER batch is flagged
-    (one-sided guarantee); fresh text flags at the fp rate."""
+    (one-sided guarantee); fresh text flags at the fp rate — size
+    ``bits`` ~ 10x the expected seen-set for ~1% fp (the 4096 default
+    saturates past a few hundred distinct texts, see SCALE.md)."""
+    from ..functions.sketches import BLOOM_BITS, BLOOM_K
+
+    bits = BLOOM_BITS if bits is None else bits
+    k = BLOOM_K if k is None else k
     spark = batch_df.sparkSession
     if os.path.exists(store_path) and _epoch_ids(store_path):
         words = read_bloom_store(spark, store_path)
     else:
         words = spark.createDataFrame([], "word_idx bigint, bits bigint")
     flags = bloom_maybe_member(
-        batch_df, id_col, text_col, words
+        batch_df, id_col, text_col, words, bits=bits, k=k
     ).withColumnRenamed("maybe_member", "maybe_seen").localCheckpoint(
         eager=True
     )
-    bloom_words(batch_df, text_col).write.mode("overwrite").parquet(
-        os.path.join(store_path, f"epoch={int(epoch_id)}")
-    )
+    bloom_words(batch_df, text_col, bits=bits, k=k).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, f"epoch={int(epoch_id)}"))
     if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
         compact_bloom_store(spark, store_path, epoch_id)
     return flags

@@ -169,3 +169,36 @@ def test_shared_salt_scheme_matches_batch_query_filter(spark):
         """).fetchall()
     }
     assert got == want
+
+
+def test_sized_filter_controls_fp_rate(spark, tmp_path):
+    """bits is a real parameter: a 2^16-bit filter over 2000 inserted
+    texts keeps the fresh-text fp rate ~0 where the 4096-bit default
+    would saturate (2000 texts * 4 hashes ~ 8000 set bits > 4096)."""
+    seen = spark.createDataFrame(
+        [(i, f"seen text {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    fresh = spark.createDataFrame(
+        [(10_000 + i, f"fresh text {i}") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    big, small = str(tmp_path / "big"), str(tmp_path / "small")
+    bloom_gate_batch(seen, big, "doc_id", "text", epoch_id=0, bits=1 << 16)
+    bloom_gate_batch(seen, small, "doc_id", "text", epoch_id=0)
+
+    fp_big = sum(
+        r.maybe_seen
+        for r in bloom_gate_batch(
+            fresh, big, "doc_id", "text", epoch_id=1, bits=1 << 16
+        ).collect()
+    )
+    fp_small = sum(
+        r.maybe_seen
+        for r in bloom_gate_batch(
+            fresh, small, "doc_id", "text", epoch_id=1
+        ).collect()
+    )
+    assert fp_big <= 20   # ~1% bound at 10x sizing
+    # the overloaded default: fill = 1-e^(-8000/4096) ~ 86% per bit,
+    # fp ~ 0.86^4 ~ 55% — assert it is catastrophically worse
+    assert fp_small >= 800
