@@ -179,3 +179,19 @@ def read_json_tolerant(spark: SparkSession, path: str, schema) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_csv_tolerant(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> DataFrame:
+    """PERMISSIVE CSV read with corrupt-record quarantine — the same
+    ``ON_ERROR='CONTINUE'`` contract as :func:`read_json_tolerant`
+    (minio_to_snowflake_dag.py:81) for delimited landings. Malformed
+    rows surface in ``_corrupt_record`` instead of failing the load."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

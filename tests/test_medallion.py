@@ -292,3 +292,38 @@ def test_corrupt_envelopes_are_quarantined_not_fatal(spark, fixture_frames):
         b = sorted(map(tuple, dirty_gold[name].drop("load_timestamp").collect()))
         assert a == b, name
     run_quality_suite(dirty_gold)
+
+
+def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    """PERMISSIVE CSV read: well-formed rows parse, malformed rows land
+    in _corrupt_record instead of failing the load — the same
+    ON_ERROR='CONTINUE' contract as read_json_tolerant."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from realtime_banking_cdc_pipeline_spark.sources.parquet_io import (
+        read_csv_tolerant,
+    )
+
+    p = tmp_path / "landing.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alice,100\n"
+        "oops_not_a_long,bob,200\n"
+        "3,carol,300\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("amount", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_csv_tolerant(spark, str(p), schema).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "oops_not_a_long" in bad.collect()[0]._corrupt_record
