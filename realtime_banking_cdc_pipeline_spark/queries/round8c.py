@@ -1,18 +1,28 @@
 """Round-8 closing batch (reference analog: the reference's compute is
-dbt/Snowflake marts, `models/`; these extend the multimodal + sketch
-surface the survey calls for):
+dbt/Snowflake marts, `models/`; these extend the multimodal + sketch +
+layout + graph surface the survey calls for):
 
 - x_image_resize — REAL image downsample: decode (shared real PPM/BMP/
   PNG/GIF parser) + 2x2 integer box filter, the resize step of the
   decode / feature-extract / RESIZE / frame-sample multimodal quartet.
-  Exact integer block means, so the oracle replays the filter
-  analytically from the generative pixel formula.
-- x_kmv_distinct — KMV (k-minimum-values / bottom-k) distinct sketch
-  (Bar-Yossef et al. 2002): keep the k smallest distinct hash values
-  per group; estimate D = (k-1) * H / h_k. A second mergeable
-  distinct-estimator family beside HLL (union = merge-and-retake-k),
-  with the exact count riding along as the error scorecard.
+- x_kmv_distinct / x_kmv_jaccard — KMV bottom-k sketch (Bar-Yossef et
+  al. 2002) and its pairwise Jaccard/intersection estimator (Beyer et
+  al., SIGMOD 2007): the mergeable distinct family beside HLL, with
+  the direct set-intersection capability HLL register algebra lacks.
+- x_zorder_pruning_eval — the measured file-skipping win of the
+  Z-order layout (round8b) as data: 2-D range probes vs per-file
+  extents AND ground truth, both layouts.
+- x_bfs_layers — bounded-radius multi-source BFS (frontier-based
+  operators/components.py:bfs_distances) over the heterogeneous
+  customer-order-part-supplier entity graph: the blast-radius /
+  investigation-expansion traversal, and the reachability primitive
+  the graph tier lacked.
+- x_ddsketch_quantiles — mergeable relative-error quantile sketch
+  (DDSketch, Masson et al. VLDB 2019) on deterministic integer
+  power-of-2 bins: completes the sketch taxonomy (distinct HLL/KMV,
+  frequency CMS, membership Bloom, quantiles this).
 
+Every estimator ships with its exact scorecard in the result rows.
 Determinism follows queries/_det.py house rules.
 """
 
