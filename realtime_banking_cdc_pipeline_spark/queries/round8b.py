@@ -290,9 +290,9 @@ uest AS (
 exact AS (
   SELECT ta.source AS sa, tb.source AS sb,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM (SELECT DISTINCT source, text FROM documents) ta
-  JOIN (SELECT DISTINCT source, text FROM documents) tb
-    ON ta.text = tb.text AND ta.source < tb.source
+  FROM (SELECT DISTINCT source, md5(text) AS d FROM documents) ta
+  JOIN (SELECT DISTINCT source, md5(text) AS d FROM documents) tb
+    ON ta.d = tb.d AND ta.source < tb.source
   GROUP BY 1, 2
 )
 SELECT p.sa, p.sb,
@@ -384,12 +384,18 @@ def x_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uest = estimate(pu, ["sa", "sb"]).withColumnRenamed("e", "est_union")
 
-    st = d.distinct()
+    # md5 digests shuffle, never raw text (house rule): the exact-
+    # overlap self-join keys on the 16-byte digest, identical equality
+    # semantics to the text join under the repo-wide md5-as-identity
+    # convention (the oracle joins the same digests)
+    st = d.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("d")
+    ).distinct()
     overlap = (
-        st.select(F.col("source").alias("sa"), "text")
+        st.select(F.col("source").alias("sa"), "d")
         .join(
-            st.select(F.col("source").alias("sb"), "text"),
-            ["text"],
+            st.select(F.col("source").alias("sb"), "d"),
+            ["d"],
         )
         .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")

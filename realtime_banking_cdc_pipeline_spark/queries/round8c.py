@@ -161,7 +161,7 @@ s AS (
   FROM r WHERE rk <= {_KMV_K} GROUP BY source
 ),
 e AS (
-  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+  SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct
   FROM documents GROUP BY source
 )
 SELECT s.source,
@@ -212,8 +212,11 @@ def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("in_sketch"),
         F.max("hv").cast("long").alias("kth_hash"),
     )
+    # digest-distinct, not raw-text-distinct: 16 bytes shuffle per row
     e = d.groupBy("source").agg(
-        F.countDistinct("text").cast("long").alias("exact_distinct")
+        F.countDistinct(F.md5(F.col("text").cast("binary")))
+        .cast("long")
+        .alias("exact_distinct")
     )
     est = F.when(F.col("in_sketch") < _KMV_K, F.col("in_sketch")).otherwise(
         F.floor(
@@ -281,11 +284,11 @@ est AS (
            AS est_union_d
   FROM top
 ),
-st AS (SELECT DISTINCT source, text FROM documents),
+st AS (SELECT DISTINCT source, md5(text) AS d FROM documents),
 ecnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY source),
 einter AS (
   SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n
-  FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
+  FROM st a JOIN st b ON a.d = b.d AND a.source < b.source
   GROUP BY 1, 2
 )
 SELECT e.sa, e.sb,
@@ -380,11 +383,15 @@ def x_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = top.withColumn("est_union_d", est_union_d)
 
-    st = d.distinct()
+    # md5 digests shuffle, never raw text (house rule; oracle joins the
+    # same digests)
+    st = d.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("d")
+    ).distinct()
     ecnt = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
     einter = (
-        st.select(F.col("source").alias("sa"), "text")
-        .join(st.select(F.col("source").alias("sb"), "text"), ["text"])
+        st.select(F.col("source").alias("sa"), "d")
+        .join(st.select(F.col("source").alias("sb"), "d"), ["d"])
         .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
