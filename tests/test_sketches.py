@@ -113,3 +113,34 @@ def test_ddsketch_error_bound_and_lb_side(spark):
     for r in rows:
         assert 0 < r["est_cents"] <= r["exact_cents"]
         assert 0 <= r["err_ppm"] <= 62_500, r
+
+
+def test_ddsketch_bin_geometry_exhaustive():
+    """The integer bin map's claims, checked exhaustively with the same
+    arithmetic (numpy mirror of dds_bins' expr): indices are monotone
+    in v, the lower bound reconstructs into [lb, v], and the relative
+    gap (v - lb)/v never exceeds 1/16."""
+    import numpy as np
+
+    v = np.arange(1, 1_000_001, dtype=np.int64)
+    bl = np.int64(np.floor(np.log2(v))) + 1  # == bit_length for v >= 1
+    small = bl <= 5
+    idx = np.where(
+        small, v, 16 * bl + ((v - (1 << (bl - 1))) >> np.maximum(bl - 5, 0))
+    )
+    # monotone nondecreasing
+    assert (np.diff(idx) >= 0).all()
+    # lower-bound reconstruction (the est_cents back-map)
+    e = idx // 16
+    lb = np.where(idx <= 31, idx, (1 << (e - 1)) + (idx % 16) * (1 << (e - 5)))
+    assert (lb <= v).all()
+    assert ((v - lb) / v <= 1 / 16).all()
+    # every octave above the unit-bin region carries exactly 16 bins
+    # (the last octave is truncated at v's max)
+    full_octaves = idx[(bl > 5) & (bl < bl.max())]
+    import collections
+    per_octave = collections.Counter(full_octaves // 16)
+    assert all(
+        len({i for i in full_octaves if i // 16 == e}) == 16
+        for e in per_octave
+    )
