@@ -62,8 +62,10 @@ from . import round8c  # noqa: F401,E402  (image resize, KMV distinct sketch)
 # x_kmv_distinct + x_kmv_jaccard + x_zorder_pruning_eval, with
 # q07_volume_shipping + q09_product_profit + q11_revenue_concentration
 # + q12_late_shipments returning, then q15_top_supplier for
-# x_bfs_layers, then q17_small_quantity_revenue for
-# x_ddsketch_quantiles). The window therefore holds 27 round-8-new/changed
+# x_bfs_layers, then a_sliding_distinct for x_ddsketch_quantiles —
+# q17_small_quantity_revenue was already in the set, so that swap was
+# a no-op caught by the exactly-50 audit below).
+# The window therefore holds 27 round-8-new/changed
 # queries + 24 oldest-unverified r05/r06-era re-proofs — one short of
 # the round-7 directive's 25 because the closing batch registered more
 # new queries than planned and new-first wins the zero-sum slot; the
@@ -102,7 +104,7 @@ _DRIVER_VERIFIED = frozenset({
     "q05_local_supplier_volume", "q10_returned_items", "q14_promo_revenue",
     "q02_min_cost_supplier", "q08_market_share", "q13_customer_distribution",
     "q07_volume_shipping", "q09_product_profit", "q11_revenue_concentration",
-    "q12_late_shipments", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q12_late_shipments", "q15_top_supplier", "a_sliding_distinct",
     "x_containment_pairs", "x_corpus_pipeline_v3",
     "x_curriculum_order", "x_dataset_card", "x_dataset_manifest",
     "x_dedup_exact", "x_embedding_centroids", "x_embedding_outliers",

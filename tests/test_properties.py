@@ -256,3 +256,15 @@ def test_snapshot_diff_reconciles_old_to_new(spark, old_rows, new_rows):
     for k in set(old_d) & set(new_d):
         if old_d[k] == new_d[k]:
             assert k not in ops
+
+
+def test_driver_window_is_exactly_fifty():
+    """The external driver strict-checks the FIRST 50 registry entries;
+    the _DRIVER_VERIFIED rotation must leave EXACTLY 50 names outside —
+    51 would silently exclude the newest registration from the hash
+    gate (a real near-miss: a swap name that was already in the set
+    made the window 51 and x_ddsketch_quantiles fell out)."""
+    import realtime_banking_cdc_pipeline_spark.queries as q
+
+    outside = [n for n in q.QUERIES if n not in q._DRIVER_VERIFIED]
+    assert len(outside) == 50, outside
