@@ -153,13 +153,21 @@ DDS_SUB_BITS = 4  # mantissa bits kept -> 16 sub-buckets per octave
 
 
 def dds_bins(df: DataFrame, value_col: str, key_cols: list | None = None) -> DataFrame:
-    """(key..., idx, cnt) additive histogram of a positive integer
+    """(key..., idx, cnt) additive histogram of a non-negative integer
     column. Output is at most a few hundred rows per key regardless of
-    input size (16 bins per octave x ~60 octaves)."""
+    input size (16 bins per octave x ~60 octaves).
+
+    Negative values are FILTERED here rather than trusted to the
+    caller's ``value_expr``: ``bin(v)`` of a negative bigint is the
+    64-char two's-complement string, so e=64 and the shift arithmetic
+    would emit meaningless indices that silently corrupt the additive
+    histogram. Dropping them keeps every representable bin exact
+    (0..31 are unit bins) and makes a bad expression degrade visibly
+    (missing mass) instead of skewing all downstream quantiles."""
     keys = key_cols or []
     b = df.select(
         *keys, F.col(value_col).cast("bigint").alias("v")
-    ).withColumn("e", F.length(F.bin("v")))
+    ).filter(F.col("v") >= 0).withColumn("e", F.length(F.bin("v")))
     idx = F.when(F.col("e") <= 5, F.col("v")).otherwise(
         F.lit(16) * F.col("e")
         + F.expr(
@@ -287,7 +295,13 @@ def bloom_maybe_member(
     """(id, maybe_member) one-sided membership probe (``bits``/``k``
     must match the words' build parameters): true members are ALWAYS
     flagged; non-members flag at the fp rate. The filter side
-    broadcasts (<= bits // 32 rows)."""
+    broadcasts (<= bits // 32 rows).
+
+    Duplicate (id, text) rows are collapsed before the k-way probe
+    explosion — without this a duplicated row yields 2k probe rows and
+    ``sum(set_bit) = 2k != k``, silently reporting a genuinely seen
+    text as maybe_member=false (breaking the one-sided guarantee)."""
+    df = df.dropDuplicates([id_col, text_col])
     idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     pos = (
         F.conv(

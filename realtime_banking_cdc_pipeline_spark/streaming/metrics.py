@@ -524,20 +524,26 @@ def start_quantile_monitor(
 # The third exactly-once class alongside HLL (idempotent max) and
 # CMS/DDSketch (additive sum): Bloom words merge by bitwise OR —
 # idempotent, so like the HLL store a replayed batch folds to the
-# identical filter and epoch partitioning exists only for crash safety.
-# The gate is the O(1)-state approximate counterpart of the exact
-# signature-store ingest (corpus.py): each batch is probed against the
-# filter of everything seen BEFORE it (one-sided: a true repeat is
-# ALWAYS flagged; fresh text is flagged only at the fp rate, which the
-# caller sizes via BLOOM_BITS), then ORs its own words in. The STORE is
-# exactly-once under replays; the per-batch flag output is
-# at-least-once (a replayed batch re-probes a store that already
-# contains its own words) — the documented trade for constant state.
+# identical filter and epoch partitioning exists only for crash safety
+# of the STORE. The gate is the O(1)-state approximate counterpart of
+# the exact signature-store ingest (corpus.py): each batch is probed
+# against the filter of everything seen STRICTLY BEFORE it (one-sided:
+# a true cross-batch repeat is ALWAYS flagged; fresh text is flagged
+# only at the fp rate, which the caller sizes via BLOOM_BITS), then ORs
+# its own words in. Both the store AND the per-batch flag output are
+# exactly-once under replays: the probe fold excludes epochs >=
+# epoch_id (so a replayed batch never sees its own words — the same
+# strictly-earlier horizon the signature/semantic gates apply), which
+# requires compaction to fold only strictly-earlier partitions (the
+# CMS regime) rather than everything (the HLL regime): a fold-of-all
+# base would bake the triggering epoch's words into the only partition
+# a replay of that epoch can probe.
 
 
 def read_bloom_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold every epoch partition into one (word_idx, bits) filter —
-    idempotent OR, so leftovers are never corruption."""
+    idempotent OR, so leftovers (and a base overlapping its surviving
+    source epochs) are never corruption."""
     store = spark.read.parquet(store_path)
     if "epoch" in store.columns:
         store = store.drop("epoch")
@@ -547,28 +553,46 @@ def read_bloom_store(spark: SparkSession, store_path: str) -> DataFrame:
 def compact_bloom_store(
     spark: SparkSession, store_path: str, epoch_id: int
 ) -> None:
-    """Fold all partitions into the base ``epoch=-<epoch_id>`` —
-    identical contract to compact_hll_store (idempotent state: fold of
-    everything, committed bases never rewritten, partial bases dropped
-    and refolded, leftovers re-fold to the same filter)."""
+    """Fold partitions STRICTLY EARLIER than ``epoch_id`` into the base
+    ``epoch=-<epoch_id>``, then delete only the subsumed ones.
+
+    Strictly-earlier (the CMS regime, not HLL's fold-of-everything)
+    even though OR-merge is idempotent: the GATE's probe horizon is
+    ``epoch < epoch_id``, and a fold-of-all base would bake the
+    triggering epoch's own words into the only partition a replay of
+    that epoch can probe — turning every replayed row into a
+    maybe_seen=true false flag. Committed bases are never rewritten;
+    a partial base (no _SUCCESS — sources still on disk) is dropped
+    and refolded; leftover source partitions re-OR idempotently.
+
+    Epochs BEFORE the trigger rely on the streaming commit order (the
+    same argument the CMS store makes): batch e runs only after batch
+    e-1's checkpoint committed, so once compaction-at-e has folded
+    epochs < e into the base, none of them can ever be replayed — the
+    only replayable epoch is e itself, and its words stay out of the
+    base by the strictly-earlier fold."""
     if epoch_id <= 0:
         raise ValueError("compaction epoch must be positive")
     existing = _epoch_ids(store_path)
+    if not existing:
+        return
     base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
     if os.path.exists(base):
         if os.path.exists(os.path.join(base, "_SUCCESS")):
             for e in existing:
-                if e != -int(epoch_id):
+                if e < epoch_id and e != -int(epoch_id):
                     shutil.rmtree(
                         os.path.join(store_path, f"epoch={e}"),
                         ignore_errors=True,
                     )
             return
         shutil.rmtree(base, ignore_errors=True)
-    folded = read_bloom_store(spark, store_path).localCheckpoint(eager=True)
+    folded = merge_bloom_words(
+        _cms_live_before(spark, store_path, epoch_id)
+    ).localCheckpoint(eager=True)
     folded.write.mode("overwrite").parquet(base)
-    for e in existing:
-        if e != -int(epoch_id):
+    for e in _epoch_ids(store_path):
+        if e < epoch_id and e != -int(epoch_id):
             shutil.rmtree(
                 os.path.join(store_path, f"epoch={e}"), ignore_errors=True
             )
@@ -584,19 +608,26 @@ def bloom_gate_batch(
     bits: int | None = None,
     k: int | None = None,
 ) -> DataFrame:
-    """Probe one micro-batch against the seen-set filter, then fold the
-    batch's own words into the store (own epoch partition). Returns
-    (id, maybe_seen): every text seen in an EARLIER batch is flagged
-    (one-sided guarantee); fresh text flags at the fp rate — size
-    ``bits`` ~ 10x the expected seen-set for ~1% fp (the 4096 default
-    saturates past a few hundred distinct texts, see SCALE.md)."""
+    """Probe one micro-batch against the filter of everything seen in
+    STRICTLY EARLIER epochs, then fold the batch's own words into the
+    store (own epoch partition). Returns (id, maybe_seen): every text
+    seen in an earlier batch is flagged (one-sided guarantee); fresh
+    text flags at the fp rate — size ``bits`` ~ 10x the expected
+    seen-set for ~1% fp (the 4096 default saturates past a few hundred
+    distinct texts, see SCALE.md). The ``epoch < epoch_id`` probe
+    horizon makes the FLAG OUTPUT exactly-once under replay: a
+    replayed batch never probes its own words, so its verdicts are
+    bit-identical to the first run (previously a replay flagged every
+    row maybe_seen=true — at-least-once flags)."""
     from ..functions.sketches import BLOOM_BITS, BLOOM_K
 
     bits = BLOOM_BITS if bits is None else bits
     k = BLOOM_K if k is None else k
     spark = batch_df.sparkSession
     if os.path.exists(store_path) and _epoch_ids(store_path):
-        words = read_bloom_store(spark, store_path)
+        words = merge_bloom_words(
+            _cms_live_before(spark, store_path, epoch_id)
+        )
     else:
         words = spark.createDataFrame([], "word_idx bigint, bits bigint")
     flags = bloom_maybe_member(

@@ -84,8 +84,21 @@ def train_codebook(emb: DataFrame, path: str, order_cols=None) -> None:
     from ..queries.round6b import coarse_cells
 
     n = emb.count()
+    if n == 0:
+        raise ValueError(
+            "train_codebook: empty embedding batch — refusing to write "
+            "an empty codebook (assign_cells would emit no cells and "
+            "the gate would silently pass every document)"
+        )
     k = adaptive_cells(n)
     kc = coarse_cells(k)
+    if order_cols is None and emb.filter(F.col("vec_id") < k).count() < k:
+        # Bootstrap contract assumes the first batch's vec_ids are a
+        # 0-based contiguous prefix; a stream starting mid-corpus (or
+        # with sparse ids) breaks that and would silently train an
+        # undersized codebook. Fall back to the deterministic
+        # TakeOrdered prefix the retrain path already uses.
+        order_cols = [F.col("vec_id").asc()]
     if order_cols is None:
         fine_rows = emb.filter(F.col("vec_id") < k)
         coarse_rows = emb.filter(F.col("vec_id") < kc)

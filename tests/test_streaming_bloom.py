@@ -202,3 +202,58 @@ def test_sized_filter_controls_fp_rate(spark, tmp_path):
     # the overloaded default: fill = 1-e^(-8000/4096) ~ 86% per bit,
     # fp ~ 0.86^4 ~ 55% — assert it is catastrophically worse
     assert fp_small >= 800
+
+
+def test_replayed_batch_flags_are_exactly_once(spark, tmp_path):
+    """The r8-ADVICE medium: a replayed micro-batch must reproduce its
+    ORIGINAL verdicts, not flag every row maybe_seen (which would make
+    a downstream maybe_seen filter drop the whole replayed batch). The
+    probe horizon is epoch < epoch_id, so a replay never sees its own
+    words — including when the replayed epoch IS a compaction trigger
+    (the strictly-earlier fold keeps its words out of the base)."""
+    b0, b1, b2 = _mk_batches(spark)
+    store = str(tmp_path / "bloom")
+
+    def run(df, e):
+        return {
+            r.doc_id: r.maybe_seen
+            for r in bloom_gate_batch(
+                df, store, "doc_id", "text", epoch_id=e, compact_every=2
+            ).collect()
+        }
+
+    # the realistic crash window is the LAST uncommitted batch: batch e
+    # replays only before batch e+1 starts (checkpoint commit order),
+    # so each epoch is replayed immediately after its first run —
+    # including epoch 2, the compaction trigger, replayed AFTER its
+    # strictly-earlier fold ran (its words must not be in the base)
+    f0 = run(b0, 0)
+    assert run(b0, 0) == f0
+    f1 = run(b1, 1)
+    assert run(b1, 1) == f1
+    f2 = run(b2, 2)  # triggers compaction at epoch 2
+    assert run(b2, 2) == f2
+    # and the epoch-0 probe saw an EMPTY horizon: no flags
+    assert not any(f0.values())
+    # store still folds to the batch filter afterwards
+    batch_filter = _words_dict(
+        bloom_words(b0.unionByName(b1).unionByName(b2), "text")
+    )
+    assert _words_dict(read_bloom_store(spark, store)) == batch_filter
+
+
+def test_bloom_maybe_member_tolerates_duplicate_rows(spark):
+    """r8-ADVICE low: duplicate (id, text) probe rows must not break
+    the one-sided guarantee (sum(set_bit) = 2k != k would report a
+    genuinely seen text as maybe_member=false)."""
+    seen = spark.createDataFrame(
+        [(i, f"dup-guard text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    words = bloom_words(seen, "text")
+    probe = seen.unionByName(seen)  # every row duplicated
+    flags = {
+        r.doc_id: r.maybe_member
+        for r in bloom_maybe_member(probe, "doc_id", "text", words).collect()
+    }
+    assert len(flags) == 20 and all(flags.values())

@@ -127,3 +127,19 @@ def test_quantile_monitor_stream_wiring(spark, tmp_path):
     # values 100..1099: p50 exact order statistic = value at rank
     # ceil(0.5*1000) = 500 -> 599
     assert 0 < est[50] <= 599 and (599 - est[50]) / 599 <= 1 / 16
+
+
+def test_dds_bins_filters_negative_values(spark):
+    """r8-ADVICE low: bin(v) of a negative bigint is the 64-char
+    two's-complement string — negatives must be filtered inside
+    dds_bins (visible missing mass), not fed into the shift arithmetic
+    (silent histogram corruption). Zero and positives keep exact bins."""
+    from realtime_banking_cdc_pipeline_spark.functions.sketches import dds_bins
+
+    df = spark.createDataFrame(
+        [(-5,), (-1,), (0,), (1,), (31,), (32,), (1000,)], "v long"
+    )
+    bins = {r.idx: r.cnt for r in dds_bins(df, "v").collect()}
+    assert sum(bins.values()) == 5          # the two negatives dropped
+    assert bins[0] == 1 and bins[1] == 1    # unit bins exact
+    assert all(idx >= 0 for idx in bins)    # no corrupt indices

@@ -405,3 +405,28 @@ def test_readstream_wrapper(spark, tmp_path):
         semantic_ingest_batch(emb, str(tmp_path / "store_ref"), cb)
     )
     assert got == want
+
+
+def test_bootstrap_with_sparse_vec_ids(spark, tmp_path):
+    """r8-ADVICE low: a stream starting mid-corpus (vec_ids not a
+    0-based prefix) must not silently train an undersized codebook and
+    pass everything — the bootstrap falls back to the TakeOrdered
+    prefix, so the gate still drops near-duplicates."""
+    emb = _emb(spark).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(5_000_000))
+    batch = emb.unionByName(dup)  # every vector present exactly twice
+    kept = semantic_ingest_batch(
+        batch, str(tmp_path / "store"), str(tmp_path / "cb")
+    )
+    n = emb.count()
+    # an undersized/empty codebook would keep all 2n rows; the gate
+    # must drop (at least) every exact twin
+    assert kept.count() <= n
+
+
+def test_bootstrap_refuses_empty_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = _emb(spark).limit(0)
+    with _pytest.raises(ValueError, match="empty embedding batch"):
+        train_codebook(empty, str(tmp_path / "cb"))
