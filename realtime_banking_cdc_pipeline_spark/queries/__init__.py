@@ -34,6 +34,7 @@ from . import round7b  # noqa: F401,E402  (deterministic sketches: bloom/HLL/CMS
 from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 from . import round8b  # noqa: F401,E402  (mu-law, Z-order layout, HLL overlap)
 from . import round8c  # noqa: F401,E402  (image resize, KMV distinct sketch)
+from . import round9  # noqa: F401,E402  (capped SemDeDup family, paragraph dedup)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.

@@ -372,27 +372,24 @@ def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_semdedup_refined — SemDeDup over a 1-round-Lloyd-refined quantizer
 # ---------------------------------------------------------------------------
 
-def _dd_semdedup_refined_sql() -> str:
-    """Oracle with the Lloyd round UNROLLED on top of the shared
-    two-level assignment CTE: ``cells`` (the x_semdedup assignment) is
-    generation 0, floor-mean refined centroids c1 are cut from it, and
-    the SECOND assignment runs the same two-level (coarse-probe → fine)
-    chain against c1 — so BOTH assignment passes are two-level and the
-    whole training round sits under the strict hash gate."""
+def _dd_refined_chain_cte() -> str:
+    """Oracle CTE chain for the Lloyd round UNROLLED on top of the
+    shared two-level assignment CTE: ``cells`` (the x_semdedup
+    assignment) is generation 0, floor-mean refined centroids c1 are
+    cut from it, and the SECOND assignment runs the same two-level
+    (coarse-probe → fine) chain against c1 — so BOTH assignment passes
+    are two-level and the whole training round sits under the strict
+    hash gate. Ends at ``a1 (vec_id, cid, cos)`` — the refined cell
+    per vector with its cosine (the cosine rides along for round9's
+    capped variant; the uncapped pair stage ignores it). Callers
+    prepend ``_dd_two_level_cells_cte()``."""
     from .llmdata import _FXLIST
-    from .round6b import (
-        _COARSE_CELLS_SQL,
-        _SEM_NPROBE,
-        _SEMDEDUP_THRESHOLD,
-        _dd_two_level_cells_cte,
-    )
+    from .round6b import _COARSE_CELLS_SQL, _SEM_NPROBE
 
     kc1_expr = _COARSE_CELLS_SQL.replace(
         "CAST(k AS BIGINT)", "CAST(COUNT(*) AS BIGINT)"
     )
-    return f"""
-WITH {_dd_two_level_cells_cte()},
-fxl AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
+    return f"""fxl AS (SELECT vec_id, {_FXLIST} AS v FROM embeddings),
 comp1 AS (
   SELECT cells.cid, t.i, SUM(t.x) AS s, COUNT(*) AS cnt
   FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
@@ -450,10 +447,20 @@ vfs1 AS (
            / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
   FROM vfd1 d JOIN norms n USING (vec_id) JOIN cn1 cn USING (cid)
 ),
-a1 AS (SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, ROW_NUMBER() OVER (
+a1 AS (SELECT vec_id, cid, cos FROM (
+    SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs1)
-  WHERE rn = 1),
+  WHERE rn = 1)"""
+
+
+def _dd_semdedup_refined_sql() -> str:
+    """Full refined oracle: the shared assignment chain + the uncapped
+    within-cell pair stage and keep rule (exactly x_semdedup's)."""
+    from .round6b import _SEMDEDUP_THRESHOLD, _dd_two_level_cells_cte
+
+    return f"""
+WITH {_dd_two_level_cells_cte()},
+{_dd_refined_chain_cte()},
 mp AS (SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
               unnest(fa.v) AS x, unnest(fb.v) AS y
        FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -474,32 +481,14 @@ FROM a1 LEFT JOIN dropped ON dropped.vec_id = a1.vec_id
 """
 
 
-@query(
-    "x_semdedup_refined",
-    _dd_semdedup_refined_sql(),
-    bench=True,
-    doc=(
-        "SemDeDup over a TRAINED quantizer: one deterministic Lloyd "
-        "(k-means) round refines the adaptive-k prefix cells before "
-        "the final cut — integer component sums, floor-mean centroids, "
-        "members-only survival (the x_ann_ivf_trained arithmetic, "
-        "queries/llmdata.py:1852) — so the cell partition tracks "
-        "corpus density instead of the arrival prefix, the batch "
-        "analog of the streaming retrain's _lloyd_refine rung whose "
-        "measured drift A/B cut the post-shift leak 34% (SCALE.md). "
-        "BOTH assignment passes are two-level (coarse probe -> fine "
-        "within the top-4 probed groups): generation 0 IS x_semdedup's "
-        "shared assignment, and the refined pass runs the same chain "
-        "against the floor-mean centroids — measured dense-sf10 "
-        "479 s flat -> two-level (SCALE.md r8). Training state is "
-        "k x dim ints on the driver (the accepted k-means scalar "
-        "state); the pair stage and keep rule are exactly "
-        "x_semdedup's. The oracle unrolls the full round into CTE "
-        "generations — training itself sits under the strict hash "
-        "gate."
-    ),
-)
-def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _refined_cells(spark: SparkSession, sf_dir: str):
+    """Refined-assignment substrate shared by x_semdedup_refined and
+    round9's capped variant: one persisted frame
+    (vec_id, cid, rcos, v, nn) — each vector's 1-Lloyd-round refined
+    cell, its cosine to that cell's centroid (the capped variant's
+    ranking key), and the fixed-point vector/norm the pair stage
+    needs. Spark twin of ``_dd_refined_chain_cte``'s ``a1`` (with
+    fxl/norms carried through the argmax agg)."""
     import math
 
     from ..caching import track_persist
@@ -507,7 +496,6 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata import _emb
     from .round6b import (
         _SEM_NPROBE,
-        _SEMDEDUP_THRESHOLD,
         _TL_CMP,
         _two_level_cells,
         coarse_cells,
@@ -638,11 +626,47 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("v").alias("v"),
             F.first("nn").alias("nn"),
         )
-        .select("vec_id", (-F.col("w.nc")).alias("cid"), "v", "nn")
+        .select(
+            "vec_id",
+            (-F.col("w.nc")).alias("cid"),
+            F.col("w.c").alias("rcos"),
+            "v",
+            "nn",
+        )
     )
-    cells = track_persist(cells)
+    return track_persist(cells)
 
-    m = cells
+
+@query(
+    "x_semdedup_refined",
+    _dd_semdedup_refined_sql(),
+    bench=True,
+    doc=(
+        "SemDeDup over a TRAINED quantizer: one deterministic Lloyd "
+        "(k-means) round refines the adaptive-k prefix cells before "
+        "the final cut — integer component sums, floor-mean centroids, "
+        "members-only survival (the x_ann_ivf_trained arithmetic, "
+        "queries/llmdata.py:1852) — so the cell partition tracks "
+        "corpus density instead of the arrival prefix, the batch "
+        "analog of the streaming retrain's _lloyd_refine rung whose "
+        "measured drift A/B cut the post-shift leak 34% (SCALE.md). "
+        "BOTH assignment passes are two-level (coarse probe -> fine "
+        "within the top-4 probed groups): generation 0 IS x_semdedup's "
+        "shared assignment, and the refined pass runs the same chain "
+        "against the floor-mean centroids — measured dense-sf10 "
+        "479 s flat -> two-level (SCALE.md r8). Training state is "
+        "k x dim ints on the driver (the accepted k-means scalar "
+        "state); the pair stage and keep rule are exactly "
+        "x_semdedup's. The oracle unrolls the full round into CTE "
+        "generations — training itself sits under the strict hash "
+        "gate. (r9: assignment extracted into _refined_cells, shared "
+        "with x_semdedup_refined_capped; results unchanged.)"
+    ),
+)
+def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round6b import _SEMDEDUP_THRESHOLD
+
+    m = _refined_cells(spark, sf_dir)
     a = m.select(
         F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
         F.col("v").alias("va"), F.col("nn").alias("na"),
@@ -667,7 +691,7 @@ def x_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return cells.join(dropped, "vec_id", "left_outer").select(
+    return m.join(dropped, "vec_id", "left_outer").select(
         "vec_id",
         F.col("cid").alias("cell"),
         F.col("__dropped").isNull().alias("keep"),
