@@ -198,19 +198,22 @@ def test_compaction_preserves_survivors_and_bounds_partitions(spark, tmp_path):
             )
     assert comp == plain
 
-    # store collapsed: base epoch=-2 plus the current epoch only
+    # store collapsed TIERED (r9): each compaction folds only the
+    # batch epochs since the previous base — base -1 holds epoch 0,
+    # base -2 holds epoch 1, the current epoch rides uncompacted;
+    # no batch partition survives, older bases stay immutable
     eps = sorted(
         int(d.split("=")[1])
         for d in os.listdir(comp_store)
         if d.startswith("epoch=")
     )
-    assert eps == [-2, 2]
+    assert eps == [-2, -1, 2]
     beps = sorted(
         int(d.split("=")[1])
         for d in os.listdir(comp_store + "_b")
         if d.startswith("epoch=")
     )
-    assert beps == [-2, 2]
+    assert beps == [-2, -1, 2]
 
     # a replayed compaction is a no-op
     compact_corpus_store(
@@ -390,4 +393,78 @@ def test_replayed_hll_compaction_preserves_committed_base(spark, tmp_path):
         for r in read_hll_store(spark, store).collect()
     }
     assert got == whole
+    docs.unpersist()
+
+
+def test_tiered_compaction_consolidates_at_max_bases(spark, tmp_path):
+    """r9 tiered compaction: each fold writes its own small base; when
+    max_bases committed generations exist the next fold CONSOLIDATES
+    (full merge) so partition count stays bounded. Verdicts must be
+    unaffected throughout (parity vs the never-compacted store)."""
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    parts = [docs.filter(F.col("doc_id") % 5 == i) for i in range(5)]
+
+    plain_store = str(tmp_path / "plain")
+    plain = [
+        _survivor_ids(ingest_batch(t, plain_store, epoch_id=i))
+        for i, t in enumerate(parts)
+    ]
+
+    store = str(tmp_path / "tiered")
+    got = []
+    for i, t in enumerate(parts):
+        got.append(_survivor_ids(ingest_batch(t, store, epoch_id=i)))
+        if i > 0:  # compact after every batch, max_bases=2
+            compact_corpus_store(spark, store, i, max_bases=2)
+    assert got == plain
+
+    def eps():
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(store)
+            if d.startswith("epoch=")
+        )
+
+    # compactions at 1,2 wrote tiered bases -1,-2; at 3 two committed
+    # bases existed -> consolidation merged everything into -3; at 4
+    # tiered again on top of -3
+    assert eps() == [-4, -3, 4]
+    # all rows accounted for: the folded store equals epochs 0..3
+    folded = spark.read.parquet(store).filter(F.col("epoch") < 0)
+    assert sorted(
+        r.src_epoch for r in folded.select("src_epoch").distinct().collect()
+    ) == [0, 1, 2, 3]
+    docs.unpersist()
+
+
+def test_tiered_retention_retires_expired_bases_whole(spark, tmp_path):
+    """With a retention horizon, an old generation whose newest row has
+    expired is DELETED as a directory — the constant-state mode never
+    pays a full-store rewrite."""
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    parts = [docs.filter(F.col("doc_id") % 5 == i) for i in range(5)]
+    store = str(tmp_path / "ret")
+    for i, t in enumerate(parts):
+        ingest_batch(t, store, epoch_id=i, retention_epochs=2)
+        if i > 0:
+            compact_corpus_store(
+                spark, store, i, retention_epochs=2, max_bases=100
+            )
+    eps = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(store)
+        if d.startswith("epoch=")
+    )
+    # base -e holds src e-1 only (compact-every-batch); with R=2 at
+    # epoch 4 every base whose newest src < 2 is gone: -1 (src 0) and
+    # -2 (src 1) retired whole, -3 (src 2) and -4 (src 3) live
+    assert eps == [-4, -3, 4]
     docs.unpersist()
