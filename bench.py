@@ -132,8 +132,36 @@ def main() -> None:
         "timed_passes": passes,
         "stat": "min",
     }
+    out.update(canary_fields(timings))
     out.update(bench_streaming(spark))
     print(json.dumps(out))
+
+
+# Drift canaries (r8 judge directive #3): three untouched,
+# stage-diverse queries — a window dedup, a scan-heavy agg, a two-hop
+# join. Their geomean is the run's box-speed unit; cross-round
+# comparisons use time/canary_geomean ratios, which cancel the
+# uniform 20-50% same-day box drift two rounds have now burned
+# re-measuring (VERDICT r7/r8 "Performance" sections).
+CANARIES = ("w1_dedup_latest", "q01_pricing_summary", "j2_two_hop_join")
+
+
+def canary_fields(timings: dict[str, float]) -> dict:
+    """Canary geomean + per-query drift-normalized ratios for any
+    timing dict that includes the canary trio."""
+    import math
+
+    present = [c for c in CANARIES if timings.get(c)]
+    if len(present) < len(CANARIES):
+        return {"canaries": {c: timings.get(c) for c in CANARIES}}
+    g = math.exp(sum(math.log(timings[c]) for c in CANARIES) / len(CANARIES))
+    return {
+        "canaries": {c: timings[c] for c in CANARIES},
+        "canary_geomean_sec": round(g, 4),
+        "queries_canary_ratio": {
+            n: round(t / g, 3) for n, t in timings.items()
+        },
+    }
 
 
 if __name__ == "__main__":

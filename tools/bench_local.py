@@ -33,14 +33,28 @@ def main() -> None:
             spark.read.parquet(p).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    # drift canaries run first in every invocation (r8 judge directive
+    # #3): their geomean is the run's box-speed unit, making BENCH_LOCAL
+    # rows comparable across rounds via time/canary ratios. Skippable
+    # for stage-isolated probes via SPARK_GRAFT_NO_CANARY=1.
+    from bench import CANARIES, canary_fields
+
     timings: dict[str, float] = {}
-    for name in names:
+    run_names = list(names)
+    if not os.environ.get("SPARK_GRAFT_NO_CANARY"):
+        run_names = [c for c in CANARIES if c not in names] + run_names
+    for name in run_names:
         t0 = time.perf_counter()
         QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
         release_caches()
         print(json.dumps({name: timings[name]}), flush=True)
-    print(json.dumps({"sf_dir": sf_dir, "queries_sec": timings}), flush=True)
+    out = {
+        "sf_dir": sf_dir,
+        "queries_sec": {n: timings[n] for n in names if n in timings},
+    }
+    out.update(canary_fields(timings))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
