@@ -459,6 +459,7 @@ def _compact_store(
     retention_epochs: int | None,
     incremental: bool = False,
     max_bases: int = 4,
+    fold_transform=None,
 ) -> None:
     """Fold one epoch-partitioned store (see compact_corpus_store for
     the crash-safety and tiering arguments). Shared by the MinHash
@@ -519,6 +520,11 @@ def _compact_store(
         if retention_epochs is not None:
             fold = fold.filter(eff >= epoch_id - retention_epochs)
         fold = fold.withColumn("src_epoch", eff.cast("long")).drop("epoch")
+        if fold_transform is not None:
+            # caller-supplied dead-row elimination (e.g. the substr
+            # positions store drops positions of already-repeated
+            # grams — provably never emitted again)
+            fold = fold_transform(fold)
         # one file per bucket (banded) / bounded file count (flat): a
         # partitionBy write from N shuffle partitions otherwise sprays
         # N × buckets tiny files into the base partition

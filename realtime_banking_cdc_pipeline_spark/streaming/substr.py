@@ -195,16 +195,47 @@ def compact_substr_store(
     contract verbatim (see corpus.compact_corpus_store): batch epochs
     since the newest committed base fold into a fresh base generation,
     expired generations retire whole under retention, a consolidating
-    full fold runs once per ``max_bases`` compactions otherwise."""
+    full fold runs once per ``max_bases`` compactions otherwise.
+
+    The positions fold additionally DROPS dead rows: a position whose
+    gram's in-horizon count is already >= 2 has retro-emitted (any two
+    in-horizon-at-fold occurrences were in each other's horizon when
+    the later one arrived, so the "newly repeated" transition fired)
+    and can never emit again — a later re-transition to "newly" would
+    require the horizon to first expire BOTH occurrences, which also
+    expires the position out of the retro-emission read. Only
+    singleton grams' positions stay, so the positions base is sized by
+    UNIQUE grams, not arrivals — in a high-duplication stream (the
+    regime this gate exists for) the base shrinks to near-nothing
+    (measured: 2M-doc probe, SCALE.md STREAM_SCALE r9)."""
     if epoch_id <= 0:
         raise ValueError("compaction epoch must be positive")
-    for sub in ("counts", "positions"):
-        path = os.path.join(store_path, sub)
-        if os.path.exists(path):
-            _compact_store(
-                spark, path, epoch_id, "bucket", retention_epochs,
-                incremental=incremental, max_bases=max_bases,
+    cnt_path = os.path.join(store_path, "counts")
+    pos_path = os.path.join(store_path, "positions")
+    if os.path.exists(cnt_path):
+        _compact_store(
+            spark, cnt_path, epoch_id, "bucket", retention_epochs,
+            incremental=incremental, max_bases=max_bases,
+        )
+    if os.path.exists(pos_path):
+        repeated = (
+            _hist_window(
+                spark.read.parquet(cnt_path), epoch_id, retention_epochs
             )
+            .groupBy("bucket", "g", "eff")
+            .agg(F.max("cnt").alias("cnt"))
+            .groupBy("bucket", "g")
+            .agg(F.sum("cnt").alias("cnt_h"))
+            .filter(F.col("cnt_h") >= 2)
+            .select("bucket", "g")
+        )
+        _compact_store(
+            spark, pos_path, epoch_id, "bucket", retention_epochs,
+            incremental=incremental, max_bases=max_bases,
+            fold_transform=lambda fold: fold.join(
+                repeated, ["bucket", "g"], "left_anti"
+            ),
+        )
 
 
 def start_substr_ingest(

@@ -164,3 +164,36 @@ def test_readstream_wrapper_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert _anchors(spark.read.parquet(out)) == _batch_truth(spark)
+
+
+def test_positions_fold_drops_dead_rows_keeps_retro(spark, tmp_path):
+    """The positions fold keeps ONLY singleton grams: positions of
+    already-repeated grams have retro-emitted and are dead. A gram
+    still singleton at fold time must survive the fold and retro-emit
+    when its repeat arrives AFTER the compaction."""
+    from pyspark.sql import Row
+
+    k_tok = " ".join(f"w{i}" for i in range(8))        # one k-gram
+    solo = " ".join(f"s{i}" for i in range(8))          # stays singleton
+    mk = lambda rows: spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in rows]
+    )
+    store = str(tmp_path / "store")
+    # epoch 0: doc 0 carries gram A (will repeat at epoch 2),
+    #          docs 1+2 both carry gram B (repeats immediately)
+    e0 = _anchors(
+        ingest_substr_batch(
+            mk([(0, k_tok), (1, solo), (2, solo)]), store, 0
+        )
+    )
+    assert {d for d, _ in e0} == {1, 2}  # B emitted, A singleton
+    compact_substr_store(spark, store, 1)
+    # positions base: gram B's rows dead -> only doc 0's gram A row
+    base = spark.read.parquet(
+        os.path.join(store, "positions", "epoch=-1")
+    )
+    assert {r.doc_id for r in base.select("doc_id").collect()} == {0}
+    # epoch 1 (post-fold): A repeats -> retro-emits doc 0's position
+    # from the pruned base plus the new doc's
+    e1 = _anchors(ingest_substr_batch(mk([(10, k_tok)]), store, 1))
+    assert {d for d, _ in e1} == {0, 10}
