@@ -49,6 +49,12 @@ from . import round9  # noqa: F401,E402  (capped SemDeDup family, paragraph dedu
 # + 44 r07-era re-proofs (every CORRECTNESS_r07 key not already
 #     re-proved inside the r08 window)
 # + agg_grouping_sets (r06-driver-verified once; fills the 50th slot).
+# Late-round registrations swap zero-sum against the re-proof cohort
+# (new-first wins the slot, house rule): x_bloom_skip_index entered
+# and x_embedding_centroids — r07-driver-verified, unmodified, strict
+# in every full sweep since — returned to the verified set; same swap
+# for x_mutual_knn_clusters (x_langid_eval returned) and
+# x_paragraph_profile (x_heldout_likelihood returned).
 # The exactly-50 pin is tested
 # (tests/test_properties.py::test_driver_window_is_exactly_fifty).
 # NOTE: a_approx_sketches (in this window) is rows-only BY DESIGN (no
@@ -83,12 +89,14 @@ _DRIVER_VERIFIED = frozenset({
     "x_contamination", "x_corpus_pipeline_v2", "x_cross_corpus_dedup",
     "x_curriculum_order", "x_dataset_manifest", "x_ddsketch_quantiles",
     "x_dedup_clusters", "x_dedup_clusters_star", "x_dedup_exact",
-    "x_dedup_keep_best", "x_domain_mix", "x_embedding_outliers",
+    "x_dedup_keep_best", "x_domain_mix", "x_embedding_centroids",
+    "x_embedding_outliers",
     "x_feature_hash_embed", "x_filter_threshold_sweep", "x_fingerprint",
     "x_fuzzy_pairs", "x_hll_overlap", "x_image_decode",
     "x_image_gif_stats", "x_image_png_stats", "x_image_resize",
     "x_importance_sample", "x_kcore", "x_kmv_distinct",
     "x_kmv_jaccard", "x_knn_classify", "x_label_centroids",
+    "x_langid_eval", "x_heldout_likelihood",
     "x_lang_id", "x_length_bucket_batching", "x_length_trim",
     "x_lsh_dedup_eval", "x_minhash_lsh_pairs", "x_minhash_signature",
     "x_multimodal_features", "x_ngram_counts", "x_ngram_jaccard_pairs",

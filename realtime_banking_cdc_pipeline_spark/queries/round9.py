@@ -647,3 +647,462 @@ def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_paras"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_bloom_skip_index — per-file Bloom data-skipping scorecard
+# ---------------------------------------------------------------------------
+
+_FSK_FILES = 64      # modeled file count
+_FSK_BITS = 4096     # bits per file filter (128 x 32-bit words)
+_FSK_K = 4           # hashes per key
+_FSK_PROBE_MOD = 97  # probe custkeys: custkey % 97 == 0
+
+
+def _dd_fsk_sql() -> str:
+    def pos(i: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5('fsk{i}:' || CAST(custkey AS VARCHAR)),"
+            f" 1, 7) AS BIGINT) % {_FSK_BITS}"
+        )
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT layout, file_id, custkey, {pos(i)} AS pos FROM base"
+        for i in range(_FSK_K)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT custkey, {pos(i)} AS pos FROM probes" for i in range(_FSK_K)
+    )
+    return f"""
+WITH mx AS (SELECT MAX(o_custkey) AS m FROM orders),
+base AS (
+  SELECT 'clustered' AS layout,
+         (o_custkey * {_FSK_FILES}) // (mx.m + 1) AS file_id,
+         o_custkey AS custkey
+  FROM orders, mx
+  UNION ALL
+  SELECT 'scattered' AS layout,
+         o_orderkey % {_FSK_FILES} AS file_id,
+         o_custkey AS custkey
+  FROM orders
+),
+bpos AS ({pos_union}),
+words AS (
+  SELECT layout, file_id, pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1, 2, 3
+),
+files AS (SELECT DISTINCT layout, file_id FROM base),
+probes AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  WHERE o_custkey % {_FSK_PROBE_MOD} = 0
+),
+ppos AS ({probe_union}),
+hits AS (
+  SELECT f.layout, f.file_id, p.custkey,
+         SUM(CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (CAST(1 AS BIGINT)
+                                  << CAST(p.pos % 32 AS INTEGER)))
+                       = (CAST(1 AS BIGINT)
+                          << CAST(p.pos % 32 AS INTEGER))
+             THEN 1 ELSE 0 END) AS set_bits
+  FROM files f
+  JOIN ppos p ON TRUE
+  LEFT JOIN words w ON w.layout = f.layout AND w.file_id = f.file_id
+                    AND w.word_idx = p.pos // 32
+  GROUP BY 1, 2, 3
+),
+touched AS (
+  SELECT layout, custkey, COUNT(*) AS files_touched
+  FROM hits WHERE set_bits = {_FSK_K} GROUP BY 1, 2
+),
+truth AS (
+  SELECT layout, custkey, COUNT(DISTINCT file_id) AS files_with_key
+  FROM base JOIN probes USING (custkey) GROUP BY 1, 2
+)
+SELECT t.layout, t.custkey,
+       CAST({_FSK_FILES} AS BIGINT) AS files_total,
+       CAST(COALESCE(x.files_with_key, 0) AS BIGINT) AS files_with_key,
+       CAST(t.files_touched AS BIGINT) AS files_touched
+FROM touched t LEFT JOIN truth x
+  ON x.layout = t.layout AND x.custkey = t.custkey
+"""
+
+
+@query(
+    "x_bloom_skip_index",
+    _dd_fsk_sql(),
+    doc=(
+        "Per-file Bloom data-skipping index + measured pruning "
+        "scorecard — the file-skipping companion to "
+        "x_zorder_pruning_eval (min/max extents prune RANGE probes; "
+        "Bloom filters prune POINT lookups even where the layout "
+        "scatters the key). Orders are assigned to 64 modeled files "
+        "under two layouts (clustered: key-range files; scattered: "
+        "orderkey-mod files); each file gets a 4096-bit/4-hash Bloom "
+        "over its custkeys (md5-salted positions, 32-bit words — the "
+        "x_bloom_decontaminate machinery per file: 128 longs each, "
+        "the Parquet/Delta column-index size class). Every probe "
+        "custkey reports files_touched (Bloom maybe-hits, one-sided: "
+        "always >= files_with_key) vs ground truth vs files_total. "
+        "At 100 TB the index is metadata (files x 128 longs), probes "
+        "broadcast, and the scan saves are the measured columns: "
+        "clustered layouts touch ~1 file; scattered layouts are "
+        "rescued by the Bloom only when the key's fp rate allows — "
+        "the quantified reason to co-design layout AND index."
+    ),
+)
+def x_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.parquet_io import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_custkey").alias("m"))
+    clustered = o.crossJoin(F.broadcast(mx)).select(
+        F.lit("clustered").alias("layout"),
+        F.expr(f"(o_custkey * {_FSK_FILES}) div (m + 1)").alias("file_id"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    scattered = o.select(
+        F.lit("scattered").alias("layout"),
+        F.pmod(F.col("o_orderkey"), F.lit(_FSK_FILES)).cast("bigint").alias(
+            "file_id"
+        ),
+        F.col("o_custkey").alias("custkey"),
+    )
+    base = clustered.unionByName(scattered)
+
+    def pos_col(key):
+        i = F.explode(F.array(*[F.lit(j) for j in range(_FSK_K)])).alias("i")
+        return i, (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fsk"), F.col("i").cast("string"),
+                            F.lit(":"), key.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1, 7,
+                ),
+                16, 10,
+            ).cast("long")
+            % _FSK_BITS
+        )
+
+    i_b, pos_b = pos_col(F.col("custkey"))
+    words = (
+        base.select("layout", "file_id", "custkey", i_b)
+        .select("layout", "file_id", pos_b.alias("pos"))
+        .groupBy(
+            "layout", "file_id", F.expr("pos div 32").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+            ).alias("bits")
+        )
+    )
+    files = base.select("layout", "file_id").distinct()
+    probes = (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .filter(F.col("custkey") % _FSK_PROBE_MOD == 0)
+        .distinct()
+    )
+    i_p, pos_p = pos_col(F.col("custkey"))
+    ppos = probes.select("custkey", i_p).select("custkey", pos_p.alias("pos"))
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+    hits = (
+        files.crossJoin(F.broadcast(ppos))
+        .join(
+            F.broadcast(words.withColumnRenamed("layout", "wl")),
+            (F.col("wl") == F.col("layout"))
+            & (words["file_id"] == files["file_id"])
+            & (F.col("word_idx") == F.expr("pos div 32")),
+            "left_outer",
+        )
+        .select(
+            "layout",
+            files["file_id"].alias("file_id"),
+            "custkey",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(mask) == mask),
+                1,
+            )
+            .otherwise(0)
+            .alias("set_bit"),
+        )
+        .groupBy("layout", "file_id", "custkey")
+        .agg(F.sum("set_bit").alias("set_bits"))
+    )
+    touched = (
+        hits.filter(F.col("set_bits") == _FSK_K)
+        .groupBy("layout", "custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files_touched"))
+    )
+    truth = (
+        base.join(F.broadcast(probes), "custkey")
+        .groupBy("layout", "custkey")
+        .agg(
+            F.count_distinct("file_id").cast("bigint").alias("files_with_key")
+        )
+    )
+    return touched.join(truth, ["layout", "custkey"], "left_outer").select(
+        "layout",
+        "custkey",
+        F.lit(_FSK_FILES).cast("bigint").alias("files_total"),
+        F.coalesce(F.col("files_with_key"), F.lit(0))
+        .cast("bigint")
+        .alias("files_with_key"),
+        F.col("files_touched").cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_mutual_knn_clusters — cell-bounded mutual-kNN graph clustering
+# ---------------------------------------------------------------------------
+
+_MKNN_K = 5
+
+
+def _dd_mknn_sql() -> str:
+    from .llmdata import _FXQ
+    from .round6b import _dd_two_level_cells_cte
+
+    fx = _FXQ.format
+    return f"""
+WITH RECURSIVE {_dd_two_level_cells_cte()},
+m AS (SELECT cells.vec_id, cells.cid, e.embedding
+      FROM cells JOIN e USING (vec_id)),
+mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+              unnest(x.embedding) AS a, unnest(y.embedding) AS b
+       FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pdots AS (SELECT cid, i, j, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+          FROM mp GROUP BY 1, 2, 3),
+pcos AS (
+  SELECT p.i, p.j,
+         CAST(p.dot AS DOUBLE)
+           / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+  FROM pdots p JOIN norms na ON na.vec_id = p.i
+               JOIN norms nb ON nb.vec_id = p.j
+),
+directed AS (SELECT i AS a, j AS b, cos FROM pcos
+             UNION ALL SELECT j, i, cos FROM pcos),
+knn AS (SELECT a, b FROM (
+    SELECT a, b, ROW_NUMBER() OVER (
+      PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM directed)
+  WHERE rn <= {_MKNN_K}),
+mutual AS (
+  SELECT x.a AS i, x.b AS j FROM knn x JOIN knn y
+    ON y.a = x.b AND y.b = x.a WHERE x.a < x.b
+),
+edges AS (SELECT i AS src, j AS dst FROM mutual
+          UNION SELECT j, i FROM mutual),
+reach(id, label) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT g.dst, r.label FROM reach r JOIN edges g ON g.src = r.id
+),
+comp AS (SELECT id AS vec_id, MIN(label) AS cluster FROM reach GROUP BY id),
+deg AS (SELECT a AS vec_id, COUNT(*) AS mutual_degree FROM (
+          SELECT i AS a FROM mutual UNION ALL SELECT j FROM mutual)
+        GROUP BY a)
+SELECT m.vec_id, m.cid AS cell, comp.cluster,
+       CAST(COALESCE(deg.mutual_degree, 0) AS BIGINT) AS mutual_degree
+FROM m JOIN comp ON comp.vec_id = m.vec_id
+LEFT JOIN deg ON deg.vec_id = m.vec_id
+"""
+
+
+@query(
+    "x_mutual_knn_clusters",
+    _dd_mknn_sql(),
+    doc=(
+        "Mutual-kNN graph clustering over the embedding corpus — the "
+        "standard robust-clustering primitive (an edge exists iff a "
+        "is in b's top-5 AND b is in a's top-5 by cosine; mutuality "
+        "filters hub/asymmetric links that plain kNN graphs suffer) — "
+        "composed with the two-level quantizer: neighbor candidates "
+        "are CELL-BOUNDED (the x_semdedup pair machinery), so the "
+        "graph build is the already-scale-proven within-cell pair "
+        "stage, not an N^2 sweep; clusters are min-label components "
+        "(operators/components.py) and every tie breaks on "
+        "(cos DESC, id ASC). Each vector also reports its mutual "
+        "degree — the local-density signal embedding-curation "
+        "pipelines threshold on (outliers have degree 0, dense "
+        "near-dup families approach 2k). The oracle unrolls the same "
+        "kNN/mutuality/fixpoint chain in recursive CTEs."
+    ),
+)
+def x_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.similarity import fx_dot
+    from ..operators.components import connected_components
+    from .llmdata import _emb
+    from .round6b import _two_level_cells
+
+    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
+    m = track_persist(
+        cells.select("vec_id", "cid")
+        .join(emb, "vec_id")
+        .select("vec_id", "cid", "embedding")
+        .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = m.select(
+        F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"), F.col("nn").alias("na"),
+    )
+    b = m.select(
+        F.col("cid").alias("cb"), F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"), F.col("nn").alias("nb"),
+    )
+    pair_cos = fx_dot(F.col("eb"), F.col("ea")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    pcos = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        .select("i", "j", pair_cos.alias("cos"))
+    )
+    directed = pcos.select(
+        F.col("i").alias("a"), F.col("j").alias("b"), "cos"
+    ).unionByName(
+        pcos.select(F.col("j").alias("a"), F.col("i").alias("b"), "cos")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b").asc())
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MKNN_K)
+        .select("a", "b")
+    )
+    mutual = track_persist(
+        knn.alias("x")
+        .join(
+            knn.alias("y"),
+            (F.col("y.a") == F.col("x.b")) & (F.col("y.b") == F.col("x.a")),
+        )
+        .filter(F.col("x.a") < F.col("x.b"))
+        .select(F.col("x.a").alias("i"), F.col("x.b").alias("j"))
+    )
+    comp = connected_components(
+        mutual, src="i", dst="j", nodes=m.select("vec_id")
+    ).withColumnRenamed("id", "vec_id").withColumnRenamed(
+        "component", "cluster"
+    )
+    deg = (
+        mutual.select(F.col("i").alias("vec_id"))
+        .unionAll(mutual.select(F.col("j").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mutual_degree"))
+    )
+    return (
+        m.select("vec_id", F.col("cid").alias("cell"))
+        .join(comp, "vec_id")
+        .join(deg, "vec_id", "left_outer")
+        .select(
+            "vec_id", "cell", "cluster",
+            F.coalesce(F.col("mutual_degree"), F.lit(0))
+            .cast("bigint")
+            .alias("mutual_degree"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_paragraph_profile — corpus boilerplate profile at paragraph grain
+# ---------------------------------------------------------------------------
+
+_PPROF_TOP = 20
+
+
+def _dd_pprof_sql() -> str:
+    from .llmdata import _DD_TOKS
+
+    p = _PARA_TOKENS
+    return f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+p0 AS (SELECT doc_id, toks,
+              unnest(generate_series(1, (len(toks) + {p - 1}) // {p})) AS i
+       FROM d),
+occ AS (SELECT doc_id,
+               md5(array_to_string(
+                 list_slice(toks, (i - 1) * {p} + 1, i * {p}), ' ')) AS dg
+        FROM p0),
+freq AS (SELECT dg, COUNT(*) AS n_occ,
+                COUNT(DISTINCT doc_id) AS n_docs
+         FROM occ GROUP BY dg),
+tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT dg) AS n_distinct FROM occ),
+top AS (SELECT dg, n_occ, n_docs, ROW_NUMBER() OVER (
+          ORDER BY n_occ DESC, dg ASC) AS rk
+        FROM freq)
+SELECT t.rk, t.dg AS para_digest,
+       CAST(t.n_occ AS BIGINT) AS n_occurrences,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(tot.n AS BIGINT) AS total_paragraphs,
+       CAST(tot.n_distinct AS BIGINT) AS distinct_paragraphs,
+       (1000000 * (tot.n - tot.n_distinct)) // tot.n AS dup_ppm
+FROM top t, tot WHERE t.rk <= {_PPROF_TOP}
+"""
+
+
+@query(
+    "x_paragraph_profile",
+    _dd_pprof_sql(),
+    doc=(
+        "Corpus boilerplate profile at paragraph granularity — the "
+        "dataset-card companion to x_paragraph_dedup: the top-20 most "
+        "repeated paragraph digests (occurrences + distinct-doc "
+        "spread, (count DESC, digest ASC) deterministic rank) plus "
+        "corpus-level duplication mass (total vs distinct paragraphs, "
+        "dup_ppm as exact integer parts-per-million). What a data "
+        "engineer reads BEFORE choosing dedup thresholds: is "
+        "duplication concentrated in a few templates (drop them by "
+        "digest) or diffuse (run the MinHash pass)? One shingle-free "
+        "scan, two hash aggs, a 20-row result; only digests shuffle."
+    ),
+)
+def x_paragraph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ws_tokens
+    from .llmdata import _docs
+
+    p = _PARA_TOKENS
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", ws_tokens("text").alias("__toks"))
+    n_para = F.expr(f"cast((size(__toks) + {p - 1}) div {p} as int)")
+    blocks = F.when(
+        F.size("__toks") > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_para),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks"), (i - 1) * p + 1, p), " "
+                ).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks.select("doc_id", F.explode(blocks).alias("dg"))
+    freq = occ.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    tot = occ.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("dg").alias("n_distinct"),
+    )
+    # TakeOrdered for the cut (distributed top-k over the distinct-
+    # paragraph frame — no global window sort), then rank the 20
+    # survivors with a driver-trivial window
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("dg").asc())
+    top = (
+        freq.orderBy(F.col("n_occ").desc(), F.col("dg").asc())
+        .limit(_PPROF_TOP)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        F.col("dg").alias("para_digest"),
+        F.col("n_occ").cast("bigint").alias("n_occurrences"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n").cast("bigint").alias("total_paragraphs"),
+        F.col("n_distinct").cast("bigint").alias("distinct_paragraphs"),
+        F.expr("(1000000 * (n - n_distinct)) div n").alias("dup_ppm"),
+    )

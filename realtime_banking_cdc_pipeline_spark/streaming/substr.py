@@ -35,10 +35,18 @@ judge's directive #8):
   drop and refold, rows keep ``src_epoch``.
 - **Retention horizon** (``retention_epochs``): the gate counts and
   emits only grams/positions whose epoch is inside the horizon, and
-  compaction retires expired generations as whole-directory deletes —
+  maintenance is RETIRE-ONLY (whole-directory deletes, no fold) —
   constant state for a constant arrival rate. Bounded lookback
   changes semantics EXACTLY as documented for the corpus store: a
   gram whose earlier occurrences have all expired counts as fresh.
+  One consequence worth naming: if a gram's history PARTIALLY expires
+  (count inside the horizon drops back below 2) and it then repeats
+  again, the "newly repeated" transition re-fires and re-emits its
+  still-in-horizon positions — anchor emission is exactly-once in
+  unbounded mode and at-least-once ACROSS horizon boundaries in
+  bounded mode (the downstream span merge is idempotent on anchors,
+  so verdicts are unaffected; measured as a ~1.3% duplicate-anchor
+  mass on the adversarial 2M-doc probe).
 - **Crash-debt immunity**: a crash between a base commit and source
   deletion leaves duplicate rows on disk. Count reads collapse them
   with a per-(g, epoch) MAX before summing (each (g, epoch) count is
@@ -197,31 +205,52 @@ def compact_substr_store(
     expired generations retire whole under retention, a consolidating
     full fold runs once per ``max_bases`` compactions otherwise.
 
-    The positions fold additionally DROPS dead rows: a position whose
-    gram's in-horizon count is already >= 2 has retro-emitted (any two
-    in-horizon-at-fold occurrences were in each other's horizon when
-    the later one arrived, so the "newly repeated" transition fired)
-    and can never emit again — a later re-transition to "newly" would
-    require the horizon to first expire BOTH occurrences, which also
-    expires the position out of the retro-emission read. Only
-    singleton grams' positions stay, so the positions base is sized by
-    UNIQUE grams, not arrivals — in a high-duplication stream (the
-    regime this gate exists for) the base shrinks to near-nothing
-    (measured: 2M-doc probe, SCALE.md STREAM_SCALE r9)."""
+    With a retention horizon the store needs NO fold at all — the
+    horizon already bounds live state, so maintenance is RETIRE-ONLY:
+    batch epochs (and any base generations) whose newest row has
+    expired are deleted as whole directories, zero rewrite, zero
+    Spark jobs. Partition count stays bounded at ~(retention +
+    compact_every) epochs. (The first r9 attempt folded under
+    retention too; the 2M-doc probe measured the fold at 80-138 s —
+    3-6x steady state — for state the horizon was about to retire
+    anyway. Measured retire-only run: SCALE.md STREAM_SCALE r9.)
+
+    Without retention (unbounded lookback), the tiered fold runs as
+    in the corpus store, and the positions fold additionally DROPS
+    dead rows: a position whose gram's folded count is already >= 2
+    has retro-emitted (the two occurrences were each other's trigger)
+    and with an unbounded horizon the gram can never transition to
+    "newly" again. Only singleton grams' positions survive the fold,
+    so the positions base is sized by UNIQUE singleton grams, not
+    arrivals — in a high-duplication stream the base shrinks to
+    near-nothing."""
     if epoch_id <= 0:
         raise ValueError("compaction epoch must be positive")
     cnt_path = os.path.join(store_path, "counts")
     pos_path = os.path.join(store_path, "positions")
+    if retention_epochs is not None:
+        import shutil
+
+        from .corpus import _epoch_ids
+
+        for path in (cnt_path, pos_path):
+            if not os.path.exists(path):
+                continue
+            for e in _epoch_ids(path):
+                newest = e if e >= 0 else -e - 1
+                if newest < epoch_id - retention_epochs:
+                    shutil.rmtree(
+                        os.path.join(path, f"epoch={e}"), ignore_errors=True
+                    )
+        return
     if os.path.exists(cnt_path):
         _compact_store(
-            spark, cnt_path, epoch_id, "bucket", retention_epochs,
+            spark, cnt_path, epoch_id, "bucket", None,
             incremental=incremental, max_bases=max_bases,
         )
     if os.path.exists(pos_path):
         repeated = (
-            _hist_window(
-                spark.read.parquet(cnt_path), epoch_id, retention_epochs
-            )
+            _hist_window(spark.read.parquet(cnt_path), epoch_id, None)
             .groupBy("bucket", "g", "eff")
             .agg(F.max("cnt").alias("cnt"))
             .groupBy("bucket", "g")
@@ -230,7 +259,7 @@ def compact_substr_store(
             .select("bucket", "g")
         )
         _compact_store(
-            spark, pos_path, epoch_id, "bucket", retention_epochs,
+            spark, pos_path, epoch_id, "bucket", None,
             incremental=incremental, max_bases=max_bases,
             fold_transform=lambda fold: fold.join(
                 repeated, ["bucket", "g"], "left_anti"

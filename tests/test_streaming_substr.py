@@ -118,8 +118,10 @@ def test_retention_horizon_bounds_gram_lookback(spark, tmp_path):
 
 
 def test_retention_compaction_retires_expired_generations(spark, tmp_path):
-    """Compaction with a horizon deletes expired generations whole and
-    keeps every live row reachable (counts still sum correctly)."""
+    """With a horizon, maintenance is RETIRE-ONLY: expired batch
+    epochs delete as whole directories (no fold, no base writes) and
+    live epochs stay untouched — the horizon itself is the state
+    bound."""
     docs = _docs(spark).cache()
     parts = [docs.filter(F.col("doc_id") % 5 == i) for i in range(5)]
     store = str(tmp_path / "store")
@@ -135,9 +137,9 @@ def test_retention_compaction_retires_expired_generations(spark, tmp_path):
             for d in os.listdir(os.path.join(store, sub))
             if d.startswith("epoch=")
         )
-        # base -e holds src e-1 only; with R=2 at epoch 4 bases -1/-2
-        # (src 0/1) retired whole; -3/-4 + live epoch 4 remain
-        assert eps == [-4, -3, 4]
+        # retire-only at epoch 4 with R=2: epochs < 2 deleted, no
+        # bases ever written; live partitions = 2, 3, 4
+        assert eps == [2, 3, 4]
     docs.unpersist()
 
 
