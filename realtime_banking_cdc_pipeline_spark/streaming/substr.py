@@ -177,13 +177,21 @@ def ingest_substr_batch(
     emitted = emitted.localCheckpoint(eager=True)
 
     # src_epoch rides in the batch rows too (not just compacted bases)
-    # so mixed base/batch reads see one schema — the corpus-store rule
-    cnt_b.withColumn("src_epoch", F.lit(int(epoch_id))).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(
+    # so mixed base/batch reads see one schema — the corpus-store rule.
+    # repartition ON the partition column first: partitionBy from the
+    # ~200 post-agg shuffle partitions otherwise sprays up to
+    # 200 x 64 tiny files PER EPOCH, and with retire-only maintenance
+    # (no fold ever rewrites them) the footer overhead compounds until
+    # history reads crawl — measured as 40-96 s late-run batches on
+    # the 2M-doc probe before this line (SCALE.md STREAM_SCALE r9)
+    cnt_b.repartition("bucket").withColumn(
+        "src_epoch", F.lit(int(epoch_id))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(cnt_path, f"epoch={int(epoch_id)}")
     )
-    _with_bucket(ng.select("g", "doc_id", "p")).withColumn(
+    _with_bucket(ng.select("g", "doc_id", "p")).repartition(
+        "bucket"
+    ).withColumn(
         "src_epoch", F.lit(int(epoch_id))
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(pos_path, f"epoch={int(epoch_id)}")
