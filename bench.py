@@ -151,9 +151,15 @@ def canary_fields(timings: dict[str, float]) -> dict:
     timing dict that includes the canary trio."""
     import math
 
-    present = [c for c in CANARIES if timings.get(c)]
+    # Presence is `in` + `> 0`, not truthiness: a canary that rounds to
+    # 0.0 sec would otherwise silently drop the geomean for the run.
+    present = [c for c in CANARIES if c in timings and timings[c] > 0]
     if len(present) < len(CANARIES):
-        return {"canaries": {c: timings.get(c) for c in CANARIES}}
+        return {
+            "canaries": {c: timings.get(c) for c in CANARIES},
+            "canary_note": "incomplete or non-positive canary timings; "
+            "geomean/ratios omitted",
+        }
     g = math.exp(sum(math.log(timings[c]) for c in CANARIES) / len(CANARIES))
     return {
         "canaries": {c: timings[c] for c in CANARIES},

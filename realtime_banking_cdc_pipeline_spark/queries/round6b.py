@@ -212,19 +212,24 @@ def _two_level_cells(spark: SparkSession, emb: DataFrame):
     return emb, cells
 
 
-def _dd_two_level_cells_cte() -> str:
+def _dd_two_level_cells_cte(src: str = "embeddings") -> str:
     """Shared oracle CTE chain deriving the two-level cell assignment —
     ends at ``cells (vec_id, cid, ccos)``; also defines ``e`` and
     ``norms`` for downstream pair stages. Exact SQL twin of
     :func:`_two_level_cells` (same adaptive k, same coarse rule, same
-    (cos DESC, id ASC) tiebreaks, same fixed-point cosine)."""
+    (cos DESC, id ASC) tiebreaks, same fixed-point cosine).
+
+    ``src`` names the (vec_id, embedding) relation the assignment runs
+    over — the raw ``embeddings`` table by default, or an earlier CTE
+    (e.g. the distinct-embedding ``reps`` contraction of
+    round9.x_mutual_knn_clusters)."""
     fx = _FXQ.format
-    return f"""nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM embeddings),
+    return f"""nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM {src}),
 nc AS (SELECT k, {_COARSE_CELLS_SQL} AS kc FROM nk),
-e AS (SELECT vec_id, embedding FROM embeddings),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nc
+e AS (SELECT vec_id, embedding FROM {src}),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM {src}, nc
       WHERE vec_id < nc.k),
-cc AS (SELECT vec_id AS ccid, embedding AS ccv FROM embeddings, nc
+cc AS (SELECT vec_id AS ccid, embedding AS ccv FROM {src}, nc
        WHERE vec_id < nc.kc),
 norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
           FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),

@@ -479,8 +479,16 @@ def _compact_store(
     if not existing:
         return
     base = os.path.join(path, f"epoch=-{int(epoch_id)}")
-    bases = _committed_bases(path)
-    if incremental and len(bases) >= max_bases and epoch_id not in bases:
+    # The consolidate-vs-tiered decision must be a pure function of the
+    # bases STRICTLY OLDER than this fold, so a replayed compaction
+    # reaches the same verdict as the original run. Deciding on the
+    # full committed set (the pre-r10 code) flipped a replayed
+    # consolidation back to tiered — the replay's cleanup then KEPT the
+    # older bases whose rows the committed base -epoch_id already
+    # holds, planting permanent duplicate rows in every future read and
+    # fold (ADVICE r9: consolidation-replay crash window).
+    bases = [b for b in _committed_bases(path) if b < epoch_id]
+    if incremental and len(bases) >= max_bases:
         # consolidation rung: too many generations — this fold merges
         # everything (amortized: once per max_bases compactions)
         incremental = False

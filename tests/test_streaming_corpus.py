@@ -468,3 +468,61 @@ def test_tiered_retention_retires_expired_bases_whole(spark, tmp_path):
     # -2 (src 1) retired whole, -3 (src 2) and -4 (src 3) live
     assert eps == [-4, -3, 4]
     docs.unpersist()
+
+
+def test_consolidation_replay_deletes_subsumed_bases(spark, tmp_path):
+    """ADVICE r9 crash window: a consolidating fold commits its base but
+    crashes before cleanup. The REPLAYED compaction must reach the same
+    consolidate verdict (decided on bases strictly older than the fold,
+    so the now-committed base -E cannot flip it back to tiered) and
+    delete the older bases whose rows base -E already holds — otherwise
+    the duplicates persist in every future read and fold."""
+    import realtime_banking_cdc_pipeline_spark.streaming.corpus as corpus_mod
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    parts = [docs.filter(F.col("doc_id") % 5 == i) for i in range(4)]
+    store = str(tmp_path / "crash")
+    for i, t in enumerate(parts[:3]):
+        ingest_batch(t, store, epoch_id=i)
+        if i > 0:  # bases -1, -2 committed; max_bases=2 from here on
+            compact_corpus_store(spark, store, i, max_bases=2)
+    ingest_batch(parts[3], store, epoch_id=3)
+
+    def eps():
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(store)
+            if d.startswith("epoch=")
+        )
+
+    assert eps() == [-2, -1, 2, 3]
+
+    # compaction at 3 consolidates (two prior bases >= max_bases) but
+    # "crashes" after committing base -3, before any cleanup
+    real_cleanup = corpus_mod._compact_cleanup
+    corpus_mod._compact_cleanup = lambda *a, **k: None
+    try:
+        compact_corpus_store(spark, store, 3, max_bases=2)
+    finally:
+        corpus_mod._compact_cleanup = real_cleanup
+    assert -3 in eps() and -1 in eps()  # crash state: base + stale history
+
+    # replay: must re-derive "consolidating" and clear the subsumed
+    # bases -1/-2 and batch epoch 2 without rewriting committed base -3
+    compact_corpus_store(spark, store, 3, max_bases=2)
+    assert eps() == [-3, 3]
+
+    # no duplicate signature rows anywhere in the store
+    hist = spark.read.parquet(store)
+    assert hist.count() == hist.distinct().count()
+    assert sorted(
+        r.src_epoch
+        for r in hist.filter(F.col("epoch") < 0)
+        .select("src_epoch")
+        .distinct()
+        .collect()
+    ) == [0, 1, 2]
+    docs.unpersist()
