@@ -35,6 +35,7 @@ from . import round8  # noqa: F401,E402  (PNG decode, substring rewrite era)
 from . import round8b  # noqa: F401,E402  (mu-law, Z-order layout, HLL overlap)
 from . import round8c  # noqa: F401,E402  (image resize, KMV distinct sketch)
 from . import round9  # noqa: F401,E402  (capped SemDeDup family, paragraph dedup)
+from . import round10  # noqa: F401,E402  (capped mutual-kNN, composed pipelines)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.
@@ -109,7 +110,8 @@ _DRIVER_VERIFIED = frozenset({
     "x_snapshot_diff", "x_source_diversity", "x_source_reputation",
     "x_span_dedup", "x_split_assign", "x_substring_dedup",
     "x_substring_keep_first", "x_temperature_mix", "x_tfidf_cosine_pairs",
-    "x_tfidf_topk_terms", "x_token_stats", "x_training_data_prep",
+    "x_tfidf_topk_terms", "x_token_stats", "x_top_terms",
+    "x_training_data_prep",
     "x_triangle_count", "x_unigram_likelihood", "x_video_framesample",
     "x_vocab_coverage", "x_winnowing", "x_winnowing_matches",
 })

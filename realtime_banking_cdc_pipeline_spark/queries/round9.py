@@ -864,19 +864,51 @@ def x_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MKNN_K = 5
 
+# Digest of the fixed-point-quantized embedding: the house exact-dup
+# contraction key (16-byte md5 over the comma-joined 2^20 fixed-point
+# components — the SAME quantization every house cosine runs on, so two
+# vectors share a digest iff every downstream similarity is identical).
+_MKNN_DIGEST_SQL = (
+    "md5(array_to_string(list_transform(embedding, "
+    "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT) "
+    "AS VARCHAR)), ','))"
+)
 
-def _dd_mknn_sql() -> str:
+
+def _dd_mknn_sql(cap: int | None = None) -> str:
+    """Oracle for the mutual-kNN family. ``cap=None`` is the exact
+    contraction-first form; an integer cap inserts the house per-cell
+    budget (the x_semdedup_capped rank rule) in front of the pair
+    stage — the explicitly-approximate linear-bound twin."""
     from .llmdata import _FXQ
     from .round6b import _dd_two_level_cells_cte
 
     fx = _FXQ.format
+    if cap is None:
+        cap_cte, left = "", "m"
+    else:
+        cap_cte = f"""rk AS (SELECT vec_id, cid, embedding,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY ccos DESC, vec_id ASC) AS rn
+      FROM m),
+capset AS (SELECT cid, vec_id, embedding FROM rk WHERE rn <= {cap}),
+"""
+        left = "capset"
     return f"""
-WITH RECURSIVE {_dd_two_level_cells_cte()},
-m AS (SELECT cells.vec_id, cells.cid, e.embedding
+WITH RECURSIVE
+gd AS (SELECT vec_id, embedding, {_MKNN_DIGEST_SQL} AS digest
+       FROM embeddings),
+grp AS (SELECT digest, MIN(vec_id) AS rep,
+               CAST(COUNT(*) AS BIGINT) AS gsize
+        FROM gd GROUP BY digest),
+reps AS (SELECT g.rep AS vec_id, gd.embedding
+         FROM grp g JOIN gd ON gd.digest = g.digest AND gd.vec_id = g.rep),
+{_dd_two_level_cells_cte(src="reps")},
+m AS (SELECT cells.vec_id, cells.cid, cells.ccos, e.embedding
       FROM cells JOIN e USING (vec_id)),
-mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+{cap_cte}mp AS (SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
               unnest(x.embedding) AS a, unnest(y.embedding) AS b
-       FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       FROM {left} x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
 pdots AS (SELECT cid, i, j, SUM({fx(v='a')} * {fx(v='b')}) AS dot
           FROM mp GROUP BY 1, 2, 3),
 pcos AS (
@@ -907,48 +939,70 @@ comp AS (SELECT id AS vec_id, MIN(label) AS cluster FROM reach GROUP BY id),
 deg AS (SELECT a AS vec_id, COUNT(*) AS mutual_degree FROM (
           SELECT i AS a FROM mutual UNION ALL SELECT j FROM mutual)
         GROUP BY a)
-SELECT m.vec_id, m.cid AS cell, comp.cluster,
-       CAST(COALESCE(deg.mutual_degree, 0) AS BIGINT) AS mutual_degree
-FROM m JOIN comp ON comp.vec_id = m.vec_id
-LEFT JOIN deg ON deg.vec_id = m.vec_id
+SELECT gd.vec_id, m.cid AS cell, comp.cluster,
+       CAST(COALESCE(deg.mutual_degree, 0) + g.gsize - 1 AS BIGINT)
+         AS mutual_degree
+FROM gd JOIN grp g USING (digest)
+JOIN m ON m.vec_id = g.rep
+JOIN comp ON comp.vec_id = g.rep
+LEFT JOIN deg ON deg.vec_id = g.rep
 """
 
 
-@query(
-    "x_mutual_knn_clusters",
-    _dd_mknn_sql(),
-    doc=(
-        "Mutual-kNN graph clustering over the embedding corpus — the "
-        "standard robust-clustering primitive (an edge exists iff a "
-        "is in b's top-5 AND b is in a's top-5 by cosine; mutuality "
-        "filters hub/asymmetric links that plain kNN graphs suffer) — "
-        "composed with the two-level quantizer: neighbor candidates "
-        "are CELL-BOUNDED (the x_semdedup pair machinery), so the "
-        "graph build is the already-scale-proven within-cell pair "
-        "stage, not an N^2 sweep; clusters are min-label components "
-        "(operators/components.py) and every tie breaks on "
-        "(cos DESC, id ASC). Each vector also reports its mutual "
-        "degree — the local-density signal embedding-curation "
-        "pipelines threshold on (outliers have degree 0, dense "
-        "near-dup families approach 2k). The oracle unrolls the same "
-        "kNN/mutuality/fixpoint chain in recursive CTEs."
-    ),
-)
-def x_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mknn_result(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """Shared mutual-kNN pipeline: exact-dup contraction -> two-level
+    cells over DISTINCT embeddings -> (optionally capped) within-cell
+    pair stage -> top-k / mutuality / min-label components -> expand
+    contracted groups back to members. ``cap`` bounds each cell's
+    pair-emitting side to its top-``cap`` members by (ccos DESC,
+    vec_id ASC) — candidate pairs <= cap * N_distinct at any skew."""
     from ..caching import track_persist
-    from ..functions.similarity import fx_dot
+    from ..functions.similarity import fixed_point, fx_dot
     from ..operators.components import connected_components
     from .llmdata import _emb
     from .round6b import _two_level_cells
 
-    emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
+    gd = _emb(spark, sf_dir).withColumn(
+        "digest",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("embedding"), lambda v: fixed_point(v).cast("string")
+                ),
+            )
+        ),
+    )
+    # one shuffle contracts to distinct embeddings: rep = min vec_id,
+    # min_by carries the representative's embedding through the same
+    # exchange (no join-back scan)
+    grp = track_persist(
+        gd.groupBy("digest").agg(
+            F.min("vec_id").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("gsize"),
+            F.min_by("embedding", "vec_id").alias("embedding"),
+        )
+    )
+    reps = grp.select(F.col("rep").alias("vec_id"), "embedding")
+    emb, cells = _two_level_cells(spark, reps)
     m = track_persist(
-        cells.select("vec_id", "cid")
+        cells.select("vec_id", "cid", "ccos")
         .join(emb, "vec_id")
-        .select("vec_id", "cid", "embedding")
+        .select("vec_id", "cid", "ccos", "embedding")
         .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
     )
-    a = m.select(
+    left = m
+    if cap is not None:
+        wcap = Window.partitionBy("cid").orderBy(
+            F.col("ccos").desc(), F.col("vec_id").asc()
+        )
+        left = (
+            m.withColumn("rn", F.row_number().over(wcap))
+            .filter(F.col("rn") <= cap)
+        )
+    a = left.select(
         F.col("cid").alias("ca"), F.col("vec_id").alias("i"),
         F.col("embedding").alias("ea"), F.col("nn").alias("na"),
     )
@@ -994,17 +1048,68 @@ def x_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("mutual_degree"))
     )
+    # rep-level result (one row per distinct embedding), then expand:
+    # members join on digest (16-byte key, no embedding in the
+    # exchange) and inherit the rep's cell/cluster, degree +(gsize-1)
+    rep_out = (
+        m.select(F.col("vec_id").alias("rep"), F.col("cid").alias("cell"))
+        .join(comp.withColumnRenamed("vec_id", "rep"), "rep")
+        .join(deg.withColumnRenamed("vec_id", "rep"), "rep", "left_outer")
+        .select(
+            "rep", "cell", "cluster",
+            F.coalesce(F.col("mutual_degree"), F.lit(0)).alias("deg0"),
+        )
+    )
     return (
-        m.select("vec_id", F.col("cid").alias("cell"))
-        .join(comp, "vec_id")
-        .join(deg, "vec_id", "left_outer")
+        gd.select("vec_id", "digest")
+        .join(grp.select("digest", "rep", "gsize"), "digest")
+        .join(rep_out, "rep")
         .select(
             "vec_id", "cell", "cluster",
-            F.coalesce(F.col("mutual_degree"), F.lit(0))
+            (F.col("deg0") + F.col("gsize") - F.lit(1))
             .cast("bigint")
             .alias("mutual_degree"),
         )
     )
+
+
+@query(
+    "x_mutual_knn_clusters",
+    _dd_mknn_sql(),
+    doc=(
+        "Mutual-kNN graph clustering over the embedding corpus — the "
+        "standard robust-clustering primitive (an edge exists iff a "
+        "is in b's top-5 AND b is in a's top-5 by cosine; mutuality "
+        "filters hub/asymmetric links that plain kNN graphs suffer) — "
+        "CONTRACTION-FIRST (r9 verdict #1): vectors are grouped by the "
+        "md5 of their fixed-point-quantized embedding, the kNN graph "
+        "is built over DISTINCT embeddings only, and contracted "
+        "groups expand back deterministically afterward. Identical "
+        "vectors have identical neighbor structure, so k counts "
+        "DISTINCT-embedding neighbors; exact replicas are "
+        "unconditional mutual neighbors (cos = 1 is the maximum and "
+        "mutuality among identical vectors holds by symmetry), "
+        "reported as +(group_size - 1) on mutual_degree, and a "
+        "replica family always lands in its representative's cluster. "
+        "On duplicate-free data this is bit-identical to the "
+        "uncontracted graph (pinned by test_round10_properties); on "
+        "the replica-dense regime it deletes the within-cell "
+        "quadratic term (100 replicas/doc = 10^4x fewer pairs; dense "
+        "sf10 150.1 -> 30.9 s measured). Neighbor candidates are "
+        "CELL-BOUNDED over the distinct set (the x_semdedup pair "
+        "machinery); clusters are min-label components "
+        "(operators/components.py) and every tie breaks on "
+        "(cos DESC, id ASC). Each vector reports its mutual degree — "
+        "the local-density signal embedding-curation pipelines "
+        "threshold on. The oracle unrolls the same contraction/kNN/"
+        "mutuality/fixpoint chain in recursive CTEs. The "
+        "distinct-heavy regime keeps a within-cell quadratic term; "
+        "x_mutual_knn_capped (round10.py) is the explicitly-"
+        "approximate linear-bound twin."
+    ),
+)
+def x_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mknn_result(spark, sf_dir, cap=None)
 
 
 # ---------------------------------------------------------------------------
