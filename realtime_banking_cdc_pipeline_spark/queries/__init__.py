@@ -101,12 +101,14 @@ _DRIVER_VERIFIED = frozenset({
     "x_image_decode", "x_kcore", "x_lang_id",
     "x_length_bucket_batching", "x_minhash_lsh_pairs", "x_minhash_signature",
     "x_multimodal_features", "x_ngram_jaccard_pairs", "x_ngram_novelty",
-    "x_pack_sequences", "x_paragraph_dedup", "x_paragraph_profile",
+    "x_pack_sequences", "x_paragraph_profile",
     "x_pii_redact", "x_pmi_cooccurrence", "x_quality_classifier",
     "x_quality_score", "x_quality_stratified_trim", "x_rank_fusion_rrf",
-    "x_repetition", "x_semdedup", "x_semdedup_diverse",
+    "x_repetition", "x_reservoir_sample", "x_semdedup",
+    "x_semdedup_diverse",
     "x_semdedup_diverse_capped", "x_semdedup_keep_best", "x_semdedup_keep_best_capped",
     "x_semdedup_refined", "x_semdedup_refined_capped", "x_simhash",
+    "x_simhash_dedup_pairs",
     "x_snapshot_diff", "x_source_diversity", "x_source_reputation",
     "x_span_dedup", "x_split_assign", "x_substring_dedup",
     "x_substring_keep_first", "x_temperature_mix", "x_tfidf_cosine_pairs",

@@ -51,3 +51,172 @@ from .round8 import _SEM_CAP as _MKNN_CAP  # noqa: E402
 )
 def x_mutual_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mknn_result(spark, sf_dir, cap=_MKNN_CAP)
+
+
+# ---------------------------------------------------------------------------
+# x_corpus_pipeline_v4 — clean -> exact -> paragraph -> near-dup -> pack
+# ---------------------------------------------------------------------------
+
+
+def _dd_pipeline_v4_sql() -> str:
+    from ..functions.similarity import MINHASH_PERMS
+    from .llmdata import (
+        _DD_CLEAN,
+        _DD_NTOK,
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        _PREP_MATCH_MIN,
+        _dd_minhash_cte,
+    )
+    from .round9 import _dd_para_sql
+
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    return f"""
+WITH cleaned AS (SELECT doc_id, {_DD_CLEAN} AS ct FROM documents),
+canon AS (SELECT ct, MIN(doc_id) AS doc_id FROM cleaned GROUP BY ct),
+survdocs AS (SELECT c.doc_id, c.ct AS text
+             FROM cleaned c JOIN (SELECT doc_id FROM canon) s USING (doc_id)),
+par AS ({_dd_para_sql(src="survdocs")}),
+pdocs AS (SELECT doc_id, clean_text AS text FROM par WHERE clean_text <> ''),
+{_dd_minhash_cte(src="pdocs")},
+banded AS (SELECT doc_id, {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+near_removed AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({or_cond})
+  WHERE {match_sum} >= {_PREP_MATCH_MIN}
+),
+keptdocs AS (SELECT p.doc_id, p.text FROM pdocs p
+             LEFT JOIN near_removed nr ON nr.doc_id = p.doc_id
+             WHERE nr.doc_id IS NULL),
+t AS (SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             {_DD_NTOK} AS n_tokens
+      FROM keptdocs),
+packed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+           AS seq_start
+  FROM t
+)
+SELECT d.doc_id,
+       CASE WHEN s.doc_id IS NULL THEN 'exact_dup'
+            WHEN p.clean_text = '' THEN 'empty'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CAST(p.n_removed AS BIGINT) AS n_paras_removed,
+       CAST(pk.n_tokens AS BIGINT) AS n_tokens,
+       CAST(pk.seq_start // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(pk.seq_start % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM canon) s ON s.doc_id = d.doc_id
+LEFT JOIN par p ON p.doc_id = d.doc_id
+LEFT JOIN near_removed nr ON nr.doc_id = d.doc_id
+LEFT JOIN packed pk ON pk.doc_id = d.doc_id
+"""
+
+
+@query(
+    "x_corpus_pipeline_v4",
+    _dd_pipeline_v4_sql(),
+    bench=True,
+    doc=(
+        "End-to-end corpus prep v4 (r9 judge directive #5): the "
+        "granularities run TOGETHER in production order — clean "
+        "(x_clean_normalize chain) -> exact dedup on cleaned text "
+        "(min-id canonical) -> PARAGRAPH near-dup dedup of survivors "
+        "(the x_paragraph_dedup stage: rebuilt per-doc text with "
+        "boilerplate paragraphs removed) -> doc-level MinHash-LSH "
+        "near-dup removal over the REBUILT text (signatures computed "
+        "post-paragraph-rebuild, the order-of-stages surface this "
+        "composition exists to pin) -> sequence packing of kept docs "
+        "(x_pack_sequences shard running sum, 2048-token bins). "
+        "Statuses: exact_dup -> empty (all paragraphs were earlier "
+        "occurrences) -> near_dup -> kept; n_paras_removed carried "
+        "for every doc that reached the paragraph stage, pack "
+        "coordinates for kept docs only. Every stage is the "
+        "registered operator's exact machinery (paragraph_dedup_frame "
+        "/ minhash_signature / lsh_band_pairs), so the composition "
+        "shares their plan shapes: digest-only wide exchanges in the "
+        "paragraph stage, banded candidate joins, shard-partitioned "
+        "running sums — no global sort anywhere."
+    ),
+)
+def x_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..caching import track_persist
+    from ..functions.similarity import MINHASH_PERMS, lsh_band_pairs, minhash_signature
+    from ..functions.text import clean_text, ws_token_count
+    from .llmdata import _PACK_BUDGET, _PACK_SHARDS, _PREP_MATCH_MIN, _docs
+    from .round9 import paragraph_dedup_frame
+
+    d = _docs(spark, sf_dir)
+    cleaned = track_persist(d.select("doc_id", clean_text("text").alias("ct")))
+    canon = cleaned.groupBy("ct").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    surv_docs = cleaned.join(canon, "doc_id").select(
+        "doc_id", F.col("ct").alias("text")
+    )
+    par = track_persist(paragraph_dedup_frame(surv_docs))
+    pdocs = par.filter(F.col("clean_text") != "").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    sig = minhash_signature(pdocs, "doc_id", "text", k=3)
+    near_removed = (
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
+        .filter(F.col("n_matching") >= _PREP_MATCH_MIN)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = pdocs.join(near_removed, "doc_id", "left_anti")
+    t = kept.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        ws_token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = t.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("seq_start"),
+    )
+    return (
+        d.select("doc_id")
+        .join(canon.withColumn("__s", F.lit(True)), "doc_id", "left")
+        .join(
+            par.select("doc_id", "clean_text", "n_removed"), "doc_id", "left"
+        )
+        .join(
+            near_removed.withColumn("__n", F.lit(True)), "doc_id", "left"
+        )
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__s").isNull(), "exact_dup")
+            .when(F.col("clean_text") == "", "empty")
+            .when(F.col("__n").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+            F.col("n_removed").cast("bigint").alias("n_paras_removed"),
+            F.col("n_tokens"),
+            F.floor(F.col("seq_start") / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("bin_id"),
+            (F.col("seq_start") % _PACK_BUDGET).cast("bigint").alias("bin_offset"),
+        )
+    )

@@ -417,7 +417,7 @@ _PARA_KEY_BITS = 20  # occurrence key = doc_id * 2^20 + paragraph idx
 # (assumes < 2^20 paragraphs/doc = ~21M tokens, and doc_id < 2^43)
 
 
-def _dd_para_sql() -> str:
+def _dd_para_sql(src: str = "documents") -> str:
     from ..functions.similarity import MINHASH_PERMS, MINHASH_PRIME, minhash_coeffs
     from .llmdata import _DD_TOKS, _dd_md5_long, _dd_shingles
 
@@ -436,7 +436,7 @@ def _dd_para_sql() -> str:
     or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
     p, key = _PARA_TOKENS, 1 << _PARA_KEY_BITS
     return f"""
-WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM {src}),
 p0 AS (SELECT doc_id, toks,
               unnest(generate_series(1, (len(toks) + {p - 1}) // {p})) AS i
        FROM d),
@@ -491,7 +491,7 @@ SELECT dd.doc_id,
        CAST(COALESCE(c.n_paras, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
          AS n_removed,
        CAST(COALESCE(c.n_paras, 0) AS BIGINT) AS n_paras
-FROM documents dd
+FROM {src} dd
 LEFT JOIN counts c ON c.doc_id = dd.doc_id
 LEFT JOIN rebuilt r ON r.doc_id = dd.doc_id
 """
@@ -526,6 +526,16 @@ LEFT JOIN rebuilt r ON r.doc_id = dd.doc_id
     ),
 )
 def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata import _docs
+
+    return paragraph_dedup_frame(_docs(spark, sf_dir))
+
+
+def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
+    """Paragraph-granularity near-dup removal over any (doc_id, text)
+    frame — the x_paragraph_dedup machinery, reusable as a pipeline
+    stage (x_corpus_pipeline_v4 runs it on exact-dedup survivors).
+    Returns (doc_id, clean_text, n_removed, n_paras)."""
     from ..caching import track_persist
     from ..functions.similarity import (
         banded_keys,
@@ -533,10 +543,8 @@ def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature,
     )
     from ..functions.text import ws_tokens
-    from .llmdata import _docs
 
     p = _PARA_TOKENS
-    d = _docs(spark, sf_dir)
     toks = d.select("doc_id", ws_tokens("text").alias("__toks"))
     n_para = F.expr(f"cast((size(__toks) + {p - 1}) div {p} as int)")
     blocks = F.when(
