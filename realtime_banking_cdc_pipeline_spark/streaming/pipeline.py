@@ -1,0 +1,342 @@
+"""Composed streaming pretraining-ingest pipeline (r9 judge directive
+#4): the five individually-proven store tiers chained in ONE
+``foreachBatch``, per micro-batch::
+
+    exact gate (Bloom seen-set + within-batch min-id dedup)
+      -> ExactSubstr boilerplate accounting (gram counts/positions store)
+      -> near-dup gate (MinHash corpus store, band-partitioned)
+      -> semantic gate (two-level codebook cell store)
+    with monitors alongside on the raw batch:
+      HLL distinct-text, CMS first-token heavy hitters,
+      DDSketch token-count quantiles
+
+This is the streaming twin of ``x_corpus_pipeline_v3/v4``: the batch
+pipeline's filter-then-dedup production order, run incrementally with
+bounded state. Every stage is the SAME function its standalone suite
+proves (``metrics.bloom_gate_batch``, ``substr.ingest_substr_batch``,
+``corpus.ingest_batch``, ``semantic.semantic_ingest_batch``,
+``metrics.update_{hll,cms,dds}_store``); this module only owns the
+composition: who feeds whom, epoch propagation, per-epoch output
+overwrites, and the maintenance cadence.
+
+Composition semantics worth pinning (and pinned by
+tests/test_streaming_pipeline.py):
+
+- **Exact stage** = Bloom probe against STRICTLY EARLIER epochs (the
+  exactly-once verdict contract of ``bloom_gate_batch``) PLUS a
+  within-batch min-``doc_id``-per-text dedup — the bloom store alone
+  cannot see a duplicate that arrives in the same batch as its
+  original, and with the within-batch rule the stage is
+  batching-invariant for id-ordered arrivals (the availableNow
+  fixture guarantee). One-sided: a seen text is always dropped; fresh
+  text is dropped at the (md5-deterministic) false-positive rate of
+  the configured filter size.
+- **Substr stage** is accounting, not gating: the batch's emitted
+  anchors (which may retroactively cover earlier-epoch docs — the
+  store's documented retro contract) merge into spans and land in
+  ``out/substr/epoch=<e>``; docs proceed regardless.
+- **Gates compose on survivors**: substr/near-dup/semantic stages see
+  only rows the previous gates kept (filter-then-dedup, the
+  x_corpus_pipeline_v3 order), so store growth is bounded by the
+  SURVIVOR stream, not the raw stream — at 100 TB the exact gate in
+  front is what keeps the MinHash/semantic stores at
+  distinct-content scale.
+- **Replay**: every stage writes only its own ``epoch=<e>`` partition
+  (overwrite) and probes strictly-earlier state, so a replayed batch
+  reproduces every verdict and file bit-for-bit.
+
+Reference parity: the reference's streaming tier is a Kafka consumer
+writing raw envelopes (consumer/kafka_to_minio.py:15-24); the dedup
+composition itself has no reference twin — it is the
+LLM-training-data extension the build brief names first-class,
+composed from the operators SURVEY.md §2.8 already covers.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import compact_corpus_store, ingest_batch
+from .metrics import (
+    bloom_gate_batch,
+    compact_bloom_store,
+    compact_cms_store,
+    compact_dds_store,
+    compact_hll_store,
+    update_cms_store,
+    update_dds_store,
+    update_hll_store,
+)
+from .semantic import compact_semantic_store, semantic_ingest_batch
+from .substr import compact_substr_store, ingest_substr_batch
+
+_PIPE_BLOOM_BITS = 1 << 17  # ~16 KiB filter: <1% fp to ~13k seen texts
+
+
+def _paths(root: str) -> dict[str, str]:
+    return {
+        "bloom": os.path.join(root, "bloom_store"),
+        "substr": os.path.join(root, "substr_store"),
+        "corpus": os.path.join(root, "corpus_store"),
+        "corpus_banded": os.path.join(root, "corpus_store_banded"),
+        "semantic": os.path.join(root, "semantic_store"),
+        "codebook": os.path.join(root, "codebook"),
+        "hll": os.path.join(root, "hll_store"),
+        "cms": os.path.join(root, "cms_store"),
+        "dds": os.path.join(root, "dds_store"),
+        "out": os.path.join(root, "out"),
+    }
+
+
+def synth_embedding(text_col, dim: int = 8):
+    """Deterministic md5-derived pseudo-embedding for corpora that ship
+    no model embeddings (the scale probes): component j =
+    (md5(text || ':' || j) first 7 hex digits as int) / 16^7 * 2 - 1,
+    in (-1, 1). Pure JVM exprs — no UDF in the 2M-doc hot path."""
+    comps = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(text_col, F.lit(f":{j}"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**7))
+            * 2.0
+            - 1.0
+        ).cast("float")
+        for j in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def pipeline_batch(
+    batch_docs: DataFrame,
+    root: str,
+    epoch_id: int,
+    retention_epochs: int | None = None,
+    bloom_bits: int = _PIPE_BLOOM_BITS,
+    per_cell_budget: int | None = None,
+    match_min: int | None = None,
+    semantic_threshold: float | None = None,
+    timings: dict | None = None,
+) -> DataFrame:
+    """Run ONE micro-batch through the composed chain; returns the
+    final survivor rows (doc_id, text, embedding). Side effects: all
+    five stores gain the batch's ``epoch=<epoch_id>`` partitions, and
+    ``out/{survivors,substr}/epoch=<epoch_id>`` hold the batch's
+    survivor ids and boilerplate span accounting (overwrite — replay
+    rewrites them identically). ``timings`` (optional dict) collects
+    per-stage wall seconds for the scale probes; stages end in real
+    actions (store writes / localCheckpoints), so the split is
+    meaningful, with any residual laziness landing in the next stage.
+    """
+    from ..queries.round7 import _merge_anchor_islands
+
+    p = _paths(root)
+    e = int(epoch_id)
+
+    def mark(name: str, t0: float) -> None:
+        if timings is not None:
+            timings[name] = timings.get(name, 0.0) + (time.time() - t0)
+
+    if "embedding" not in batch_docs.columns:
+        batch_docs = batch_docs.withColumn(
+            "embedding", synth_embedding(F.col("text"))
+        )
+    batch = batch_docs.select("doc_id", "text", "embedding").localCheckpoint(
+        eager=True
+    )
+
+    # --- exact gate -----------------------------------------------------
+    t0 = time.time()
+    flags = bloom_gate_batch(
+        batch, p["bloom"], "doc_id", "text", epoch_id=e, bits=bloom_bits
+    )
+    firsts = batch.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv1 = (
+        batch.join(
+            flags.filter(~F.col("maybe_seen")).select("doc_id"), "doc_id"
+        )
+        .join(firsts.select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    mark("exact", t0)
+
+    # --- ExactSubstr accounting ------------------------------------------
+    t0 = time.time()
+    anchors = ingest_substr_batch(
+        surv1.select("doc_id", "text"),
+        p["substr"],
+        epoch_id=e,
+        retention_epochs=retention_epochs,
+    )
+    spans = _merge_anchor_islands(anchors)
+    (
+        spans.groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("bigint").alias("boiler_tokens"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(p["out"], "substr", f"epoch={e}"))
+    )
+    mark("substr", t0)
+
+    # --- near-dup gate ----------------------------------------------------
+    t0 = time.time()
+    kwargs = {} if match_min is None else {"match_min": match_min}
+    surv2_ids = ingest_batch(
+        surv1.select("doc_id", "text"),
+        p["corpus"],
+        epoch_id=e,
+        banded_store_path=p["corpus_banded"],
+        retention_epochs=retention_epochs,
+        **kwargs,
+    ).select("doc_id")
+    surv2 = surv1.join(surv2_ids, "doc_id").localCheckpoint(eager=True)
+    mark("neardup", t0)
+
+    # --- semantic gate ------------------------------------------------------
+    t0 = time.time()
+    sem_kwargs = (
+        {} if semantic_threshold is None
+        else {"threshold": semantic_threshold}
+    )
+    kept_vecs = semantic_ingest_batch(
+        surv2.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        p["semantic"],
+        p["codebook"],
+        epoch_id=e,
+        retention_epochs=retention_epochs,
+        per_cell_budget=per_cell_budget,
+        **sem_kwargs,
+    ).select(F.col("vec_id").alias("doc_id"))
+    survivors = surv2.join(kept_vecs, "doc_id").localCheckpoint(eager=True)
+    survivors.select("doc_id").write.mode("overwrite").parquet(
+        os.path.join(p["out"], "survivors", f"epoch={e}")
+    )
+    mark("semantic", t0)
+
+    # --- monitors alongside (raw batch, pre-gate corpus view) -------------
+    t0 = time.time()
+    update_hll_store(
+        batch.withColumn("metric", F.lit("docs")),
+        p["hll"],
+        "metric",
+        "text",
+        epoch_id=e,
+    )
+    update_cms_store(
+        batch.select(
+            F.element_at(F.split(F.trim("text"), " +"), 1).alias("term")
+        ),
+        p["cms"],
+        "term",
+        epoch_id=e,
+    )
+    update_dds_store(
+        batch.select(
+            F.size(F.split(F.trim("text"), " +")).cast("long").alias("v")
+        ),
+        p["dds"],
+        "v",
+        epoch_id=e,
+    )
+    mark("monitors", t0)
+    return survivors
+
+
+def compact_pipeline_stores(
+    spark: SparkSession,
+    root: str,
+    epoch_id: int,
+    retention_epochs: int | None = None,
+) -> None:
+    """One maintenance pass over all five tiers at the shared cadence —
+    each store's own proven compaction (tiered corpus fold, retire-only
+    substr under retention, sketch folds)."""
+    p = _paths(root)
+    e = int(epoch_id)
+    if os.path.exists(p["bloom"]):
+        compact_bloom_store(spark, p["bloom"], e)
+    if os.path.exists(p["substr"]):
+        compact_substr_store(
+            spark, p["substr"], e, retention_epochs=retention_epochs
+        )
+    if os.path.exists(p["corpus"]):
+        compact_corpus_store(
+            spark,
+            p["corpus"],
+            e,
+            banded_store_path=p["corpus_banded"],
+            retention_epochs=retention_epochs,
+        )
+    if os.path.exists(p["semantic"]):
+        compact_semantic_store(
+            spark, p["semantic"], e, retention_epochs=retention_epochs
+        )
+    for store, fn in (
+        ("hll", compact_hll_store),
+        ("cms", compact_cms_store),
+        ("dds", compact_dds_store),
+    ):
+        if os.path.exists(p[store]):
+            fn(spark, p[store], e)
+
+
+def start_pipeline_ingest(
+    spark: SparkSession,
+    src_path: str,
+    root: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int = 1,
+    compact_every: int | None = 8,
+    retention_epochs: int | None = None,
+    per_cell_budget: int | None = None,
+    match_min: int | None = None,
+    semantic_threshold: float | None = None,
+    on_batch_done=None,
+):
+    """File-source streaming wrapper: each discovered file is one
+    micro-batch through the composed chain. availableNow drains the
+    backlog then stops (the batch-parity mode the tests use); drop the
+    trigger for a continuous tail. ``on_batch_done(epoch, seconds,
+    stage_timings)`` is the probe hook."""
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        t0 = time.time()
+        timings: dict = {}
+        pipeline_batch(
+            batch_df,
+            root,
+            epoch_id=epoch,
+            retention_epochs=retention_epochs,
+            per_cell_budget=per_cell_budget,
+            match_min=match_min,
+            semantic_threshold=semantic_threshold,
+            timings=timings,
+        )
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            t1 = time.time()
+            compact_pipeline_stores(
+                spark, root, epoch, retention_epochs=retention_epochs
+            )
+            timings["compaction"] = time.time() - t1
+        if on_batch_done is not None:
+            on_batch_done(int(epoch), time.time() - t0, timings)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,222 @@
+"""Composed streaming ingest pipeline (streaming/pipeline.py): the
+five proven store tiers chained in one foreachBatch. Pins the three
+composition contracts the standalone suites cannot see:
+
+1. stage semantics end-to-end — planted exact / near-dup / semantic
+   duplicate families each die at their stage, originals survive;
+2. micro-batched == one-shot survivors (fixed codebook, id-ordered
+   arrivals — the documented batching-invariance conditions);
+3. whole-chain replay idempotence — re-running an epoch reproduces
+   survivors, accounting output, and every store verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from realtime_banking_cdc_pipeline_spark.streaming.pipeline import (
+    _paths,
+    pipeline_batch,
+    start_pipeline_ingest,
+)
+from realtime_banking_cdc_pipeline_spark.streaming.semantic import (
+    train_codebook,
+)
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = "doc_id bigint, text string, embedding array<float>"
+SEM_THRESHOLD = 0.95  # only exact-embedding plants collide (cos = 1)
+
+
+def _base_rows(spark, n=40):
+    docs = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return [
+        (r.doc_id, r.text, [float(x) for x in r.embedding])
+        for r in docs.join(emb, "doc_id").orderBy("doc_id").collect()
+    ]
+
+
+def _planted(rows):
+    """Three duplicate families, each targeting exactly one stage."""
+    by_id = {r[0]: r for r in rows}
+    spare = by_id[39]  # embedding donor for text-level plants
+    exact = (1003, by_id[3][1], spare[2])  # same text as doc 3
+    near = (1006, by_id[6][1] + " extra", spare[2])  # near-dup of doc 6
+    # semantic plant: doc 10's embedding verbatim, text = reversed
+    # token order (different shingles -> passes exact and near-dup)
+    sem_text = " ".join(reversed(by_id[10][1].split()))
+    sem = (1010, sem_text, by_id[10][2])
+    return [exact, near, sem]
+
+
+def _write_stream_files(rows_per_file, src_dir):
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(rows_per_file):
+        with open(os.path.join(src_dir, f"part-{i:03d}.json"), "w") as f:
+            for doc_id, text, emb in rows:
+                f.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "text": text, "embedding": emb}
+                    )
+                    + "\n"
+                )
+
+
+def _survivor_ids(spark, root):
+    out = os.path.join(_paths(root)["out"], "survivors")
+    return sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+
+
+def _run(spark, src, root, ckpt, **kw):
+    q = start_pipeline_ingest(
+        spark,
+        src,
+        root,
+        ckpt,
+        SCHEMA,
+        semantic_threshold=SEM_THRESHOLD,
+        **kw,
+    )
+    q.awaitTermination(600)
+
+
+def test_pipeline_stage_semantics(spark, tmp_path):
+    """Batch 1 = 40 originals; batch 2 = 3 plants + 2 fresh docs. Each
+    plant dies at its stage; the fresh docs and (modulo semantic
+    collisions among originals, excluded by the 0.95 threshold) the
+    originals survive."""
+    rows = _base_rows(spark)
+    plants = _planted(rows)
+    dim = len(rows[0][2])
+    fresh = [
+        (
+            2001,
+            "totally fresh content about nothing seen before alpha",
+            [((j * 37 + 11) % 19 - 9) / 10.0 for j in range(dim)],
+        ),
+        (
+            2002,
+            "another genuinely new document beta gamma delta epsilon",
+            [((j * 53 + 29) % 17 - 8) / 10.0 for j in range(dim)],
+        ),
+    ]
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "root")
+    _write_stream_files([rows, plants + fresh], src)
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+        ),
+        _paths(root)["codebook"],
+    )
+    _run(spark, src, root, str(tmp_path / "ckpt"))
+
+    ids = set(_survivor_ids(spark, root))
+    assert 1003 not in ids, "exact plant must die at the exact gate"
+    assert 1006 not in ids, "near plant must die at the near-dup gate"
+    assert 1010 not in ids, "semantic plant must die at the semantic gate"
+    assert 2001 in ids and 2002 in ids, "fresh docs must survive"
+    # embedding-donor originals survive: sem threshold 0.95 means the
+    # shared donor embedding of the text plants cannot drop doc 39
+    assert {3, 6, 10, 39} <= ids
+    # substr accounting exists for every epoch
+    sub = spark.read.parquet(os.path.join(_paths(root)["out"], "substr"))
+    assert sub.columns == ["boiler_tokens", "doc_id"] or set(
+        sub.columns
+    ) >= {"doc_id", "boiler_tokens"}
+
+
+def test_pipeline_micro_vs_oneshot(spark, tmp_path):
+    """4-file micro-batched run == one-batch run on the same corpus,
+    under a fixed pre-trained codebook (the semantic store's documented
+    parity condition) and id-ordered arrivals."""
+    rows = _base_rows(spark)
+    plants = _planted(rows)
+    all_rows = rows + plants  # id order: originals then plants
+    quarters = [all_rows[i::4] for i in range(4)]
+    # keep id-ordered arrivals: slice sequentially instead
+    n = len(all_rows)
+    step = (n + 3) // 4
+    quarters = [all_rows[i : i + step] for i in range(0, n, step)]
+
+    emb_df = spark.createDataFrame(
+        [(r[0], r[2]) for r in all_rows],
+        "vec_id long, embedding array<float>",
+    )
+
+    micro_root = str(tmp_path / "micro_root")
+    micro_src = str(tmp_path / "micro_src")
+    _write_stream_files(quarters, micro_src)
+    train_codebook(emb_df, _paths(micro_root)["codebook"])
+    _run(spark, micro_src, micro_root, str(tmp_path / "micro_ckpt"))
+
+    one_root = str(tmp_path / "one_root")
+    one_src = str(tmp_path / "one_src")
+    _write_stream_files([all_rows], one_src)
+    train_codebook(emb_df, _paths(one_root)["codebook"])
+    _run(
+        spark,
+        one_src,
+        one_root,
+        str(tmp_path / "one_ckpt"),
+        max_files_per_trigger=16,
+    )
+
+    assert _survivor_ids(spark, micro_root) == _survivor_ids(spark, one_root)
+
+
+def test_pipeline_replay_idempotence(spark, tmp_path):
+    """Re-running the LAST epoch's pipeline_batch over the same rows
+    must reproduce the survivor ids, the substr accounting, and every
+    store's verdict-relevant read bit-for-bit."""
+    rows = _base_rows(spark)
+    plants = _planted(rows)
+    halves = [rows, plants]
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "root")
+    _write_stream_files(halves, src)
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+        ),
+        _paths(root)["codebook"],
+    )
+    _run(spark, src, root, str(tmp_path / "ckpt"))
+
+    p = _paths(root)
+    before_surv = _survivor_ids(spark, root)
+    before_sub = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(p["out"], "substr")).collect(),
+        )
+    )
+    before_corpus = spark.read.parquet(p["corpus"]).count()
+
+    # replay epoch 1 (the plants batch) directly
+    replay = spark.createDataFrame(plants, SCHEMA.replace("bigint", "long"))
+    pipeline_batch(
+        replay, root, epoch_id=1, semantic_threshold=SEM_THRESHOLD
+    )
+
+    assert _survivor_ids(spark, root) == before_surv
+    after_sub = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(p["out"], "substr")).collect(),
+        )
+    )
+    assert after_sub == before_sub
+    assert spark.read.parquet(p["corpus"]).count() == before_corpus
