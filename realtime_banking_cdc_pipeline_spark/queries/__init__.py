@@ -53,7 +53,12 @@ from . import round10  # noqa: F401,E402  (capped mutual-kNN, composed pipelines
 # + 31 r05-era singles (oldest single proofs in the registry).
 # New round-10 registrations sort to the front automatically and swap
 # zero-sum against the r05-era tail (new-first wins the slot, the
-# swapped-out name returns here).
+# swapped-out name returns here). Swaps executed this round:
+#   x_mutual_knn_capped (new) <- x_top_terms returned
+#   x_corpus_pipeline_v4 (new) <- x_reservoir_sample returned
+#   x_paragraph_dedup (its body moved into the reusable
+#     paragraph_dedup_frame for v4 - changed code loses its pass)
+#     <- x_simhash_dedup_pairs returned
 # a_approx_sketches is PERMANENTLY pinned in this set (r9 judge
 # directive #2): it is the registry's sole no-oracle entry (Spark-native
 # approx_count_distinct has no DuckDB twin); its real correctness gate

@@ -98,6 +98,17 @@ def _epoch_ids(path: str) -> list[int]:
     ]
 
 
+def _has_parquet_files(part_dir: str) -> bool:
+    """True iff the partition directory holds at least one parquet data
+    file (possibly nested one level, e.g. bucket=N subdirs). A rowless
+    write leaves only _SUCCESS — readable via a root scan, but an
+    explicit per-partition read cannot infer its schema."""
+    for base, _dirs, files in os.walk(part_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _banded_with_sigs(
     sig: DataFrame, num_perm: int, bands: int
 ) -> DataFrame:
@@ -285,9 +296,15 @@ def ingest_batch(
         .distinct()
     )
     dropped = dropped_within
-    if os.path.exists(store_path):
+    # _has_parquet_files, not exists: a store whose every epoch is
+    # rowless (the composed pipeline's exact gate can empty whole
+    # batches) has nothing to gate against, and a root scan over it
+    # cannot infer a schema.
+    if _has_parquet_files(store_path):
         store_banded = None
-        if banded_store_path is not None and os.path.exists(banded_store_path):
+        if banded_store_path is not None and _has_parquet_files(
+            banded_store_path
+        ):
             store_banded = _horizon_filter(
                 spark.read.parquet(banded_store_path),
                 epoch_id, retention_epochs,
@@ -509,8 +526,16 @@ def _compact_store(
         # leftovers below it are crash debt whose rows a committed base
         # already holds — deleted, not re-folded
         floor = bases[-1] if bases else 0
+        # skip ROWLESS partitions (directory holds only _SUCCESS): a
+        # batch that arrives entirely duplicate writes zero rows — the
+        # composed pipeline's exact gate produces these routinely —
+        # and an explicit parquet read over a file-less dir fails
+        # schema inference. Cleanup still deletes them.
         src_epochs = sorted(
-            e for e in existing if floor <= e < epoch_id
+            e
+            for e in existing
+            if floor <= e < epoch_id
+            and _has_parquet_files(os.path.join(path, f"epoch={e}"))
         )
         if src_epochs:
             df = spark.read.option("basePath", path).parquet(

@@ -74,7 +74,13 @@ from .metrics import (
 from .semantic import compact_semantic_store, semantic_ingest_batch
 from .substr import compact_substr_store, ingest_substr_batch
 
-_PIPE_BLOOM_BITS = 1 << 17  # ~16 KiB filter: <1% fp to ~13k seen texts
+# Default exact-gate filter size. SIZE THIS FOR THE CORPUS: ~10 bits
+# per expected DISTINCT text for ~1% fp; a saturated filter flags
+# everything maybe_seen and the exact gate silently drops every fresh
+# doc (measured: the 2M-doc probe with this 16 KiB default emptied all
+# batches past epoch ~6 - the r8 "4096-default saturation" caveat at
+# pipeline scale). The 2M probe runs 1 << 25 (4 MiB, ~2M capacity).
+_PIPE_BLOOM_BITS = 1 << 17  # ~16 KiB: <1% fp up to ~13k seen texts
 
 
 def _paths(root: str) -> dict[str, str]:
@@ -296,6 +302,7 @@ def start_pipeline_ingest(
     max_files_per_trigger: int = 1,
     compact_every: int | None = 8,
     retention_epochs: int | None = None,
+    bloom_bits: int = _PIPE_BLOOM_BITS,
     per_cell_budget: int | None = None,
     match_min: int | None = None,
     semantic_threshold: float | None = None,
@@ -315,6 +322,7 @@ def start_pipeline_ingest(
             root,
             epoch_id=epoch,
             retention_epochs=retention_epochs,
+            bloom_bits=bloom_bits,
             per_cell_budget=per_cell_budget,
             match_min=match_min,
             semantic_threshold=semantic_threshold,

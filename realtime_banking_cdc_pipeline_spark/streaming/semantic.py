@@ -56,7 +56,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_against, fx_dot
-from .corpus import _compact_store, _effective_epoch, _epoch_ids, _horizon_filter
+from .corpus import (
+    _compact_store,
+    _effective_epoch,
+    _epoch_ids,
+    _has_parquet_files,
+    _horizon_filter,
+)
 
 _SEM_THRESHOLD_DEFAULT = 0.35  # matches queries/round6b._SEMDEDUP_THRESHOLD
 _CELL_BUCKETS = 64
@@ -267,7 +273,9 @@ def semantic_ingest_batch(
         )
     )
     store = None
-    if os.path.exists(store_path):
+    # _has_parquet_files, not exists: upstream gates can empty whole
+    # batches (rowless epoch partitions only) - see corpus.ingest_batch.
+    if _has_parquet_files(store_path):
         store = _horizon_filter(
             spark.read.parquet(store_path), epoch_id, retention_epochs
         )

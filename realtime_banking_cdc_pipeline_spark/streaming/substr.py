@@ -71,7 +71,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.round7 import _XSUB_K
-from .corpus import _compact_store, _effective_epoch
+from .corpus import _compact_store, _effective_epoch, _has_parquet_files
 
 _GRAM_BUCKETS = 64
 
@@ -133,7 +133,10 @@ def ingest_substr_batch(
 
     cnt_path = os.path.join(store_path, "counts")
     pos_path = os.path.join(store_path, "positions")
-    if os.path.exists(cnt_path):
+    # _has_parquet_files, not exists: an upstream gate can empty whole
+    # batches, leaving stores whose every epoch partition is rowless -
+    # nothing to compare against, and unreadable by a root scan.
+    if _has_parquet_files(cnt_path):
         # join on (bucket, g): bucket is the store's partition column,
         # so DPP prunes the history scan to the batch's gram buckets.
         # The per-(g, eff) MAX collapses crash-debt duplicates (a row
@@ -165,7 +168,7 @@ def ingest_substr_batch(
     emitted = ng.join(newly.unionByName(already).distinct(), "g").select(
         "doc_id", "p"
     )
-    if os.path.exists(pos_path):
+    if _has_parquet_files(pos_path):
         hist_pos = _hist_window(
             spark.read.parquet(pos_path), epoch_id, retention_epochs
         )
@@ -251,12 +254,12 @@ def compact_substr_store(
                         os.path.join(path, f"epoch={e}"), ignore_errors=True
                     )
         return
-    if os.path.exists(cnt_path):
+    if _has_parquet_files(cnt_path):
         _compact_store(
             spark, cnt_path, epoch_id, "bucket", None,
             incremental=incremental, max_bases=max_bases,
         )
-    if os.path.exists(pos_path):
+    if _has_parquet_files(pos_path):
         repeated = (
             _hist_window(spark.read.parquet(cnt_path), epoch_id, None)
             .groupBy("bucket", "g", "eff")

@@ -526,3 +526,34 @@ def test_consolidation_replay_deletes_subsumed_bases(spark, tmp_path):
         .collect()
     ) == [0, 1, 2]
     docs.unpersist()
+
+
+def test_compaction_skips_rowless_epoch_partitions(spark, tmp_path):
+    """A batch that arrives entirely duplicate writes a rowless
+    epoch partition (only _SUCCESS) — the composed pipeline's exact
+    gate produces these routinely. Tiered compaction must skip such
+    partitions when it lists fold sources explicitly (an explicit
+    parquet read over a file-less dir cannot infer schema) and still
+    clean them up."""
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    store = str(tmp_path / "store")
+    ingest_batch(docs.filter(F.col("doc_id") % 5 == 0), store, epoch_id=0)
+    ingest_batch(docs.filter(F.col("doc_id") % 5 == 1), store, epoch_id=1)
+    # epoch 2 arrives with zero rows
+    ingest_batch(docs.filter(F.col("doc_id") < -1), store, epoch_id=2)
+    before = spark.read.parquet(store).count()
+    assert before > 0
+    compact_corpus_store(spark, store, 3)  # must not raise
+    hist = spark.read.parquet(store)
+    assert hist.count() == before
+    eps = sorted(
+        int(x.split("=")[1])
+        for x in os.listdir(store)
+        if x.startswith("epoch=")
+    )
+    assert eps == [-3]
+    docs.unpersist()
