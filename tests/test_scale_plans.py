@@ -724,3 +724,27 @@ def test_round8_closing_plan_shapes(spark):
     assert "InMemoryTableScan" in _formatted_plan(
         QUERIES["x_bfs_layers"].spark(spark, SF)
     )
+
+
+def test_round10_plan_shapes(spark):
+    """r10 invariants: the mutual-kNN family persists its contraction
+    and member frames (no lineage recompute), never degrades to a
+    cartesian product, and shuffles the 16-byte digest — not the
+    embedding — in the expansion joins; corpus_pipeline_v4's packing
+    stage partitions by shard (no global sort) and the whole
+    composition is cartesian-free."""
+    SF = "/root/testdata/sf0.01"
+    for name in ("x_mutual_knn_clusters", "x_mutual_knn_capped"):
+        plan = _formatted_plan(QUERIES[name].spark(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "InMemoryTableScan" in plan, f"{name}: contraction not persisted"
+        assert "hashpartitioning(digest" in plan, (
+            f"{name}: expansion must exchange on the md5 digest"
+        )
+
+    v4 = _formatted_plan(QUERIES["x_corpus_pipeline_v4"].spark(spark, SF))
+    assert "CartesianProduct" not in v4
+    assert "InMemoryTableScan" in v4, "cleaned/par frames not persisted"
+    assert "hashpartitioning(shard" in v4, (
+        "packing running-sum must be shard-partitioned, not a global sort"
+    )
