@@ -177,7 +177,10 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("clean_text").alias("text")
     )
     sig = minhash_signature(pdocs, "doc_id", "text", k=3)
-    near_removed = (
+    # persisted: the band-join subtree feeds BOTH the survivor anti-join
+    # and the final status join — unpersisted, Catalyst evaluates the
+    # full signature pipeline twice (measured ~2x the stage cost)
+    near_removed = track_persist(
         lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
         .filter(F.col("n_matching") >= _PREP_MATCH_MIN)
         .select(F.col("id_b").alias("doc_id"))
