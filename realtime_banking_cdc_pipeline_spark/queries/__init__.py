@@ -59,6 +59,7 @@ from . import round10  # noqa: F401,E402  (capped mutual-kNN, composed pipelines
 #   x_paragraph_dedup (its body moved into the reusable
 #     paragraph_dedup_frame for v4 - changed code loses its pass)
 #     <- x_simhash_dedup_pairs returned
+#   x_mutual_knn_recall_eval (new) <- x_pq_codes returned
 # a_approx_sketches is PERMANENTLY pinned in this set (r9 judge
 # directive #2): it is the registry's sole no-oracle entry (Spark-native
 # approx_count_distinct has no DuckDB twin); its real correctness gate
@@ -107,7 +108,8 @@ _DRIVER_VERIFIED = frozenset({
     "x_length_bucket_batching", "x_minhash_lsh_pairs", "x_minhash_signature",
     "x_multimodal_features", "x_ngram_jaccard_pairs", "x_ngram_novelty",
     "x_pack_sequences", "x_paragraph_profile",
-    "x_pii_redact", "x_pmi_cooccurrence", "x_quality_classifier",
+    "x_pii_redact", "x_pmi_cooccurrence", "x_pq_codes",
+    "x_quality_classifier",
     "x_quality_score", "x_quality_stratified_trim", "x_rank_fusion_rrf",
     "x_repetition", "x_reservoir_sample", "x_semdedup",
     "x_semdedup_diverse",

@@ -223,3 +223,64 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("seq_start") % _PACK_BUDGET).cast("bigint").alias("bin_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_mutual_knn_recall_eval — measured fidelity of the capped twin
+# ---------------------------------------------------------------------------
+
+
+def _dd_mknn_recall_sql() -> str:
+    # Both full pipelines nest as subquery CTEs (inner WITH RECURSIVE
+    # scopes shadow each other), joined per vector. The two variants
+    # share the min-vec_id cluster-label space, so label equality IS
+    # partition agreement on matching members.
+    return f"""
+WITH ex AS ({_dd_mknn_sql()}),
+cp AS ({_dd_mknn_sql(cap=_MKNN_CAP)})
+SELECT ex.vec_id,
+       CAST(ex.mutual_degree AS BIGINT) AS exact_degree,
+       CAST(cp.mutual_degree AS BIGINT) AS capped_degree,
+       ex.cluster = cp.cluster AS cluster_match,
+       ex.mutual_degree = cp.mutual_degree AS degree_match
+FROM ex JOIN cp ON cp.vec_id = ex.vec_id
+"""
+
+
+@query(
+    "x_mutual_knn_recall_eval",
+    _dd_mknn_recall_sql(),
+    doc=(
+        "Measured fidelity of x_mutual_knn_capped against the exact "
+        "twin — the house recall-eval pattern (x_ann_recall_eval, "
+        "x_semdedup_recall_eval) applied to the kNN graph family: "
+        "both pipelines run over the same corpus and compare per "
+        "vector. Both variants label clusters with the min vec_id of "
+        "the component, so cluster_match is direct partition "
+        "agreement, and degree_match exposes edges the per-cell "
+        "budget removed. Below the cap the eval is all-true (the "
+        "identity the twin pins); above it, the eval IS the evidence "
+        "for how approximate 'explicitly approximate' is on a given "
+        "corpus. The eval costs the two graphs it grades — "
+        "contraction-first on both sides, so the dense regime stays "
+        "collapsed."
+    ),
+)
+def x_mutual_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ex = _mknn_result(spark, sf_dir, cap=None)
+    cp = _mknn_result(spark, sf_dir, cap=_MKNN_CAP)
+    return (
+        ex.alias("e")
+        .join(cp.alias("c"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("e.mutual_degree").cast("bigint").alias("exact_degree"),
+            F.col("c.mutual_degree").cast("bigint").alias("capped_degree"),
+            (F.col("e.cluster") == F.col("c.cluster")).alias("cluster_match"),
+            (F.col("e.mutual_degree") == F.col("c.mutual_degree")).alias(
+                "degree_match"
+            ),
+        )
+    )
