@@ -86,6 +86,13 @@ _MATCH_MIN_DEFAULT = 8  # of 16 components => est. jaccard >= 0.5
 # Spark-deterministic; a cross-engine store would pin md5 instead.)
 _BAND_BUCKETS = 64
 
+# marker file inside a committed base partition recording that the fold
+# that produced it was a CONSOLIDATION (full merge): the verdict must be
+# durable, not recomputed, or a crash mid-cleanup flips replays back to
+# tiered and keeps already-subsumed older bases (permanent duplicates).
+# Leading underscore => ignored by Spark's parquet reader, like _SUCCESS.
+_CONSOLIDATED_MARKER = "_CONSOLIDATED"
+
 
 def _epoch_ids(path: str) -> list[int]:
     """Epoch partition ids present on disk ([] for flat stores)."""
@@ -511,6 +518,20 @@ def _compact_store(
         incremental = False
     if os.path.exists(base):
         if os.path.exists(os.path.join(base, "_SUCCESS")):
+            # The verdict must also survive a crash MID-CLEANUP: once
+            # any subsumed older base is deleted, a verdict recomputed
+            # from the survivors sees < max_bases generations and flips
+            # back to tiered — and tiered cleanup then KEEPS the
+            # remaining older bases whose rows base -epoch_id already
+            # holds (ADVICE r10: mid-cleanup crash window). The
+            # _CONSOLIDATED marker inside the committed base makes the
+            # original verdict durable; it is (re)written before any
+            # deletion runs, so every replay converges on consolidate.
+            marker = os.path.join(base, _CONSOLIDATED_MARKER)
+            if os.path.exists(marker):
+                incremental = False
+            elif not incremental:
+                open(marker, "w").close()
             _compact_cleanup(
                 path, epoch_id, retention_epochs, incremental, bases
             )
@@ -544,9 +565,20 @@ def _compact_store(
         else:
             df = None
     else:
-        df = spark.read.parquet(path)
-        if "epoch" not in df.columns:
-            return
+        # rowless-store guard (mirrors the ingest-side fix): a store
+        # whose every epoch partition holds only _SUCCESS markers —
+        # exactly what the composed pipeline's exact gate leaves when
+        # every batch arrived fully duplicate — fails root-scan schema
+        # inference. Nothing to fold; cleanup still clears the debris.
+        if any(
+            _has_parquet_files(os.path.join(path, f"epoch={e}"))
+            for e in existing
+        ):
+            df = spark.read.parquet(path)
+            if "epoch" not in df.columns:
+                return
+        else:
+            df = None
     if df is not None:
         eff = _effective_epoch(df)
         fold = df.filter(eff < epoch_id)
@@ -570,6 +602,12 @@ def _compact_store(
         if part_col is not None:
             writer = writer.partitionBy(part_col)
         writer.parquet(base)
+    # durable-verdict marker (see the replay branch above): written
+    # after the base commits and BEFORE any deletion, so a replay —
+    # even one that interrupts cleanup — reads consolidate from disk
+    # instead of recomputing it from a mutating base set
+    if not incremental and os.path.exists(os.path.join(base, "_SUCCESS")):
+        open(os.path.join(base, _CONSOLIDATED_MARKER), "w").close()
     _compact_cleanup(path, epoch_id, retention_epochs, incremental, bases)
 
 

@@ -7,6 +7,7 @@ readStream/foreachBatch wiring are pinned."""
 from __future__ import annotations
 
 import json
+import shutil
 import time
 import os
 
@@ -557,3 +558,88 @@ def test_compaction_skips_rowless_epoch_partitions(spark, tmp_path):
     )
     assert eps == [-3]
     docs.unpersist()
+
+
+def test_consolidation_survives_crash_mid_cleanup(spark, tmp_path):
+    """ADVICE r10: the consolidate verdict must be durable, not
+    recomputed. A crash MID-CLEANUP (some subsumed bases already
+    deleted) leaves < max_bases older generations on disk; a replay
+    that recomputes the verdict from the survivors flips to tiered and
+    then KEEPS the remaining older bases whose rows base -E already
+    holds — permanent duplicates. The _CONSOLIDATED marker inside the
+    committed base pins the verdict across replays."""
+    import realtime_banking_cdc_pipeline_spark.streaming.corpus as corpus_mod
+    from realtime_banking_cdc_pipeline_spark.streaming.corpus import (
+        compact_corpus_store,
+    )
+
+    docs = _docs_with_neardups(spark).cache()
+    parts = [docs.filter(F.col("doc_id") % 5 == i) for i in range(4)]
+    store = str(tmp_path / "midcrash")
+    for i, t in enumerate(parts[:3]):
+        ingest_batch(t, store, epoch_id=i)
+        if i > 0:
+            compact_corpus_store(spark, store, i, max_bases=2)
+    ingest_batch(parts[3], store, epoch_id=3)
+
+    def eps():
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(store)
+            if d.startswith("epoch=")
+        )
+
+    assert eps() == [-2, -1, 2, 3]
+
+    # consolidation at 3 commits base -3, then cleanup "crashes" after
+    # deleting only ONE subsumed base (-1): partial-cleanup state
+    real_cleanup = corpus_mod._compact_cleanup
+
+    def partial_cleanup(path, epoch_id, retention, incremental, bases):
+        shutil.rmtree(os.path.join(path, "epoch=-1"), ignore_errors=True)
+
+    corpus_mod._compact_cleanup = partial_cleanup
+    try:
+        compact_corpus_store(spark, store, 3, max_bases=2)
+    finally:
+        corpus_mod._compact_cleanup = real_cleanup
+    # crash state: committed base -3 + marker, -2 still on disk — a
+    # recomputed verdict would now see 1 < max_bases prior bases
+    assert eps() == [-3, -2, 2, 3]
+    assert os.path.exists(os.path.join(store, "epoch=-3", "_CONSOLIDATED"))
+
+    # replay must read consolidate from the marker and finish cleanup
+    compact_corpus_store(spark, store, 3, max_bases=2)
+    assert eps() == [-3, 3]
+    hist = spark.read.parquet(store)
+    assert hist.count() == hist.distinct().count()
+    assert sorted(
+        r.src_epoch
+        for r in hist.filter(F.col("epoch") < 0)
+        .select("src_epoch")
+        .distinct()
+        .collect()
+    ) == [0, 1, 2]
+    docs.unpersist()
+
+
+def test_consolidating_compaction_tolerates_all_rowless_store(
+    spark, tmp_path
+):
+    """ADVICE r10: the consolidating (incremental=False) branch
+    root-scans the store; a store whose EVERY epoch partition is
+    rowless (only _SUCCESS — the exact state the ingest-side
+    _has_parquet_files guards were added for) fails schema inference.
+    The fold must skip gracefully and still clear the debris."""
+    import realtime_banking_cdc_pipeline_spark.streaming.corpus as corpus_mod
+
+    store = str(tmp_path / "rowless")
+    for e in (0, 1):
+        part = os.path.join(store, f"epoch={e}")
+        os.makedirs(part)
+        open(os.path.join(part, "_SUCCESS"), "w").close()
+    corpus_mod._compact_store(
+        spark, store, 2, None, None, incremental=False
+    )  # must not raise
+    eps = [d for d in os.listdir(store) if d.startswith("epoch=")]
+    assert eps == []
