@@ -341,3 +341,33 @@ def bloom_maybe_member(
         .groupBy(id_col)
         .agg((F.sum("set_bit") == k).alias("maybe_member"))
     )
+
+
+def bloom_fill_stats(
+    words: DataFrame, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """One-row health report for a folded (word_idx, bits) filter:
+    ``set_bits`` (popcount over every word), ``fill_frac`` = set/total,
+    ``est_fp`` = fill^k (the probability a FRESH text probes k set
+    bits — i.e. the silent-drop rate of a gate built on this filter),
+    and ``est_distinct`` = -(m/k)·ln(1-fill), the standard occupancy
+    inversion for the number of distinct keys inserted (null once the
+    filter is fully saturated — the inversion diverges). Cheap by
+    construction: the words table is at most ``bits // 32`` rows.
+    ADVICE r10: a saturated exact gate silently drops every fresh doc;
+    this is the detector the gate and the ops read-path surface."""
+    agg = words.agg(
+        F.coalesce(F.sum(F.bit_count(F.col("bits"))), F.lit(0))
+        .cast("long")
+        .alias("set_bits")
+    )
+    fill = F.col("set_bits") / F.lit(float(bits))
+    return agg.select(
+        "set_bits",
+        fill.alias("fill_frac"),
+        F.pow(fill, F.lit(k)).alias("est_fp"),
+        F.when(
+            F.col("set_bits") < bits,
+            -F.lit(float(bits) / k) * F.log(F.lit(1.0) - fill),
+        ).alias("est_distinct"),
+    )

@@ -76,10 +76,13 @@ from .substr import compact_substr_store, ingest_substr_batch
 
 # Default exact-gate filter size. SIZE THIS FOR THE CORPUS: ~10 bits
 # per expected DISTINCT text for ~1% fp; a saturated filter flags
-# everything maybe_seen and the exact gate silently drops every fresh
-# doc (measured: the 2M-doc probe with this 16 KiB default emptied all
+# everything maybe_seen and the exact gate drops every fresh doc
+# (measured: the 2M-doc probe with this 16 KiB default emptied all
 # batches past epoch ~6 - the r8 "4096-default saturation" caveat at
 # pipeline scale). The 2M probe runs 1 << 25 (4 MiB, ~2M capacity).
+# Since r11 saturation is LOUD, not silent: bloom_gate_batch emits a
+# BloomSaturationWarning and bloom_fill_frac / bloom_est_fp ride along
+# in the gate output + the probes' per-batch timings.
 _PIPE_BLOOM_BITS = 1 << 17  # ~16 KiB: <1% fp up to ~13k seen texts
 
 
@@ -172,6 +175,14 @@ def pipeline_batch(
         .join(firsts.select("doc_id"), "doc_id")
         .localCheckpoint(eager=True)
     )
+    if timings is not None:
+        # saturation surfaced as data (ADVICE r10): bloom_est_fp IS the
+        # silent fresh-doc drop rate of this gate — the probes record
+        # it per batch (flags is checkpointed; first() is free)
+        h = flags.select("bloom_fill_frac", "bloom_est_fp").first()
+        if h is not None:
+            timings["bloom_fill_frac"] = float(h.bloom_fill_frac)
+            timings["bloom_est_fp"] = float(h.bloom_est_fp)
     mark("exact", t0)
 
     # --- ExactSubstr accounting ------------------------------------------

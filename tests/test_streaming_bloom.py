@@ -192,12 +192,21 @@ def test_sized_filter_controls_fp_rate(spark, tmp_path):
             fresh, big, "doc_id", "text", epoch_id=1, bits=1 << 16
         ).collect()
     )
-    fp_small = sum(
-        r.maybe_seen
-        for r in bloom_gate_batch(
-            fresh, small, "doc_id", "text", epoch_id=1
-        ).collect()
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        BloomSaturationWarning,
     )
+
+    # the overloaded probe is exactly the state the r11 detector exists
+    # for — the warning firing here is part of the contract
+    with pytest.warns(BloomSaturationWarning):
+        fp_small = sum(
+            r.maybe_seen
+            for r in bloom_gate_batch(
+                fresh, small, "doc_id", "text", epoch_id=1
+            ).collect()
+        )
     assert fp_big <= 20   # ~1% bound at 10x sizing
     # the overloaded default: fill = 1-e^(-8000/4096) ~ 86% per bit,
     # fp ~ 0.86^4 ~ 55% — assert it is catastrophically worse
@@ -257,3 +266,105 @@ def test_bloom_maybe_member_tolerates_duplicate_rows(spark):
         for r in bloom_maybe_member(probe, "doc_id", "text", words).collect()
     }
     assert len(flags) == 20 and all(flags.values())
+
+
+def test_bloom_saturation_is_loud_not_silent(spark, tmp_path):
+    """ADVICE r10: a saturated filter one-sidedly flags EVERY fresh doc
+    maybe_seen — silent total data loss for a gate built on the flags.
+    Drive a deliberately tiny filter to saturation and pin that the
+    condition is explicitly reported: a BloomSaturationWarning fires
+    and the gate output carries bloom_fill_frac / bloom_est_fp ~ 1."""
+    import warnings as _warnings
+
+    import pytest
+
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        BloomSaturationWarning,
+    )
+
+    store = str(tmp_path / "tiny")
+    seed = spark.createDataFrame(
+        [(i, f"seen text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # epoch 0 probes an empty filter: fresh batch, no warning
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", BloomSaturationWarning)
+        f0 = bloom_gate_batch(
+            seed, store, "doc_id", "text", epoch_id=0, bits=64, k=4
+        ).collect()
+    assert all(r.bloom_est_fp == 0.0 for r in f0)
+
+    # epoch 1: 200 distinct keys went into a 64-bit filter — saturated.
+    fresh = spark.createDataFrame(
+        [(1000 + i, f"totally fresh {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(BloomSaturationWarning, match="saturated"):
+        f1 = bloom_gate_batch(
+            fresh, store, "doc_id", "text", epoch_id=1, bits=64, k=4
+        ).collect()
+    # the saturation is explicit data, not a doc caveat
+    assert all(r.bloom_est_fp > 0.5 for r in f1)
+    assert all(r.bloom_fill_frac > 0.8 for r in f1)
+    # and the flags themselves show the failure mode it names
+    assert sum(r.maybe_seen for r in f1) >= 45
+
+
+def test_sketch_health_read_paths(spark, tmp_path):
+    """r10 directive #8: every sketch store exposes estimated fill /
+    error as data. Parity-style checks: bloom est_distinct inverts to
+    ~the true inserted distinct count, HLL fill reflects register
+    occupancy, CMS total_count recovers exact stream mass (additive
+    cells / depth), DDS totals match row count."""
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        read_bloom_health,
+        read_cms_health,
+        read_dds_health,
+        read_hll_health,
+        update_cms_store,
+        update_dds_store,
+        update_hll_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"health text {i % 150}") for i in range(600)],
+        "doc_id long, text string",
+    )
+
+    bloom_store = str(tmp_path / "bh")
+    bloom_gate_batch(
+        docs.dropDuplicates(["text"]), bloom_store, "doc_id", "text",
+        epoch_id=0, bits=4096, k=4,
+    )
+    bh = read_bloom_health(spark, bloom_store, bits=4096, k=4).first()
+    assert 0 < bh.fill_frac < 0.5
+    assert 0 <= bh.est_fp < 0.05
+    # occupancy inversion lands near the true 150 distinct keys
+    assert 100 <= bh.est_distinct <= 200
+
+    hll_store = str(tmp_path / "hh")
+    update_hll_store(
+        docs.withColumn("metric", F.lit("docs")), hll_store,
+        "metric", "text", epoch_id=0,
+    )
+    hh = {r.key: r for r in read_hll_health(spark, hll_store).collect()}
+    assert 0 < hh["docs"].fill_frac <= 1.0
+    assert hh["docs"].registers_set <= 64
+
+    cms_store = str(tmp_path / "ch")
+    update_cms_store(
+        docs.select(F.col("text").alias("term")), cms_store, "term",
+        epoch_id=0,
+    )
+    ch = read_cms_health(spark, cms_store).first()
+    assert ch.total_count == 600  # additive cells / CMS_D = exact mass
+    assert 0 < ch.fill_frac <= 1.0
+    assert ch.err_bound > 0
+
+    dds_store = str(tmp_path / "dh")
+    update_dds_store(
+        docs.select(F.col("doc_id").alias("v")), dds_store, "v", epoch_id=0
+    )
+    dh = read_dds_health(spark, dds_store).first()
+    assert dh.total_count == 600
+    assert dh.n_bins > 0
