@@ -80,10 +80,16 @@ _TL_CMP = (
     " ELSE 0 END"
 )
 
-def _two_level_cells(spark: SparkSession, emb: DataFrame):
+def _two_level_cells(
+    spark: SparkSession, emb: DataFrame, fine_probes: int | None = None
+):
     """Two-level (coarse→fine) quantizer assignment for the SemDeDup
     family: ``(emb, cells)`` where cells = (vec_id, cid, ccos) — each
-    vector's fine cell and its cosine to that cell's centroid.
+    vector's fine cell and its cosine to that cell's centroid. With
+    ``fine_probes=p`` additionally returns ``probes`` = (vec_id, cid)
+    rows for each vector's top-``p`` fine cells by the same
+    (cos DESC, cid ASC) rule — the IVF multi-probe candidate regions
+    (rank 1 is the ``cells`` assignment itself).
 
     The flat rule scored every vector against all k ≈ sqrt(N) fine
     centroids: assignment kN + within-cell pairs N²/k bottoms out at
@@ -187,32 +193,64 @@ def _two_level_cells(spark: SparkSession, emb: DataFrame):
     probe = fmap.join(
         cents.withColumn("cnn", fx_dot(F.col("cv"), F.col("cv"))), "cid"
     )
-    win = (
-        probed.join(F.broadcast(probe), "ccid")
-        .select(
-            "vec_id",
-            "cid",
-            (
-                fx_dot(F.col("cv"), F.col("embedding")).cast("double")
-                / F.sqrt(
-                    F.col("__nn").cast("double") * F.col("cnn").cast("double")
-                )
-            ).alias("cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
-            ).alias("w")
-        )
+    scored_fine = probed.join(F.broadcast(probe), "ccid").select(
+        "vec_id",
+        "cid",
+        (
+            fx_dot(F.col("cv"), F.col("embedding")).cast("double")
+            / F.sqrt(
+                F.col("__nn").cast("double") * F.col("cnn").cast("double")
+            )
+        ).alias("cos"),
+    )
+    if fine_probes is not None:
+        # two consumers of the fine scores (argmax cell + top-nprobe
+        # probe set) — persist so the probe join isn't recomputed
+        from ..caching import track_persist
+
+        scored_fine = track_persist(scored_fine)
+    win = scored_fine.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+        ).alias("w")
     )
     cells = win.select(
         "vec_id", (-F.col("w.nc")).alias("cid"), F.col("w.c").alias("ccos")
     )
-    return emb, cells
+    if fine_probes is None:
+        return emb, cells
+    # top-``fine_probes`` fine cells per vector by the assignment rule
+    # (cos DESC, cid ASC) — the IVF multi-probe candidate regions the
+    # capped pair stages rescue overflow vectors with. Same
+    # collect+array_sort shape as the coarse stage (no window sort);
+    # rank 1 is by construction the vector's ``cells`` assignment.
+    fine_cmp = (
+        "CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1"
+        " WHEN x.cid < y.cid THEN -1 WHEN x.cid > y.cid THEN 1"
+        " ELSE 0 END"
+    )
+    probes = (
+        scored_fine.select(
+            "vec_id", F.struct(F.col("cos"), F.col("cid")).alias("s")
+        )
+        .groupBy("vec_id")
+        .agg(F.collect_list("s").alias("__ss"))
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(__ss, (x, y) -> {fine_cmp}),"
+                    f" 1, {int(fine_probes)}), t -> t.cid)"
+                )
+            ).alias("cid"),
+        )
+    )
+    return emb, cells, probes
 
 
-def _dd_two_level_cells_cte(src: str = "embeddings") -> str:
+def _dd_two_level_cells_cte(
+    src: str = "embeddings", fine_probes: int | None = None
+) -> str:
     """Shared oracle CTE chain deriving the two-level cell assignment —
     ends at ``cells (vec_id, cid, ccos)``; also defines ``e`` and
     ``norms`` for downstream pair stages. Exact SQL twin of
@@ -222,7 +260,9 @@ def _dd_two_level_cells_cte(src: str = "embeddings") -> str:
     ``src`` names the (vec_id, embedding) relation the assignment runs
     over — the raw ``embeddings`` table by default, or an earlier CTE
     (e.g. the distinct-embedding ``reps`` contraction of
-    round9.x_mutual_knn_clusters)."""
+    round9.x_mutual_knn_clusters). ``fine_probes=p`` additionally
+    defines ``probes (vec_id, cid)`` — each vector's top-``p`` fine
+    cells by the same rule (default output stays byte-identical)."""
     fx = _FXQ.format
     return f"""nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM {src}),
 nc AS (SELECT k, {_COARSE_CELLS_SQL} AS kc FROM nk),
@@ -278,7 +318,15 @@ vfs AS (
 cells AS (SELECT vec_id, cid, cos AS ccos FROM (
     SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs)
-  WHERE rn = 1)"""
+  WHERE rn = 1)""" + (
+        ""
+        if fine_probes is None
+        else f""",
+probes AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs)
+  WHERE rn <= {int(fine_probes)})"""
+    )
 
 
 def _dd_semdedup_sql() -> str:
