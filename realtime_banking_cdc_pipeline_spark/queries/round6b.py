@@ -81,7 +81,10 @@ _TL_CMP = (
 )
 
 def _two_level_cells(
-    spark: SparkSession, emb: DataFrame, fine_probes: int | None = None
+    spark: SparkSession,
+    emb: DataFrame,
+    fine_probes: int | None = None,
+    k_override: int | None = None,
 ):
     """Two-level (coarse→fine) quantizer assignment for the SemDeDup
     family: ``(emb, cells)`` where cells = (vec_id, cid, ccos) — each
@@ -116,7 +119,10 @@ def _two_level_cells(
     `semdedup_cell_scaling`); well-partitioned inputs skip the shuffle.
     """
     n = emb.count()
-    k = adaptive_cells(n)
+    # ``k_override`` replaces the adaptive vec_id THRESHOLD (centroids
+    # are rows with vec_id < k, so k's magnitude is a threshold, not an
+    # exact count — callers compensate for sparse id ranges themselves)
+    k = adaptive_cells(n) if k_override is None else int(k_override)
     kc = coarse_cells(k)
     par = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < par:
@@ -249,7 +255,10 @@ def _two_level_cells(
 
 
 def _dd_two_level_cells_cte(
-    src: str = "embeddings", fine_probes: int | None = None
+    src: str = "embeddings",
+    fine_probes: int | None = None,
+    k_sql: str | None = None,
+    suffix: str = "",
 ) -> str:
     """Shared oracle CTE chain deriving the two-level cell assignment —
     ends at ``cells (vec_id, cid, ccos)``; also defines ``e`` and
@@ -262,71 +271,77 @@ def _dd_two_level_cells_cte(
     (e.g. the distinct-embedding ``reps`` contraction of
     round9.x_mutual_knn_clusters). ``fine_probes=p`` additionally
     defines ``probes (vec_id, cid)`` — each vector's top-``p`` fine
-    cells by the same rule (default output stays byte-identical)."""
+    cells by the same rule. ``k_sql`` overrides the fine-centroid
+    vec_id threshold expression (aggregate SQL over ``src``; default
+    adaptive k ~ sqrt(N)); ``suffix`` renames every CTE so two
+    instantiations can coexist in one WITH (the capped mutual-kNN twin
+    derives BOTH the house cells and a finer candidate quantizer).
+    Defaults stay byte-identical to the r10 output."""
     fx = _FXQ.format
-    return f"""nk AS (SELECT {_ADAPTIVE_CELLS_SQL} AS k FROM {src}),
-nc AS (SELECT k, {_COARSE_CELLS_SQL} AS kc FROM nk),
-e AS (SELECT vec_id, embedding FROM {src}),
-c AS (SELECT vec_id AS cid, embedding AS cv FROM {src}, nc
-      WHERE vec_id < nc.k),
-cc AS (SELECT vec_id AS ccid, embedding AS ccv FROM {src}, nc
-       WHERE vec_id < nc.kc),
-norms AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-          FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
-cnorms AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-           FROM (SELECT cid, unnest(cv) AS v FROM c) GROUP BY 1),
-ccnorms AS (SELECT ccid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
-            FROM (SELECT ccid, unnest(ccv) AS v FROM cc) GROUP BY 1),
-fcp AS (SELECT c.cid, cc.ccid, unnest(c.cv) AS a, unnest(cc.ccv) AS b
-        FROM c, cc),
-fcd AS (SELECT cid, ccid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
-        FROM fcp GROUP BY 1, 2),
-fcs AS (
+    k_expr = _ADAPTIVE_CELLS_SQL if k_sql is None else k_sql
+    s = suffix
+    out = f"""nk{s} AS (SELECT {k_expr} AS k FROM {src}),
+nc{s} AS (SELECT k, {_COARSE_CELLS_SQL} AS kc FROM nk{s}),
+e{s} AS (SELECT vec_id, embedding FROM {src}),
+c{s} AS (SELECT vec_id AS cid, embedding AS cv FROM {src}, nc{s}
+      WHERE vec_id < nc{s}.k),
+cc{s} AS (SELECT vec_id AS ccid, embedding AS ccv FROM {src}, nc{s}
+       WHERE vec_id < nc{s}.kc),
+norms{s} AS (SELECT vec_id, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+          FROM (SELECT vec_id, unnest(embedding) AS v FROM e{s}) GROUP BY 1),
+cnorms{s} AS (SELECT cid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+           FROM (SELECT cid, unnest(cv) AS v FROM c{s}) GROUP BY 1),
+ccnorms{s} AS (SELECT ccid, SUM({fx(v='v')} * {fx(v='v')}) AS nn
+            FROM (SELECT ccid, unnest(ccv) AS v FROM cc{s}) GROUP BY 1),
+fcp{s} AS (SELECT c{s}.cid, cc{s}.ccid, unnest(c{s}.cv) AS a, unnest(cc{s}.ccv) AS b
+        FROM c{s}, cc{s}),
+fcd{s} AS (SELECT cid, ccid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+        FROM fcp{s} GROUP BY 1, 2),
+fcs{s} AS (
   SELECT d.cid, d.ccid,
          CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
-  FROM fcd d JOIN cnorms n USING (cid) JOIN ccnorms cn USING (ccid)
+  FROM fcd{s} d JOIN cnorms{s} n USING (cid) JOIN ccnorms{s} cn USING (ccid)
 ),
-fmap AS (SELECT cid, ccid FROM (
+fmap{s} AS (SELECT cid, ccid FROM (
     SELECT cid, ccid, ROW_NUMBER() OVER (
-      PARTITION BY cid ORDER BY cos DESC, ccid ASC) AS rn FROM fcs)
+      PARTITION BY cid ORDER BY cos DESC, ccid ASC) AS rn FROM fcs{s})
   WHERE rn = 1),
-vcp AS (SELECT e.vec_id, cc.ccid, unnest(e.embedding) AS a,
-               unnest(cc.ccv) AS b
-        FROM e, cc),
-vcd AS (SELECT vec_id, ccid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
-        FROM vcp GROUP BY 1, 2),
-vcs AS (
+vcp{s} AS (SELECT e{s}.vec_id, cc{s}.ccid, unnest(e{s}.embedding) AS a,
+               unnest(cc{s}.ccv) AS b
+        FROM e{s}, cc{s}),
+vcd{s} AS (SELECT vec_id, ccid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+        FROM vcp{s} GROUP BY 1, 2),
+vcs{s} AS (
   SELECT d.vec_id, d.ccid,
          CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
-  FROM vcd d JOIN norms n USING (vec_id) JOIN ccnorms cn USING (ccid)
+  FROM vcd{s} d JOIN norms{s} n USING (vec_id) JOIN ccnorms{s} cn USING (ccid)
 ),
-vmap AS (SELECT vec_id, ccid FROM (
+vmap{s} AS (SELECT vec_id, ccid FROM (
     SELECT vec_id, ccid, ROW_NUMBER() OVER (
-      PARTITION BY vec_id ORDER BY cos DESC, ccid ASC) AS rn FROM vcs)
+      PARTITION BY vec_id ORDER BY cos DESC, ccid ASC) AS rn FROM vcs{s})
   WHERE rn <= {_SEM_NPROBE}),
-vfp AS (SELECT e.vec_id, f.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
-        FROM e JOIN vmap vm USING (vec_id)
-               JOIN fmap f ON f.ccid = vm.ccid
-               JOIN c ON c.cid = f.cid),
-vfd AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
-        FROM vfp GROUP BY 1, 2),
-vfs AS (
+vfp{s} AS (SELECT e{s}.vec_id, f.cid, unnest(e{s}.embedding) AS a, unnest(c{s}.cv) AS b
+        FROM e{s} JOIN vmap{s} vm USING (vec_id)
+               JOIN fmap{s} f ON f.ccid = vm.ccid
+               JOIN c{s} ON c{s}.cid = f.cid),
+vfd{s} AS (SELECT vec_id, cid, SUM({fx(v='a')} * {fx(v='b')}) AS dot
+        FROM vfp{s} GROUP BY 1, 2),
+vfs{s} AS (
   SELECT d.vec_id, d.cid,
          CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE) * CAST(cn.nn AS DOUBLE)) AS cos
-  FROM vfd d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cid)
+  FROM vfd{s} d JOIN norms{s} n USING (vec_id) JOIN cnorms{s} cn USING (cid)
 ),
-cells AS (SELECT vec_id, cid, cos AS ccos FROM (
+cells{s} AS (SELECT vec_id, cid, cos AS ccos FROM (
     SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
-      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs)
-  WHERE rn = 1)""" + (
-        ""
-        if fine_probes is None
-        else f""",
-probes AS (SELECT vec_id, cid FROM (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs{s})
+  WHERE rn = 1)"""
+    if fine_probes is not None:
+        out += f""",
+probes{s} AS (SELECT vec_id, cid FROM (
     SELECT vec_id, cid, ROW_NUMBER() OVER (
-      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs)
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vfs{s})
   WHERE rn <= {int(fine_probes)})"""
-    )
+    return out
 
 
 def _dd_semdedup_sql() -> str:

@@ -175,87 +175,63 @@ def test_mutual_knn_capped_identity_below_cap(spark):
     assert got == want
 
 
-def test_capped_candidates_symmetric_and_multiprobe(spark):
-    """r11 pair-stage contract (_capped_candidates): symmetric anchor
-    pairing + multi-probe overflow rescue, on a hand-built cell
-    assignment that bypasses the quantizer.
+def test_capped_pair_stage_contract(spark):
+    """r11 pair-stage contract (_capped_pair_cos) on the real corpus
+    with a tiny cap (3) so the overflow gate fires:
 
-    Fixture: cell 0 holds 6 members (cap=2 -> anchors {10, 11} by
-    (ccos DESC, vec_id ASC); note member 5 has a SMALLER id than both
-    anchors — the r10 starvation case), cell 1 holds 2 (below cap).
-    Overflow members of cell 0 probe cells {0, 1}; everyone else
-    probes only home."""
-    from realtime_banking_cdc_pipeline_spark.queries.round9 import (
-        _capped_candidates,
+    - SPLIT-ONLY: every candidate pair shares the big (house) cell, so
+      the capped candidate set is a subset of the exact twin's;
+    - NO STARVATION: every member pairs with EVERY top-cap anchor of
+      its big cell, regardless of id order (the r10 defect paired
+      members only with smaller-id anchors);
+    - BUDGET: pairs <= (1 + nprobe) * cap * N;
+    - canonical form: i < j, no self pairs, no duplicates."""
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        fixed_point,
+        fx_dot,
     )
-
-    # (vec_id, cid, ccos); embedding/nn irrelevant to pair generation
-    m = spark.createDataFrame(
-        [
-            (10, 0, 0.99), (11, 0, 0.98), (5, 0, 0.97),
-            (20, 0, 0.90), (21, 0, 0.80), (22, 0, 0.70),
-            (30, 1, 0.95), (31, 1, 0.94),
-        ],
-        "vec_id long, cid long, ccos double",
-    )
-    over = [5, 20, 21, 22]  # rank > 2 in cell 0
-    probes = spark.createDataFrame(
-        [(v, 0) for v in (10, 11, 30, 31)]
-        + [(v, c) for v in over for c in (0, 1)],
-        "vec_id long, cid long",
-    )
-    cap = 2
-    got = {(r.i, r.j) for r in _capped_candidates(m, probes, cap).collect()}
-
-    anchors0, anchors1 = {10, 11}, {30, 31}
-    # every member of cell 0 pairs with BOTH its anchors — including
-    # vec 5, whose id is below both (zero candidates under the r10
-    # smaller-id-only rule)
-    for v in (5, 20, 21, 22):
-        for a in anchors0:
-            assert (min(v, a), max(v, a)) in got
-    assert (10, 11) in got  # anchors pair with each other
-    # overflow members reach the probed cell's anchors
-    for v in over:
-        for a in anchors1:
-            assert (min(v, a), max(v, a)) in got
-    # cross-cell pairs exist ONLY between an overflow member and an
-    # anchor of one of its probed cells — in-capset members of cell 0
-    # (10, 11) never reach cell 1
-    cell0, cell1 = {10, 11, 5, 20, 21, 22}, {30, 31}
-    cross = {p for p in got if ({p[0], p[1]} & cell0) and ({p[0], p[1]} & cell1)}
-    assert cross == {(min(v, a), max(v, a)) for v in over for a in anchors1}
-    assert (30, 31) in got  # below-cap cell: full pair set
-    # budget: <= (1 + nprobe) * cap * N, no self pairs, i < j
-    assert all(i < j for i, j in got)
-    assert len(got) <= (1 + 2) * cap * 8
-
-
-def test_mutual_knn_capped_budget_bound(spark):
-    """The capped twin's candidate-pair budget holds end-to-end on the
-    real corpus: pairs <= (1 + nprobe) * cap * N_distinct."""
+    from realtime_banking_cdc_pipeline_spark.queries.llmdata import _emb
     from realtime_banking_cdc_pipeline_spark.queries.round6b import (
         _two_level_cells,
     )
     from realtime_banking_cdc_pipeline_spark.queries.round9 import (
         _MKNN_NPROBE,
-        _capped_candidates,
+        _capped_pair_cos,
     )
-    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
-        fx_dot,
-    )
-    from realtime_banking_cdc_pipeline_spark.queries.llmdata import _emb
 
     reps = _emb(spark, SF).select("vec_id", "embedding")
-    emb, cells, probes = _two_level_cells(
-        spark, reps, fine_probes=_MKNN_NPROBE
-    )
+    emb, cells = _two_level_cells(spark, reps)
     m = (
         cells.select("vec_id", "cid", "ccos")
         .join(emb, "vec_id")
         .withColumn("nn", fx_dot(F.col("embedding"), F.col("embedding")))
     )
-    cap = 3  # far below any sf0.001 cell -> exercises overflow + probes
+    cap = 3
+    pairs = _capped_pair_cos(spark, reps, m, cap, _MKNN_NPROBE)
+    rows = pairs.collect()
+    got = {(r.i, r.j) for r in rows}
+    assert len(rows) == len(got)  # deduped
+    assert all(r.i < r.j for r in rows)
+
+    cell_of = {r.vec_id: r.cid for r in cells.collect()}
+    # split-only: every pair shares the big cell
+    assert all(cell_of[i] == cell_of[j] for i, j in got)
+
+    # no starvation: every member x every top-cap anchor of its cell
+    ranked = sorted(
+        ((r.cid, -r.ccos, r.vec_id) for r in cells.collect()),
+    )
+    from collections import defaultdict
+
+    per_cell = defaultdict(list)
+    for cid, negc, vid in ranked:
+        per_cell[cid].append(vid)
+    for cid, members in per_cell.items():
+        anchors = members[:cap]
+        for v in members:
+            for a in anchors:
+                if a != v:
+                    assert (min(a, v), max(a, v)) in got
+
     n = reps.count()
-    pairs = _capped_candidates(m, probes, cap).count()
-    assert pairs <= (1 + _MKNN_NPROBE) * cap * n
+    assert len(got) <= (1 + _MKNN_NPROBE) * cap * n
