@@ -531,17 +531,14 @@ def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_frame(_docs(spark, sf_dir))
 
 
-def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
-    """Paragraph-granularity near-dup removal over any (doc_id, text)
-    frame — the x_paragraph_dedup machinery, reusable as a pipeline
-    stage (x_corpus_pipeline_v4 runs it on exact-dedup survivors).
-    Returns (doc_id, clean_text, n_removed, n_paras)."""
-    from ..caching import track_persist
-    from ..functions.similarity import (
-        banded_keys,
-        exploded_shingles,
-        minhash_signature,
-    )
+def _para_occurrences(d: DataFrame) -> DataFrame:
+    """Paragraph occurrences of a (doc_id, text) frame: fixed
+    ``_PARA_TOKENS``-token blocks as (doc_id, pidx, para, dg, k) rows,
+    where ``dg`` is the block's md5 and ``k`` the keep-first occurrence
+    key doc_id·2^20 + pidx (monotone in arrival order for id-ordered
+    corpora — the batching-invariance hook the streaming paragraph
+    stage relies on). Shared by paragraph_dedup_frame and the composed
+    streaming pipeline's paragraph stage."""
     from ..functions.text import ws_tokens
 
     p = _PARA_TOKENS
@@ -556,7 +553,7 @@ def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = track_persist(
+    return (
         toks.select("doc_id", F.posexplode(blocks).alias("pidx", "para"))
         .select(
             "doc_id",
@@ -568,6 +565,21 @@ def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
             ).alias("k"),
         )
     )
+
+
+def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
+    """Paragraph-granularity near-dup removal over any (doc_id, text)
+    frame — the x_paragraph_dedup machinery, reusable as a pipeline
+    stage (x_corpus_pipeline_v4 runs it on exact-dedup survivors).
+    Returns (doc_id, clean_text, n_removed, n_paras)."""
+    from ..caching import track_persist
+    from ..functions.similarity import (
+        banded_keys,
+        exploded_shingles,
+        minhash_signature,
+    )
+
+    occ = track_persist(_para_occurrences(d))
     dist = track_persist(
         occ.groupBy("dg").agg(
             F.min("k").alias("first_k"), F.min("para").alias("para")

@@ -1,17 +1,20 @@
 """Composed streaming pretraining-ingest pipeline (r9 judge directive
-#4): the five individually-proven store tiers chained in ONE
-``foreachBatch``, per micro-batch::
+#4; paragraph stage r10 directive #3): the six individually-proven
+store tiers chained in ONE ``foreachBatch``, per micro-batch::
 
     exact gate (Bloom seen-set + within-batch min-id dedup)
       -> ExactSubstr boilerplate accounting (gram counts/positions store)
-      -> near-dup gate (MinHash corpus store, band-partitioned)
+      -> paragraph dedup (20-token blocks through their own
+         corpus-style signature store; docs rebuild from survivors)
+      -> near-dup gate (MinHash corpus store over REBUILT text)
       -> semantic gate (two-level codebook cell store)
     with monitors alongside on the raw batch:
       HLL distinct-text, CMS first-token heavy hitters,
       DDSketch token-count quantiles
 
-This is the streaming twin of ``x_corpus_pipeline_v3/v4``: the batch
-pipeline's filter-then-dedup production order, run incrementally with
+This is the streaming twin of ``x_corpus_pipeline_v4``: the batch
+pipeline's filter-then-dedup production order (clean -> exact ->
+paragraph -> near-dup over rebuilt text), run incrementally with
 bounded state. Every stage is the SAME function its standalone suite
 proves (``metrics.bloom_gate_batch``, ``substr.ingest_substr_batch``,
 ``corpus.ingest_batch``, ``semantic.semantic_ingest_batch``,
@@ -90,6 +93,8 @@ def _paths(root: str) -> dict[str, str]:
     return {
         "bloom": os.path.join(root, "bloom_store"),
         "substr": os.path.join(root, "substr_store"),
+        "para": os.path.join(root, "para_store"),
+        "para_banded": os.path.join(root, "para_store_banded"),
         "corpus": os.path.join(root, "corpus_store"),
         "corpus_banded": os.path.join(root, "corpus_store_banded"),
         "semantic": os.path.join(root, "semantic_store"),
@@ -137,7 +142,7 @@ def pipeline_batch(
 ) -> DataFrame:
     """Run ONE micro-batch through the composed chain; returns the
     final survivor rows (doc_id, text, embedding). Side effects: all
-    five stores gain the batch's ``epoch=<epoch_id>`` partitions, and
+    six stores gain the batch's ``epoch=<epoch_id>`` partitions, and
     ``out/{survivors,substr}/epoch=<epoch_id>`` hold the batch's
     survivor ids and boilerplate span accounting (overwrite — replay
     rewrites them identically). ``timings`` (optional dict) collects
@@ -202,9 +207,75 @@ def pipeline_batch(
     )
     mark("substr", t0)
 
+    # --- paragraph stage ---------------------------------------------------
+    # The v4 order (clean -> exact -> PARAGRAPH -> near-dup -> pack), run
+    # incrementally: each survivor splits into fixed 20-token blocks and
+    # the blocks stream through their OWN corpus-style signature store —
+    # a paragraph seen in a strictly earlier epoch (or earlier within
+    # the batch, min occurrence key doc_id·2^20+pidx) kills later
+    # occurrences, exact (J=1) and near-dup alike. Docs rebuild from
+    # surviving blocks in pidx order; a doc whose every block is
+    # boilerplate drops here (v4's "empty" status). Downstream gates
+    # then dedup the REBUILT text, exactly like the batch flagship.
+    t0 = time.time()
+    from ..queries.round9 import _para_occurrences
+
+    kwargs = {} if match_min is None else {"match_min": match_min}
+    occ = _para_occurrences(surv1.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    kept_k = ingest_batch(
+        occ.select(F.col("k").alias("doc_id"), F.col("para").alias("text")),
+        p["para"],
+        epoch_id=e,
+        banded_store_path=p["para_banded"],
+        retention_epochs=retention_epochs,
+        **kwargs,
+    ).select(F.col("doc_id").alias("k"))
+    rebuilt = (
+        occ.join(kept_k, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("__ptext"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    counts = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras")
+    )
+    (
+        counts.join(rebuilt.select("doc_id", "n_kept"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_paras_removed"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(p["out"], "paragraph", f"epoch={e}"))
+    )
+    surv1 = (
+        surv1.drop("text")
+        .join(
+            rebuilt.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("__ptext").alias("text")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    mark("paragraph", t0)
+
     # --- near-dup gate ----------------------------------------------------
     t0 = time.time()
-    kwargs = {} if match_min is None else {"match_min": match_min}
     surv2_ids = ingest_batch(
         surv1.select("doc_id", "text"),
         p["corpus"],
@@ -272,7 +343,7 @@ def compact_pipeline_stores(
     epoch_id: int,
     retention_epochs: int | None = None,
 ) -> None:
-    """One maintenance pass over all five tiers at the shared cadence —
+    """One maintenance pass over all six tiers at the shared cadence —
     each store's own proven compaction (tiered corpus fold, retire-only
     substr under retention, sketch folds)."""
     p = _paths(root)
@@ -282,6 +353,14 @@ def compact_pipeline_stores(
     if os.path.exists(p["substr"]):
         compact_substr_store(
             spark, p["substr"], e, retention_epochs=retention_epochs
+        )
+    if os.path.exists(p["para"]):
+        compact_corpus_store(
+            spark,
+            p["para"],
+            e,
+            banded_store_path=p["para_banded"],
+            retention_epochs=retention_epochs,
         )
     if os.path.exists(p["corpus"]):
         compact_corpus_store(

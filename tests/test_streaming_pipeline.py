@@ -220,3 +220,64 @@ def test_pipeline_replay_idempotence(spark, tmp_path):
     )
     assert after_sub == before_sub
     assert spark.read.parquet(p["corpus"]).count() == before_corpus
+
+
+def test_pipeline_paragraph_stage(spark, tmp_path):
+    """r10 directive #3: the composed chain gains the v4 paragraph
+    stage. Batch 1 = 40 originals; batch 2 plants:
+
+    - 3007 = doc 7's first 20-token block (boilerplate) + 20 fresh
+      tokens -> the repeated block dies at the paragraph stage, the
+      doc survives with REBUILT text (1 of 2 paragraphs removed);
+    - 3008 = doc 7's first block verbatim and nothing else -> all
+      boilerplate, the doc drops at the paragraph stage (full text
+      differs from doc 7's, so the exact gate cannot be the killer).
+    """
+    rows = _base_rows(spark)
+    dim = len(rows[0][2])
+    block7 = " ".join(dict(((r[0], r) for r in rows))[7][1].split()[:20])
+    fresh_tail = " ".join(f"zunique{j}" for j in range(20))
+    plants = [
+        (
+            3007,
+            block7 + " " + fresh_tail,
+            [((j * 41 + 13) % 23 - 11) / 12.0 for j in range(dim)],
+        ),
+        (
+            3008,
+            block7,
+            [((j * 59 + 31) % 21 - 10) / 11.0 for j in range(dim)],
+        ),
+    ]
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "root")
+    _write_stream_files([rows, plants], src)
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows + plants],
+            "vec_id long, embedding array<float>",
+        ),
+        _paths(root)["codebook"],
+    )
+    _run(spark, src, root, str(tmp_path / "ckpt"))
+
+    ids = set(_survivor_ids(spark, root))
+    assert 3007 in ids, "partially-boilerplate doc must survive rebuilt"
+    assert 3008 not in ids, "all-boilerplate doc must drop"
+    assert 7 in ids, "the original block owner survives"
+
+    acc = {
+        r.doc_id: r
+        for r in spark.read.parquet(
+            os.path.join(_paths(root)["out"], "paragraph")
+        ).collect()
+    }
+    assert acc[3007].n_paras == 2 and acc[3007].n_paras_removed == 1
+    assert acc[3008].n_paras == 1 and acc[3008].n_paras_removed == 1
+    # originals' paragraphs were all first occurrences
+    assert acc[7].n_paras_removed == 0
+    # the near-dup store ingested the REBUILT text: 3007's stored
+    # signature derives from the fresh block only, so a later doc
+    # repeating just the fresh tail is a near-dup of 3007's survivor
+    para_store = _paths(root)["para"]
+    assert os.path.exists(para_store)
