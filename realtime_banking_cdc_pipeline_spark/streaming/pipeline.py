@@ -137,6 +137,7 @@ def pipeline_batch(
     bloom_bits: int = _PIPE_BLOOM_BITS,
     per_cell_budget: int | None = None,
     match_min: int | None = None,
+    para_match_min: int | None = None,
     semantic_threshold: float | None = None,
     timings: dict | None = None,
 ) -> DataFrame:
@@ -220,6 +221,12 @@ def pipeline_batch(
     t0 = time.time()
     from ..queries.round9 import _para_occurrences
 
+    # the paragraph store's match threshold defaults to the doc-level
+    # one; a probe can pin it separately (e.g. para_match_min=16 =
+    # exact-block-only, letting lightly-edited docs through to the
+    # doc-level gate at a known rate)
+    pmm = match_min if para_match_min is None else para_match_min
+    para_kwargs = {} if pmm is None else {"match_min": pmm}
     kwargs = {} if match_min is None else {"match_min": match_min}
     occ = _para_occurrences(surv1.select("doc_id", "text")).localCheckpoint(
         eager=True
@@ -230,7 +237,7 @@ def pipeline_batch(
         epoch_id=e,
         banded_store_path=p["para_banded"],
         retention_epochs=retention_epochs,
-        **kwargs,
+        **para_kwargs,
     ).select(F.col("doc_id").alias("k"))
     rebuilt = (
         occ.join(kept_k, "k")
@@ -395,6 +402,7 @@ def start_pipeline_ingest(
     bloom_bits: int = _PIPE_BLOOM_BITS,
     per_cell_budget: int | None = None,
     match_min: int | None = None,
+    para_match_min: int | None = None,
     semantic_threshold: float | None = None,
     on_batch_done=None,
 ):
@@ -415,6 +423,7 @@ def start_pipeline_ingest(
             bloom_bits=bloom_bits,
             per_cell_budget=per_cell_budget,
             match_min=match_min,
+            para_match_min=para_match_min,
             semantic_threshold=semantic_threshold,
             timings=timings,
         )
