@@ -29,6 +29,7 @@ from .round8 import _SEM_CAP as _MKNN_CAP  # noqa: E402
 @query(
     "x_mutual_knn_capped",
     _dd_mknn_sql(cap=_MKNN_CAP),
+    bench=True,
     doc=(
         "x_mutual_knn_clusters with the LINEAR pair stage: after the "
         "exact-dup contraction, candidates come from each cell's "
