@@ -31,8 +31,9 @@ seq range (batch 0 = all base):
                                  4: P(caught) ~ 0.74 — the LSH miss
                                  rate is part of the expectation)
   seq 97500..99999    semantic   fresh text + the embedding of an
-                                 epoch-0 doc with seq < 10000 (cell
-                                 anchors under per_cell_budget=64) ->
+                                 epoch-0 doc with seq < 5000 (first
+                                 ~20 arrivals per cell -> anchors
+                                 under per_cell_budget=64 w.h.p.) ->
                                  dies at the semantic gate (cos = 1).
                                  Batches 1..7 only (epoch 0 leaves the
                                  retention-8 horizon afterward);
@@ -121,7 +122,7 @@ def make_batch(batch: int) -> list[tuple[int, str, list[float]]]:
             rows.append((did, text_of(t), embedding_of(did)))
         else:
             if batch in SEM_BATCHES:
-                target = doc_id(0, (batch * 2500 + (seq - NEAR_END)) % 10_000)
+                target = doc_id(0, (batch * 625 + (seq - NEAR_END)) % 5_000)
                 rows.append((did, text_of(base_token_ids(did)), embedding_of(target)))
             else:
                 rows.append((did, text_of(base_token_ids(did)), embedding_of(did)))
