@@ -89,7 +89,11 @@ def _run(spark, src, root, ckpt, **kw):
         semantic_threshold=SEM_THRESHOLD,
         **kw,
     )
-    q.awaitTermination(600)
+    # a timeout RETURN (vs termination) leaves partial survivors and a
+    # silently-wrong parity comparison — observed once when the suite
+    # shared the box with a 2M-doc probe; wait long and then verify
+    finished = q.awaitTermination(1800)
+    assert finished, "pipeline stream did not drain within 30 min"
 
 
 def test_pipeline_stage_semantics(spark, tmp_path):
