@@ -1132,6 +1132,17 @@ def _capped_pair_cos(
         n, mx = int(row.n), int(row.mx)
         k2 = min(n, max(adaptive_cells(n), (n + cap - 1) // cap))
         t2 = (k2 * (mx + 1) + n - 1) // n
+        if t2 == adaptive_cells(n):
+            # the candidate quantizer would be BIT-IDENTICAL to the big
+            # one (same centroid rule, same threshold — dense-id corpora
+            # where ceil(n/cap) <= adaptive k): every probe pair then
+            # has its anchor's home cell == the probed cell, so the
+            # same-big-cell filter reduces pp to a subset of hp.
+            # Result-identical skip; saves the whole second assignment
+            # (measured ~8 s of the 11 s sf0.1 cost). The oracle keeps
+            # computing pp — it dedups away in ``cand``.
+            has_overflow = False
+    if has_overflow:
         _, cells2, probes2 = _two_level_cells(
             spark, reps, fine_probes=nprobe, k_override=t2
         )
