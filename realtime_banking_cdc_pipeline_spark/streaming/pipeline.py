@@ -138,6 +138,7 @@ def pipeline_batch(
     per_cell_budget: int | None = None,
     match_min: int | None = None,
     para_match_min: int | None = None,
+    with_paragraph_stage: bool = True,
     semantic_threshold: float | None = None,
     timings: dict | None = None,
 ) -> DataFrame:
@@ -218,68 +219,73 @@ def pipeline_batch(
     # surviving blocks in pidx order; a doc whose every block is
     # boilerplate drops here (v4's "empty" status). Downstream gates
     # then dedup the REBUILT text, exactly like the batch flagship.
-    t0 = time.time()
-    from ..queries.round9 import _para_occurrences
+    if with_paragraph_stage:
+        t0 = time.time()
+        from ..queries.round9 import _para_occurrences
 
-    # the paragraph store's match threshold defaults to the doc-level
-    # one; a probe can pin it separately (e.g. para_match_min=16 =
-    # exact-block-only, letting lightly-edited docs through to the
-    # doc-level gate at a known rate)
-    pmm = match_min if para_match_min is None else para_match_min
-    para_kwargs = {} if pmm is None else {"match_min": pmm}
-    kwargs = {} if match_min is None else {"match_min": match_min}
-    occ = _para_occurrences(surv1.select("doc_id", "text")).localCheckpoint(
-        eager=True
-    )
-    kept_k = ingest_batch(
-        occ.select(F.col("k").alias("doc_id"), F.col("para").alias("text")),
-        p["para"],
-        epoch_id=e,
-        banded_store_path=p["para_banded"],
-        retention_epochs=retention_epochs,
-        **para_kwargs,
-    ).select(F.col("doc_id").alias("k"))
-    rebuilt = (
-        occ.join(kept_k, "k")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pidx", "para"))),
-                    lambda s: s["para"],
+        # the paragraph store's match threshold defaults to the doc-level
+        # one; a probe can pin it separately (e.g. para_match_min=16 =
+        # exact-block-only, letting lightly-edited docs through to the
+        # doc-level gate at a known rate). The stage itself is skippable
+        # (with_paragraph_stage=False -> the r9/r10 five-stage chain) for
+        # corpora without boilerplate structure — measured cost ~35% of
+        # batch wall on the duplicate-heavy 2M fixture.
+        pmm = match_min if para_match_min is None else para_match_min
+        para_kwargs = {} if pmm is None else {"match_min": pmm}
+        kwargs = {} if match_min is None else {"match_min": match_min}
+        occ = _para_occurrences(surv1.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+        kept_k = ingest_batch(
+            occ.select(F.col("k").alias("doc_id"), F.col("para").alias("text")),
+            p["para"],
+            epoch_id=e,
+            banded_store_path=p["para_banded"],
+            retention_epochs=retention_epochs,
+            **para_kwargs,
+        ).select(F.col("doc_id").alias("k"))
+        rebuilt = (
+            occ.join(kept_k, "k")
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                ).alias("__ptext"),
+                F.count(F.lit(1)).alias("n_kept"),
+            )
+        )
+        counts = occ.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras")
+        )
+        (
+            counts.join(rebuilt.select("doc_id", "n_kept"), "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                "n_paras",
+                (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_paras_removed"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(p["out"], "paragraph", f"epoch={e}"))
+        )
+        surv1 = (
+            surv1.drop("text")
+            .join(
+                rebuilt.filter(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("__ptext").alias("text")
                 ),
-                " ",
-            ).alias("__ptext"),
-            F.count(F.lit(1)).alias("n_kept"),
+                "doc_id",
+            )
+            .select("doc_id", "text", "embedding")
+            .localCheckpoint(eager=True)
         )
-    )
-    counts = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_paras")
-    )
-    (
-        counts.join(rebuilt.select("doc_id", "n_kept"), "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            "n_paras",
-            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_paras_removed"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(p["out"], "paragraph", f"epoch={e}"))
-    )
-    surv1 = (
-        surv1.drop("text")
-        .join(
-            rebuilt.filter(F.col("n_kept") > 0).select(
-                "doc_id", F.col("__ptext").alias("text")
-            ),
-            "doc_id",
-        )
-        .select("doc_id", "text", "embedding")
-        .localCheckpoint(eager=True)
-    )
-    mark("paragraph", t0)
+        mark("paragraph", t0)
+
 
     # --- near-dup gate ----------------------------------------------------
     t0 = time.time()
@@ -403,6 +409,7 @@ def start_pipeline_ingest(
     per_cell_budget: int | None = None,
     match_min: int | None = None,
     para_match_min: int | None = None,
+    with_paragraph_stage: bool = True,
     semantic_threshold: float | None = None,
     on_batch_done=None,
 ):
@@ -424,6 +431,7 @@ def start_pipeline_ingest(
             per_cell_budget=per_cell_budget,
             match_min=match_min,
             para_match_min=para_match_min,
+            with_paragraph_stage=with_paragraph_stage,
             semantic_threshold=semantic_threshold,
             timings=timings,
         )
