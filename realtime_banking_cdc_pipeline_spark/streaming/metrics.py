@@ -551,7 +551,15 @@ def start_quantile_monitor(
 def read_bloom_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold every epoch partition into one (word_idx, bits) filter —
     idempotent OR, so leftovers (and a base overlapping its surviving
-    source epochs) are never corruption."""
+    source epochs) are never corruption. A missing or all-rowless
+    store (every partition holds only _SUCCESS — exactly the states
+    the ingest-side guards exist for) folds to the EMPTY filter
+    instead of crashing the read path (ADVICE r11), so
+    read_bloom_health reports set_bits=0 rather than throwing."""
+    from .corpus import _has_parquet_files
+
+    if not (os.path.exists(store_path) and _has_parquet_files(store_path)):
+        return spark.createDataFrame([], "word_idx bigint, bits bigint")
     store = spark.read.parquet(store_path)
     if "epoch" in store.columns:
         store = store.drop("epoch")
@@ -643,10 +651,15 @@ def bloom_gate_batch(
     bits = BLOOM_BITS if bits is None else bits
     k = BLOOM_K if k is None else k
     spark = batch_df.sparkSession
-    if os.path.exists(store_path) and _epoch_ids(store_path):
+    from .corpus import _has_parquet_files
+
+    if os.path.exists(store_path) and _has_parquet_files(store_path):
+        # materialize the store fold ONCE — both the health aggregate
+        # and the membership probe read it (ADVICE r11: unpersisted,
+        # the full store read + OR-fold ran twice per micro-batch)
         words = merge_bloom_words(
             _cms_live_before(spark, store_path, epoch_id)
-        )
+        ).localCheckpoint(eager=True)
     else:
         words = spark.createDataFrame([], "word_idx bigint, bits bigint")
     health = bloom_fill_stats(words, bits=bits, k=k).first()

@@ -209,6 +209,12 @@ def pipeline_batch(
     )
     mark("substr", t0)
 
+    # near-dup gate threshold — defined BEFORE the skippable paragraph
+    # stage so with_paragraph_stage=False still reaches the gate
+    # (ADVICE r11: this used to live inside the block below, making
+    # the documented five-stage skip path crash with UnboundLocalError)
+    kwargs = {} if match_min is None else {"match_min": match_min}
+
     # --- paragraph stage ---------------------------------------------------
     # The v4 order (clean -> exact -> PARAGRAPH -> near-dup -> pack), run
     # incrementally: each survivor splits into fixed 20-token blocks and
@@ -232,7 +238,6 @@ def pipeline_batch(
         # batch wall on the duplicate-heavy 2M fixture.
         pmm = match_min if para_match_min is None else para_match_min
         para_kwargs = {} if pmm is None else {"match_min": pmm}
-        kwargs = {} if match_min is None else {"match_min": match_min}
         occ = _para_occurrences(surv1.select("doc_id", "text")).localCheckpoint(
             eager=True
         )
@@ -261,12 +266,25 @@ def pipeline_batch(
         counts = occ.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_paras")
         )
+        # accounting covers EVERY surv1 doc, like batch
+        # paragraph_dedup_frame: a doc whose text tokenizes to zero
+        # blocks (empty/whitespace-only) gets a row with n_paras=0
+        # (ADVICE r11 — previously it vanished from the accounting).
+        # Such docs still DROP from the survivor path below (n_kept=0
+        # -> v4's "empty" status), identically to the batch flagship.
         (
-            counts.join(rebuilt.select("doc_id", "n_kept"), "doc_id", "left_outer")
+            surv1.select("doc_id")
+            .join(counts, "doc_id", "left_outer")
+            .join(rebuilt.select("doc_id", "n_kept"), "doc_id", "left_outer")
             .select(
                 "doc_id",
-                "n_paras",
-                (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                F.coalesce(F.col("n_paras"), F.lit(0))
+                .cast("bigint")
+                .alias("n_paras"),
+                (
+                    F.coalesce(F.col("n_paras"), F.lit(0))
+                    - F.coalesce(F.col("n_kept"), F.lit(0))
+                )
                 .cast("bigint")
                 .alias("n_paras_removed"),
             )

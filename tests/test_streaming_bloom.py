@@ -368,3 +368,45 @@ def test_sketch_health_read_paths(spark, tmp_path):
     dh = read_dds_health(spark, dds_store).first()
     assert dh.total_count == 600
     assert dh.n_bins > 0
+
+
+def test_bloom_health_missing_and_rowless_store(spark, tmp_path):
+    """ADVICE r11: the ops read path must report an EMPTY filter for a
+    missing or all-rowless store (the states the ingest-side guards
+    were added for) instead of crashing on schema inference."""
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        read_bloom_health,
+    )
+
+    missing = str(tmp_path / "never_written")
+    h = read_bloom_health(spark, missing).first()
+    assert h.set_bits == 0 and h.fill_frac == 0.0 and h.est_fp == 0.0
+
+    # all-rowless: epoch partitions exist but hold only _SUCCESS
+    rowless = str(tmp_path / "rowless")
+    os.makedirs(os.path.join(rowless, "epoch=0"))
+    open(os.path.join(rowless, "epoch=0", "_SUCCESS"), "w").close()
+    h = read_bloom_health(spark, rowless).first()
+    assert h.set_bits == 0 and h.fill_frac == 0.0
+
+    assert read_bloom_store(spark, rowless).count() == 0
+
+
+def test_bloom_gate_after_rowless_epoch(spark, tmp_path):
+    """An empty micro-batch leaves a rowless epoch partition; the next
+    batch's probe must treat the store as empty, not crash (and the
+    gate's fold is materialized once — behavioral pin is the verdict)."""
+    store = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    bloom_gate_batch(empty, store, "doc_id", "text", epoch_id=0)
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    )
+    flags = {r.doc_id: r.maybe_seen for r in bloom_gate_batch(
+        batch, store, "doc_id", "text", epoch_id=1
+    ).collect()}
+    assert flags == {1: False, 2: False}
+    # and a true repeat in a later epoch is still flagged
+    rep = spark.createDataFrame([(3, "alpha")], "doc_id bigint, text string")
+    f2 = bloom_gate_batch(rep, store, "doc_id", "text", epoch_id=2).first()
+    assert bool(f2.maybe_seen) is True

@@ -285,3 +285,86 @@ def test_pipeline_paragraph_stage(spark, tmp_path):
     # repeating just the fresh tail is a near-dup of 3007's survivor
     para_store = _paths(root)["para"]
     assert os.path.exists(para_store)
+
+
+def test_pipeline_skip_paragraph_stage(spark, tmp_path):
+    """ADVICE r11 (high): with_paragraph_stage=False — the documented
+    five-stage r9/r10 chain — used to crash with UnboundLocalError at
+    the near-dup gate because its kwargs were assigned inside the
+    paragraph block. Pin that the skip path runs end-to-end, still
+    kills each plant at its stage, and writes no paragraph accounting."""
+    rows = _base_rows(spark)
+    plants = _planted(rows)
+    root = str(tmp_path / "root")
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+        ),
+        _paths(root)["codebook"],
+    )
+    long_schema = SCHEMA.replace("bigint", "long")
+    pipeline_batch(
+        spark.createDataFrame(rows, long_schema),
+        root,
+        epoch_id=0,
+        with_paragraph_stage=False,
+        semantic_threshold=SEM_THRESHOLD,
+    )
+    pipeline_batch(
+        spark.createDataFrame(plants, long_schema),
+        root,
+        epoch_id=1,
+        with_paragraph_stage=False,
+        semantic_threshold=SEM_THRESHOLD,
+    )
+    ids = set(_survivor_ids(spark, root))
+    assert 1003 not in ids and 1006 not in ids and 1010 not in ids
+    assert {3, 6, 10, 39} <= ids
+    assert not os.path.exists(os.path.join(_paths(root)["out"], "paragraph"))
+
+
+def test_pipeline_zero_block_doc_accounting(spark, tmp_path):
+    """ADVICE r11: a survivor whose text tokenizes to zero blocks must
+    appear in the paragraph accounting (n_paras=0, like batch
+    paragraph_dedup_frame) and drop from the survivor path (v4's
+    'empty' status) — previously it silently vanished from both."""
+    rows = _base_rows(spark)
+    dim = len(rows[0][2])
+    zb = (4004, "   ", [((j * 43 + 17) % 25 - 12) / 13.0 for j in range(dim)])
+    fresh = (
+        4005,
+        "completely new words never observed anywhere in the corpus",
+        [((j * 61 + 37) % 27 - 13) / 14.0 for j in range(dim)],
+    )
+    root = str(tmp_path / "root")
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+        ),
+        _paths(root)["codebook"],
+    )
+    long_schema = SCHEMA.replace("bigint", "long")
+    pipeline_batch(
+        spark.createDataFrame(rows, long_schema),
+        root,
+        epoch_id=0,
+        semantic_threshold=SEM_THRESHOLD,
+    )
+    pipeline_batch(
+        spark.createDataFrame([zb, fresh], long_schema),
+        root,
+        epoch_id=1,
+        semantic_threshold=SEM_THRESHOLD,
+    )
+    ids = set(_survivor_ids(spark, root))
+    assert 4004 not in ids, "zero-block doc drops (v4 'empty' status)"
+    assert 4005 in ids
+    acc = {
+        r.doc_id: r
+        for r in spark.read.parquet(
+            os.path.join(_paths(root)["out"], "paragraph")
+        ).collect()
+    }
+    assert 4004 in acc, "zero-block doc must get an accounting row"
+    assert acc[4004].n_paras == 0 and acc[4004].n_paras_removed == 0
+    assert acc[4005].n_paras >= 1 and acc[4005].n_paras_removed == 0
