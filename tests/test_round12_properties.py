@@ -1,0 +1,150 @@
+"""Round-12 property pins for the corpus-composition analytics.
+
+The four round-12 queries are oracle-checked by the driver; these pins
+gate the internal laws the hash compare cannot see:
+
+1. x_ngram_coverage_curve's TWO-LEVEL prefix sum (4096-doc shards +
+   shard offsets) equals a single global running sum, the curve is
+   monotone, and the final prefix covers exactly 100% of the
+   vocabulary (sum of first-introductions == distinct shingles).
+2. x_source_novelty's ownership is a partition of the vocabulary
+   (sum(n_owned) == |vocab|, owned_frac sums to 1) and redundancy is
+   consistent with the occurrence/distinct counts.
+3. x_cluster_balanced_sample's two-phase per-cell top-k (16-shard
+   partial ranks, then rank-of-survivors) equals the single-window
+   row_number result, and no cell exceeds the budget.
+4. x_dedup_source_report's removal accounting matches the global
+   keep-first exact dedup: sum(n_dup_docs) == n_docs - n_distinct_texts
+   and per-source doc/token totals reconcile with the raw table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_banking_cdc_pipeline_spark.queries import QUERIES
+from realtime_banking_cdc_pipeline_spark.queries.round12 import (
+    _CBS_K,
+    _COV_K,
+)
+from realtime_banking_cdc_pipeline_spark.sources.parquet_io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_coverage_curve_prefix_sum_law(spark):
+    res = QUERIES["x_ngram_coverage_curve"].spark(spark, SF)
+    rows = sorted(
+        ((r.doc_id, r.n_new, r.cum_new, r.coverage) for r in res.collect())
+    )
+    # global single-pass reference
+    run = 0
+    total = rows[-1][2]
+    for doc_id, n_new, cum_new, coverage in rows:
+        run += n_new
+        assert cum_new == run, f"two-level prefix sum broke at {doc_id}"
+        assert coverage == cum_new / total
+    # the full prefix covers the whole vocabulary, exactly
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        exploded_shingles,
+    )
+
+    d = read_table(spark, SF, "documents")
+    vocab = (
+        exploded_shingles(d, "doc_id", "text", _COV_K)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert total == vocab
+    assert rows[-1][3] == 1.0
+    assert d.count() == len(rows)
+
+
+def test_source_novelty_partitions_vocabulary(spark):
+    res = {r.source: r for r in QUERIES["x_source_novelty"].spark(
+        spark, SF
+    ).collect()}
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        exploded_shingles,
+    )
+
+    d = read_table(spark, SF, "documents")
+    vocab = (
+        exploded_shingles(d, "doc_id", "text", _COV_K)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_owned for r in res.values()) == vocab
+    assert abs(sum(r.owned_frac for r in res.values()) - 1.0) < 1e-9
+    for r in res.values():
+        assert 0 < r.n_distinct <= r.n_occ
+        assert r.redundancy == 1.0 - r.n_distinct / r.n_occ
+    # doc counts reconcile with the raw table
+    raw = dict(
+        d.groupBy("source").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert {s: r.n_docs for s, r in res.items()} == raw
+
+
+def test_cluster_balanced_sample_two_phase_law(spark):
+    res = QUERIES["x_cluster_balanced_sample"].spark(spark, SF)
+    got = sorted((r.cell, r.rk, r.vec_id, r.label) for r in res.collect())
+    # single-window reference (what the oracle computes)
+    e = read_table(spark, SF, "embeddings")
+    cell = sum(
+        [
+            F.when(F.col("embedding")[i] >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(8)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    c = e.select(
+        "vec_id",
+        "label",
+        cell.alias("cell"),
+        F.md5(F.col("vec_id").cast("string").cast("binary")).alias("k"),
+    )
+    w = Window.partitionBy("cell").orderBy("k", "vec_id")
+    ref = sorted(
+        (r.cell, r.rk, r.vec_id, r.label)
+        for r in c.withColumn(
+            "rk", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rk") <= _CBS_K)
+        .select("cell", "rk", "vec_id", "label")
+        .collect()
+    )
+    assert got == ref, "two-phase top-k != single-window top-k"
+    per_cell: dict[int, int] = {}
+    for cell_id, rk, _, _ in got:
+        per_cell[cell_id] = per_cell.get(cell_id, 0) + 1
+        assert 0 <= cell_id < 256 and 1 <= rk <= _CBS_K
+    assert all(v <= _CBS_K for v in per_cell.values())
+
+
+def test_dedup_source_report_reconciles(spark):
+    res = QUERIES["x_dedup_source_report"].spark(spark, SF).collect()
+    d = read_table(spark, SF, "documents")
+    n_docs = d.count()
+    n_texts = d.select("text").distinct().count()
+    assert sum(r.n_docs for r in res) == n_docs
+    assert sum(r.n_dup_docs for r in res) == n_docs - n_texts
+    from realtime_banking_cdc_pipeline_spark.functions.text import (
+        ws_token_count,
+    )
+
+    tok_by_src = {
+        r.source: r.t
+        for r in d.groupBy("source")
+        .agg(F.sum(ws_token_count("text")).alias("t"))
+        .collect()
+    }
+    for r in res:
+        assert r.tokens_total == tok_by_src[r.source]
+        assert 0 <= r.tokens_dup <= r.tokens_total
+        assert r.dup_token_frac == r.tokens_dup / r.tokens_total
