@@ -50,6 +50,7 @@ FROM base, tot
 @query(
     "x_ngram_coverage_curve",
     _COV_SQL,
+    bench=True,
     doc=(
         "Corpus coverage curve in arrival (doc_id) order: per doc, the "
         "number of distinct 3-gram shingles it is the FIRST to "

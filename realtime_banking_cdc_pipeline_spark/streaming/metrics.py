@@ -804,3 +804,180 @@ def read_dds_health(spark: SparkSession, store_path: str) -> DataFrame:
         F.count("*").alias("n_bins"),
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming vocabulary-coverage monitor: distinct-shingle store
+# ---------------------------------------------------------------------------
+#
+# The streaming twin of queries/round12.py:x_ngram_coverage_curve —
+# per micro-batch, the fraction of the batch's distinct k-gram
+# shingles the corpus has NEVER seen before (the novelty rate whose
+# decay is the dedup-saturation / crawl-value signal), plus the
+# cumulative vocabulary size. EXACT, not sketched: each epoch
+# partition stores only the digests that were FRESH in that epoch
+# (anti-joined against all strictly-earlier epochs), so the store is
+# globally duplicate-free by construction and the cumulative
+# vocabulary is just its row count. Exactly-once under foreachBatch
+# replay for the same reason as the Bloom/CMS stores: the probe
+# horizon is epoch < epoch_id and the partition write is an
+# overwrite, so a replayed batch recomputes the identical fresh set.
+# Compaction follows the CMS regime (fold STRICTLY EARLIER epochs) —
+# a fold-of-all base would bake the triggering epoch's digests into
+# the only partition its replay can probe, flagging every replayed
+# shingle as seen.
+
+
+def coverage_monitor_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    epoch_id: int = 0,
+    k: int = 3,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Fold one micro-batch's distinct shingle digests into the store
+    (own epoch partition, fresh-only rows) and return a one-row frame:
+    (n_docs, n_shingles, n_new, novelty_rate, vocab_size). Two store
+    scans per batch (the anti-join probe + the vocab count — the
+    latter is a metadata-only parquet count), both over strictly
+    earlier epochs; the batch side is checkpointed once."""
+    from ..functions.similarity import exploded_shingles
+    from .corpus import _has_parquet_files
+
+    spark = batch_df.sparkSession
+    n_docs = batch_df.count()
+    dg = (
+        exploded_shingles(
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            "doc_id",
+            "text",
+            k,
+        )
+        .select(F.md5(F.col("shingle").cast("binary")).alias("dg"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if os.path.exists(store_path) and _has_parquet_files(store_path):
+        earlier = _cms_live_before(spark, store_path, epoch_id)
+        vocab_before = earlier.count()
+        fresh = dg.join(earlier, "dg", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        vocab_before = 0
+        fresh = dg
+    n_sh = dg.count()
+    n_new = fresh.count()
+    fresh.write.mode("overwrite").parquet(
+        os.path.join(store_path, f"epoch={int(epoch_id)}")
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_coverage_store(spark, store_path, epoch_id)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(n_sh),
+                int(n_new),
+                (float(n_new) / float(n_sh)) if n_sh else 0.0,
+                int(vocab_before + n_new),
+            )
+        ],
+        "n_docs bigint, n_shingles bigint, n_new bigint, "
+        "novelty_rate double, vocab_size bigint",
+    )
+
+
+def compact_coverage_store(
+    spark: SparkSession, store_path: str, epoch_id: int
+) -> None:
+    """Fold partitions STRICTLY EARLIER than ``epoch_id`` into the base
+    ``epoch=-<epoch_id>`` and delete the subsumed ones. Epoch
+    partitions are disjoint digest sets, so the fold is a distinct
+    union — idempotent over crash leftovers (a leftover source
+    partition re-folds to the same set). Committed bases are never
+    rewritten; a partial base (no _SUCCESS) is dropped and refolded."""
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    existing = _epoch_ids(store_path)
+    if not existing:
+        return
+    base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e < epoch_id and e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(store_path, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
+    folded = (
+        _cms_live_before(spark, store_path, epoch_id)
+        .select("dg")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    folded.write.mode("overwrite").parquet(base)
+    for e in _epoch_ids(store_path):
+        if e < epoch_id and e != -int(epoch_id):
+            shutil.rmtree(
+                os.path.join(store_path, f"epoch={e}"), ignore_errors=True
+            )
+
+
+def read_coverage_health(spark: SparkSession, store_path: str) -> DataFrame:
+    """One row: (vocab_size) — the corpus' cumulative distinct-shingle
+    count (the store is duplicate-free by construction). Missing or
+    all-rowless store reads as vocab_size=0."""
+    from .corpus import _has_parquet_files
+
+    if not (os.path.exists(store_path) and _has_parquet_files(store_path)):
+        return spark.createDataFrame([(0,)], "vocab_size bigint")
+    store = spark.read.parquet(store_path)
+    return store.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+
+
+def start_coverage_monitor(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_files_per_trigger: int = 1,
+    compact_every: int = 16,
+):
+    """File-source streaming wrapper: each micro-batch's one-row
+    novelty summary lands in ``out_path`` under its own epoch
+    partition (replay overwrites it). availableNow drains then stops
+    (test mode)."""
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        row = coverage_monitor_batch(
+            batch_df, store_path, id_col, text_col,
+            epoch_id=epoch, k=k, compact_every=compact_every,
+        )
+        row.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={int(epoch)}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
