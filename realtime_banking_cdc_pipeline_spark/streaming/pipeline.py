@@ -10,7 +10,10 @@ store tiers chained in ONE ``foreachBatch``, per micro-batch::
       -> semantic gate (two-level codebook cell store)
     with monitors alongside on the raw batch:
       HLL distinct-text, CMS first-token heavy hitters,
-      DDSketch token-count quantiles
+      DDSketch token-count quantiles, and (opt-in,
+      ``with_coverage_monitor``) the exact vocabulary-novelty
+      monitor — per-batch never-seen-shingle rate + cumulative
+      vocabulary in ``out/coverage`` (r12)
 
 This is the streaming twin of ``x_corpus_pipeline_v4``: the batch
 pipeline's filter-then-dedup production order (clean -> exact ->
@@ -102,6 +105,7 @@ def _paths(root: str) -> dict[str, str]:
         "hll": os.path.join(root, "hll_store"),
         "cms": os.path.join(root, "cms_store"),
         "dds": os.path.join(root, "dds_store"),
+        "coverage": os.path.join(root, "coverage_store"),
         "out": os.path.join(root, "out"),
     }
 
@@ -139,6 +143,7 @@ def pipeline_batch(
     match_min: int | None = None,
     para_match_min: int | None = None,
     with_paragraph_stage: bool = True,
+    with_coverage_monitor: bool = False,
     semantic_threshold: float | None = None,
     timings: dict | None = None,
 ) -> DataFrame:
@@ -364,6 +369,17 @@ def pipeline_batch(
         "v",
         epoch_id=e,
     )
+    if with_coverage_monitor:
+        # vocabulary-novelty monitor (r12): exact per-batch fraction of
+        # never-seen 3-gram shingles over the RAW batch — the crawl-
+        # value decay signal; summary row lands in out/coverage
+        from .metrics import coverage_monitor_batch
+
+        coverage_monitor_batch(
+            batch, p["coverage"], "doc_id", "text", epoch_id=e
+        ).write.mode("overwrite").parquet(
+            os.path.join(p["out"], "coverage", f"epoch={e}")
+        )
     mark("monitors", t0)
     return survivors
 
@@ -405,10 +421,13 @@ def compact_pipeline_stores(
         compact_semantic_store(
             spark, p["semantic"], e, retention_epochs=retention_epochs
         )
+    from .metrics import compact_coverage_store
+
     for store, fn in (
         ("hll", compact_hll_store),
         ("cms", compact_cms_store),
         ("dds", compact_dds_store),
+        ("coverage", compact_coverage_store),
     ):
         if os.path.exists(p[store]):
             fn(spark, p[store], e)
@@ -428,6 +447,7 @@ def start_pipeline_ingest(
     match_min: int | None = None,
     para_match_min: int | None = None,
     with_paragraph_stage: bool = True,
+    with_coverage_monitor: bool = False,
     semantic_threshold: float | None = None,
     on_batch_done=None,
 ):
@@ -450,6 +470,7 @@ def start_pipeline_ingest(
             match_min=match_min,
             para_match_min=para_match_min,
             with_paragraph_stage=with_paragraph_stage,
+            with_coverage_monitor=with_coverage_monitor,
             semantic_threshold=semantic_threshold,
             timings=timings,
         )

@@ -368,3 +368,46 @@ def test_pipeline_zero_block_doc_accounting(spark, tmp_path):
     assert 4004 in acc, "zero-block doc must get an accounting row"
     assert acc[4004].n_paras == 0 and acc[4004].n_paras_removed == 0
     assert acc[4005].n_paras >= 1 and acc[4005].n_paras_removed == 0
+
+
+def test_pipeline_coverage_monitor(spark, tmp_path):
+    """r12: the opt-in vocabulary-novelty monitor rides alongside the
+    gates on the RAW batch — epoch summaries land in out/coverage,
+    novelty decays when later batches repeat earlier shingles, and the
+    cumulative vocab equals the sum of per-epoch n_new."""
+    rows = _base_rows(spark)
+    halves = [rows[:20], rows[20:] + rows[:5]]  # second batch repeats
+    root = str(tmp_path / "root")
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+        ),
+        _paths(root)["codebook"],
+    )
+    long_schema = SCHEMA.replace("bigint", "long")
+    for e, batch in enumerate(halves):
+        pipeline_batch(
+            spark.createDataFrame(batch, long_schema),
+            root,
+            epoch_id=e,
+            with_coverage_monitor=True,
+            semantic_threshold=SEM_THRESHOLD,
+        )
+    cov = {
+        r.epoch: r
+        for r in spark.read.parquet(
+            os.path.join(_paths(root)["out"], "coverage")
+        ).collect()
+    }
+    assert set(cov) == {0, 1}
+    assert cov[0].n_new == cov[0].n_shingles  # everything fresh at e0
+    assert cov[1].n_new < cov[1].n_shingles  # repeats are not novel
+    assert cov[1].vocab_size == cov[0].n_new + cov[1].n_new
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        read_coverage_health,
+    )
+
+    assert (
+        read_coverage_health(spark, _paths(root)["coverage"]).first().vocab_size
+        == cov[1].vocab_size
+    )

@@ -86,6 +86,7 @@ q = start_pipeline_ingest(
     bloom_bits=1 << 26,
     per_cell_budget=64,
     para_match_min=16,   # paragraph gate = exact-block-only for this corpus
+    with_coverage_monitor=True,   # r12: record vocabulary-novelty decay
     semantic_threshold=0.999,
     on_batch_done=done,
 )
@@ -156,6 +157,14 @@ checks = {
     <= 1 - got.get("near_dup", 0) / totals["near_dup"]
     <= 0.92,
 }
+cov = sorted(
+    (
+        (r.epoch, r.n_new, round(r.novelty_rate, 4), r.vocab_size)
+        for r in spark.read.parquet(
+            os.path.join(_paths(ROOT)["out"], "coverage")
+        ).collect()
+    )
+)
 result = {
     "wall_sec": round(wall, 1),
     "docs": 20 * 100_000,
@@ -171,6 +180,10 @@ result = {
     "all_checks_pass": all(checks.values()),
     "batch1_sec": batches[0]["sec"],
     "worst_batch_sec": max(b["sec"] for b in batches),
+    "coverage_epochs": [
+        {"epoch": e, "n_new": n, "novelty": nv, "vocab": v}
+        for e, n, nv, v in cov
+    ],
     "batches": batches,
 }
 print("RESULT", json.dumps(result), flush=True)
