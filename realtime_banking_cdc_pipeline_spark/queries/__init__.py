@@ -42,11 +42,12 @@ from . import round12  # noqa: F401,E402  (coverage curves, balanced sampling)
 # The driver's correctness gate executes the FIRST 50 registry entries.
 # Round-12 rotation (house rule since r9 judge directive #6): all 50
 # CORRECTNESS_r11 strict passes fold into the verified set; the r12
-# window = the 4 round-12 registrations (x_ngram_coverage_curve,
-# x_source_novelty, x_cluster_balanced_sample, x_dedup_source_report)
-# + the 46 stalest driver-proof entries (last-proof round, computed
+# window = the 6 round-12 registrations (x_ngram_coverage_curve,
+# x_source_novelty, x_cluster_balanced_sample, x_dedup_source_report,
+# x_minhash_calibration, x_label_propagation)
+# + the 44 stalest driver-proof entries (last-proof round, computed
 # from the CORRECTNESS_r01..r11 key history): the 3 remaining r05-era
-# singles, the full 37-entry r06-era cohort, and the first 6 r08-era
+# singles, the full 37-entry r06-era cohort, and the first 4 r08-era
 # names alphabetically. No registry query's implementing code changed
 # this round (the r12 ADVICE fixes touched streaming/pipeline.py and
 # streaming/metrics.py only), so no changed-code re-proofs are owed.
@@ -68,7 +69,8 @@ _DRIVER_VERIFIED = frozenset({
     "agg_cube_status_priority", "agg_grouping_sets", "agg_pivot_event_types",
     "agg_rollup_region_nation", "agg_unpivot_metrics", "asof_last_view_before_purchase",
     "c1_scd2_replay", "c1b_scd2_apply", "c3_incremental_merge",
-    "c6_incremental_rollup", "c7_late_events", "j1_fact_dim_join",
+    "c6_incremental_rollup", "c7_late_events", "c8_asof_snapshot",
+    "j1_fact_dim_join",
     "j2_two_hop_join", "j3_anti_orphans", "j5_self_join",
     "j6_interval_join", "j7_range_band_join", "o1_top10_orders",
     "o1b_trailing_window_top", "p1_json_extract", "p_scalar_suite",
@@ -78,7 +80,7 @@ _DRIVER_VERIFIED = frozenset({
     "w1_dedup_latest", "w_distribution_ranks", "w_gap_islands",
     "w_locf_gapfill", "w_range_frame", "w_rolling_median",
     "w_running_totals", "w_sessionize", "w_topk_per_group",
-    "x_ann_cosine_topk", "x_ann_ivf_topk", "x_ann_ivf_trained",
+    "x_ann_cosine_topk", "x_ann_ivf_multiprobe", "x_ann_ivf_topk", "x_ann_ivf_trained",
     "x_ann_ivf_trained_mp", "x_ann_ivfpq_topk", "x_ann_lsh_buckets",
     "x_ann_lsh_cosine_pairs", "x_ann_pq_adc", "x_ann_recall_eval",
     "x_ann_sq8", "x_ann_sq8_rescore", "x_audio_mulaw_stats",

@@ -1,6 +1,7 @@
 """Round-12 queries: corpus-composition analytics — coverage curves,
 source-novelty attribution, embedding-cell-balanced subset selection,
-and the per-source dedup impact report.
+the per-source dedup impact report, the MinHash estimator calibration
+curve, and label-propagation communities over the match graph.
 
 Reference parity: the reference repo's analytics tier has no corpus
 operators (its compute is dbt SQL over banking CDC rows — SURVEY.md
@@ -384,4 +385,262 @@ def x_dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_tokens").cast("double")
             ).alias("dup_token_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_minhash_calibration — estimator bias curve of the MinHash Jaccard
+# estimate, per matching-component bucket
+# ---------------------------------------------------------------------------
+
+def _dd_mhcal_sql() -> str:
+    from .llmdata import _dd_minhash_cte
+    from ..functions.similarity import MINHASH_PERMS
+
+    bands, r = 4, MINHASH_PERMS // 4
+    band_defs = ",\n  ".join(
+        "("
+        + " || '-' || ".join(
+            f"CAST(sig_{b * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    or_cond = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH {_dd_minhash_cte()},
+banded AS (SELECT doc_id,
+  {", ".join(f"sig_{j}" for j in range(MINHASH_PERMS))},
+  {band_defs}
+FROM sig),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST({match_sum} AS BIGINT) AS n_matching
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({or_cond})
+),
+sh3 AS (SELECT doc_id, unnest({_dd_shingles(3)}) AS shingle FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh3 a ON a.doc_id = c.id_a
+  JOIN sh3 b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.n_matching,
+         COALESCE(m.n_common, 0) AS inter,
+         sa.n + sb.n - COALESCE(m.n_common, 0) AS uni
+  FROM cand c
+  LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT n_matching,
+       CAST(CAST(n_matching AS DOUBLE) / {MINHASH_PERMS}.0 AS DOUBLE)
+         AS est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(inter) AS BIGINT) AS sum_inter,
+       CAST(SUM(uni) AS BIGINT) AS sum_union,
+       CAST(CAST(SUM(inter) AS DOUBLE) / CAST(SUM(uni) AS DOUBLE) AS DOUBLE)
+         AS exact_jaccard
+FROM scored GROUP BY n_matching
+"""
+
+
+@query(
+    "x_minhash_calibration",
+    _dd_mhcal_sql(),
+    doc=(
+        "MinHash estimator calibration curve — the bias report that "
+        "completes the estimator-eval family (x_lsh_dedup_eval is "
+        "threshold precision/recall, x_cms_calibration the counting "
+        "twin): banded-LSH candidate pairs bucketed by their "
+        "matching-component count (the 16-perm Jaccard estimate), "
+        "each bucket reporting exact 3-gram Jaccard as a RATIO OF "
+        "INTEGER SUMS (sum intersections / sum unions — order-free, "
+        "unlike a mean of per-pair doubles) against the bucket's "
+        "est_jaccard = n_matching/16. E[match] = J per permutation, "
+        "so a healthy estimator puts exact_jaccard near est_jaccard "
+        "in every populated bucket. Scale: candidates only (banding "
+        "bounds pairs), per-pair intersections via the candidate-"
+        "restricted shingle join — never an all-pairs pass; the "
+        "output is <= 17 rows."
+    ),
+)
+def x_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.similarity import (
+        MINHASH_PERMS,
+        exploded_shingles,
+        lsh_band_pairs,
+        minhash_signature,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", "text", k=3)
+    cand = track_persist(
+        lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4).select(
+            "id_a", "id_b", F.col("n_matching").cast("bigint").alias("n_matching")
+        )
+    )
+    sh3 = track_persist(exploded_shingles(d, "doc_id", "text", 3))
+    sizes = sh3.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    common = (
+        cand.join(sh3.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh3.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    scored = (
+        cand.join(common, ["id_a", "id_b"], "left_outer")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "n_matching",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("inter"),
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("n_common"), F.lit(0))
+            ).alias("uni"),
+        )
+    )
+    return scored.groupBy("n_matching").agg(
+        (F.first("n_matching").cast("double") / F.lit(float(MINHASH_PERMS)))
+        .alias("est_jaccard"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("inter").cast("bigint").alias("sum_inter"),
+        F.sum("uni").cast("bigint").alias("sum_union"),
+        (
+            F.sum("inter").cast("double") / F.sum("uni").cast("double")
+        ).alias("exact_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_label_propagation — synchronous LPA communities over the winnowing
+# match graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def _dd_lpa_sql(iters: int = _LPA_ITERS) -> str:
+    from .round7 import _XWIN_SQL
+    from .round7b import _WMATCH_DF_CAP, _WMATCH_MIN
+
+    head = f"""
+WITH w AS ({_XWIN_SQL}),
+fp_docs AS (SELECT DISTINCT doc_id, fp FROM w),
+df AS (SELECT fp, COUNT(*) AS n_docs FROM fp_docs GROUP BY fp),
+elig AS (SELECT fp FROM df WHERE n_docs BETWEEN 2 AND {_WMATCH_DF_CAP}),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp_docs a
+  JOIN fp_docs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN elig ON elig.fp = a.fp
+),
+wm AS (SELECT id_a, id_b FROM p0
+       GROUP BY id_a, id_b HAVING COUNT(*) >= {_WMATCH_MIN}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM wm
+          UNION ALL SELECT id_b, id_a FROM wm),
+l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+v{t} AS (SELECT e.src AS id, l.lbl, COUNT(*) AS c
+         FROM edges e JOIN l{t - 1} l ON l.id = e.dst GROUP BY 1, 2),
+b{t} AS (SELECT id, lbl FROM (
+           SELECT id, lbl,
+                  ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY c DESC, lbl ASC) AS rn
+           FROM v{t}) t WHERE rn = 1),
+l{t} AS (SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
+         FROM l{t - 1} p LEFT JOIN b{t} b ON b.id = p.id)""")
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+SELECT id AS doc_id, lbl AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l{iters}
+"""
+    )
+
+
+@query(
+    "x_label_propagation",
+    _dd_lpa_sql(),
+    doc=(
+        "Synchronous label-propagation communities (Raghavan et al. "
+        "2007) over the MOSS winnowing match graph — community "
+        "detection beyond the connected-components family: each of 4 "
+        "fixed rounds every node adopts the most frequent label among "
+        "its neighbors (ties broken by smaller label; isolated nodes "
+        "keep their own id). Fixed iteration count + total tiebreak "
+        "makes sync LPA fully deterministic (including on "
+        "oscillation-prone bipartite structures, where it simply "
+        "reports round-4 labels). Scale: per round one equi-join on "
+        "the edge list + one (node,label) hash agg + one per-NODE "
+        "window (argmax over that node's labels, never a global "
+        "sort) + one left join; edges are bounded by the winnowing "
+        "df-cap (<= 64 docs/fingerprint). The oracle unrolls the 4 "
+        "rounds as CTEs (the x_pagerank convention)."
+    ),
+)
+def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from .round7b import x_winnowing_matches
+
+    d = read_table(spark, sf_dir, "documents")
+    wm = x_winnowing_matches(spark, sf_dir).select("id_a", "id_b")
+    edges = track_persist(
+        wm.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            wm.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+    )
+    labels = d.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = track_persist(
+            labels.join(best, "id", "left_outer").select(
+                "id",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lbl"))
+        .cast("bigint")
+        .alias("community_size"),
     )

@@ -148,3 +148,74 @@ def test_dedup_source_report_reconciles(spark):
         assert r.tokens_total == tok_by_src[r.source]
         assert 0 <= r.tokens_dup <= r.tokens_total
         assert r.dup_token_frac == r.tokens_dup / r.tokens_total
+
+
+def test_minhash_calibration_is_unbiased_enough(spark):
+    """Per-permutation P(match) = J, so in every populated bucket the
+    ratio-of-sums exact Jaccard must sit near n_matching/16 — pin a
+    generous band (the estimator has variance 1/16 per pair, buckets
+    aggregate many pairs) plus the structural invariants."""
+    rows = QUERIES["x_minhash_calibration"].spark(spark, SF).collect()
+    assert rows, "sf0.001 must produce at least one candidate bucket"
+    for r in rows:
+        assert 4 <= r.n_matching <= 16  # banding guarantees >= 1 band == 4
+        assert r.est_jaccard == r.n_matching / 16.0
+        assert 0 <= r.sum_inter <= r.sum_union
+        assert r.exact_jaccard == r.sum_inter / r.sum_union
+        # generous calibration band: +-0.35 absolute
+        assert abs(r.exact_jaccard - r.est_jaccard) < 0.35, (
+            r.n_matching,
+            r.exact_jaccard,
+        )
+
+
+def test_label_propagation_respects_components(spark):
+    """LPA communities refine the match graph's connected components:
+    labels travel only along edges, so every community is contained in
+    one component, and isolated docs keep their own id as community."""
+    from realtime_banking_cdc_pipeline_spark.queries.round7b import (
+        x_winnowing_matches,
+    )
+
+    res = {
+        r.doc_id: r.community
+        for r in QUERIES["x_label_propagation"].spark(spark, SF).collect()
+    }
+    edges = [
+        (r.id_a, r.id_b)
+        for r in x_winnowing_matches(spark, SF).select("id_a", "id_b").collect()
+    ]
+    # union-find over the match graph
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    linked = {x for e in edges for x in e}
+    d = read_table(spark, SF, "documents")
+    all_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    assert set(res) == all_ids
+    for doc, comm in res.items():
+        if doc not in linked:
+            assert comm == doc, f"isolated {doc} must keep its own label"
+        else:
+            # community label is a node of the same component
+            assert find(comm) == find(doc), (doc, comm)
+    # community sizes are consistent
+    sizes = {}
+    for comm in res.values():
+        sizes[comm] = sizes.get(comm, 0) + 1
+    got_sizes = {
+        (r.doc_id, r.community): r.community_size
+        for r in QUERIES["x_label_propagation"].spark(spark, SF).collect()
+    }
+    for (doc, comm), s in got_sizes.items():
+        assert s == sizes[comm]
