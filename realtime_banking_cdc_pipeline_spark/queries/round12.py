@@ -582,6 +582,7 @@ FROM l{iters}
 @query(
     "x_label_propagation",
     _dd_lpa_sql(),
+    bench=True,
     doc=(
         "Synchronous label-propagation communities (Raghavan et al. "
         "2007) over the MOSS winnowing match graph — community "

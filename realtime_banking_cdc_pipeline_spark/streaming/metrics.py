@@ -848,6 +848,10 @@ def coverage_monitor_batch(
 
     spark = batch_df.sparkSession
     n_docs = batch_df.count()
+    # dg = raw 16-byte md5 (unhex), not the 32-char hex string: the
+    # store IS the vocabulary (122M rows on the 2M curated probe), so
+    # halving the key width halves every probe scan + anti-join
+    # shuffle. Exactness is untouched — same digest, denser encoding.
     dg = (
         exploded_shingles(
             batch_df.select(
@@ -857,7 +861,9 @@ def coverage_monitor_batch(
             "text",
             k,
         )
-        .select(F.md5(F.col("shingle").cast("binary")).alias("dg"))
+        .select(
+            F.unhex(F.md5(F.col("shingle").cast("binary"))).alias("dg")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -41,7 +41,16 @@ def main() -> int:
     from realtime_banking_cdc_pipeline_spark.schemas import TESTDATA_TABLES
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    # 8g heap: a full-registry sweep (212 queries) accumulates
+    # localCheckpoint blocks the per-query release_caches() cannot
+    # reclaim; the default 1g OOM'd around query ~210 (r12). The REAL
+    # driver runs 50 queries and is unaffected — this is sweep capacity.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     smoke = entry_mod.entry(spark)
