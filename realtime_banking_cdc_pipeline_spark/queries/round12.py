@@ -281,7 +281,14 @@ SELECT cell, rk, vec_id, label FROM r WHERE rk <= {_CBS_K}
     ),
 )
 def x_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
+    return balanced_sample_frame(read_table(spark, sf_dir, "embeddings"))
+
+
+def balanced_sample_frame(e: DataFrame) -> DataFrame:
+    """The x_cluster_balanced_sample machinery over any (vec_id, label,
+    embedding) frame — split out so the skewed-cell regime (a cell
+    larger than the phase-1 prune threshold K*shards, which the small
+    testdata never produces) is pin-able on synthetic frames."""
     cell = reduce(
         lambda a, b: a + b,
         [

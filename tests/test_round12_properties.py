@@ -219,3 +219,59 @@ def test_label_propagation_respects_components(spark):
     }
     for (doc, comm), s in got_sizes.items():
         assert s == sizes[comm]
+
+
+def test_balanced_sample_skewed_cell_regime(spark):
+    """The regime the real testdata never produces: one cell holding
+    FAR more vectors than the phase-1 prune threshold (K*shards = 64),
+    plus empty and tiny cells. The two-phase result must still equal
+    the single-window reference, and the giant cell yields exactly K
+    rows."""
+    from realtime_banking_cdc_pipeline_spark.queries.round12 import (
+        _CBS_BITS,
+        balanced_sample_frame,
+    )
+
+    # 300 vectors in cell 255 (all sign bits set), 3 in cell 0, none
+    # elsewhere; 8 visible dims + padding to a realistic width
+    def emb(positive):
+        base = [1.0 if positive else -1.0] * _CBS_BITS
+        return base + [0.5] * 8
+
+    rows = [(i, "big", emb(True)) for i in range(300)] + [
+        (1000 + i, "small", emb(False)) for i in range(3)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = sorted(
+        (r.cell, r.rk, r.vec_id, r.label)
+        for r in balanced_sample_frame(e).collect()
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cell = sum(
+        [
+            F.when(F.col("embedding")[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(_CBS_BITS)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    w = Window.partitionBy("cell").orderBy("k", "vec_id")
+    ref = sorted(
+        (r.cell, r.rk, r.vec_id, r.label)
+        for r in e.select(
+            "vec_id",
+            "label",
+            cell.alias("cell"),
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("k"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 4)
+        .select("cell", "rk", "vec_id", "label")
+        .collect()
+    )
+    assert got == ref
+    assert sum(1 for c, *_ in got if c == 255) == 4
+    assert sum(1 for c, *_ in got if c == 0) == 3
