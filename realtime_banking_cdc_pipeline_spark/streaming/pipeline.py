@@ -195,6 +195,7 @@ def pipeline_batch(
         if h is not None:
             timings["bloom_fill_frac"] = float(h.bloom_fill_frac)
             timings["bloom_est_fp"] = float(h.bloom_est_fp)
+    n_exact_kept = surv1.count()  # before the paragraph stage rebinds surv1
     mark("exact", t0)
 
     # --- ExactSubstr accounting ------------------------------------------
@@ -343,6 +344,29 @@ def pipeline_batch(
         os.path.join(p["out"], "survivors", f"epoch={e}")
     )
     mark("semantic", t0)
+
+    # --- per-epoch funnel record (r12 observability) -----------------------
+    # one tiny row per epoch: how many docs each gate kept. Every frame
+    # here is already localCheckpointed, so these counts are O(partition
+    # metadata), not recomputation; the write is replay-idempotent like
+    # every other per-epoch output. n_paragraph_kept == n_exact_kept
+    # when the paragraph stage is skipped.
+    spark = batch.sparkSession
+    spark.createDataFrame(
+        [
+            (
+                int(batch.count()),
+                int(n_exact_kept),
+                int(surv1.count()),
+                int(surv2.count()),
+                int(survivors.count()),
+            )
+        ],
+        "n_in bigint, n_exact_kept bigint, n_paragraph_kept bigint, "
+        "n_neardup_kept bigint, n_semantic_kept bigint",
+    ).write.mode("overwrite").parquet(
+        os.path.join(p["out"], "funnel", f"epoch={e}")
+    )
 
     # --- monitors alongside (raw batch, pre-gate corpus view) -------------
     t0 = time.time()

@@ -411,3 +411,67 @@ def test_pipeline_coverage_monitor(spark, tmp_path):
         read_coverage_health(spark, _paths(root)["coverage"]).first().vocab_size
         == cov[1].vocab_size
     )
+
+
+def test_pipeline_funnel_record(spark, tmp_path):
+    """r12 observability: each epoch writes a one-row funnel —
+    gate-kept counts that must reconcile with the planted families
+    (stage-semantics fixture) and with the survivor output."""
+    rows = _base_rows(spark)
+    plants = _planted(rows)
+    root = str(tmp_path / "root")
+    train_codebook(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+        ),
+        _paths(root)["codebook"],
+    )
+    long_schema = SCHEMA.replace("bigint", "long")
+    pipeline_batch(
+        spark.createDataFrame(rows, long_schema),
+        root,
+        epoch_id=0,
+        semantic_threshold=SEM_THRESHOLD,
+    )
+    pipeline_batch(
+        spark.createDataFrame(plants, long_schema),
+        root,
+        epoch_id=1,
+        semantic_threshold=SEM_THRESHOLD,
+    )
+    fun = {
+        r.epoch: r
+        for r in spark.read.parquet(
+            os.path.join(_paths(root)["out"], "funnel")
+        ).collect()
+    }
+    assert set(fun) == {0, 1}
+    # epoch 0: 40 fresh originals pass the exact gate; the paragraph
+    # stage may drop an original whose every block is a within-batch
+    # near-dup of earlier docs' blocks (observed: 1 of 40) — the
+    # funnel must be monotone and reconcile, not lossless
+    assert fun[0].n_in == 40
+    assert fun[0].n_exact_kept == 40
+    assert (
+        fun[0].n_exact_kept
+        >= fun[0].n_paragraph_kept
+        >= fun[0].n_neardup_kept
+        >= fun[0].n_semantic_kept
+        >= 38
+    )
+    # epoch 1: exact plant dies at the exact gate; the near plant
+    # (doc 6's text + one extra token) dies at the PARAGRAPH stage —
+    # its 20-token blocks near-dup doc 6's stored blocks, so the
+    # six-stage chain catches it one gate earlier than its name says
+    # (with_paragraph_stage=False would push it to the near-dup
+    # gate); the semantic plant dies at the semantic gate
+    assert fun[1].n_in == 3
+    assert fun[1].n_exact_kept == 2
+    assert fun[1].n_paragraph_kept == 1
+    assert fun[1].n_neardup_kept == 1
+    assert fun[1].n_semantic_kept == 0
+    # funnel is monotone non-increasing and reconciles with survivors
+    surv1 = spark.read.parquet(
+        os.path.join(_paths(root)["out"], "survivors", "epoch=1")
+    ).count()
+    assert surv1 == fun[1].n_semantic_kept
