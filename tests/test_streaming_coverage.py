@@ -127,9 +127,13 @@ def test_coverage_monitor_streaming_wrapper(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
     for i, chunk in enumerate([rows[:20], rows[20:]]):
-        with open(os.path.join(src, f"part-{i:03d}.json"), "w") as f:
+        path = os.path.join(src, f"part-{i:03d}.json")
+        with open(path, "w") as f:
             for doc_id, text in chunk:
                 f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        # spaced mtimes: same-timestamp files stream in nondeterministic
+        # order (see test_streaming_pipeline._write_stream_files)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     store = str(tmp_path / "store")
     out = str(tmp_path / "out")
     q = start_coverage_monitor(

@@ -62,7 +62,8 @@ def _planted(rows):
 def _write_stream_files(rows_per_file, src_dir):
     os.makedirs(src_dir, exist_ok=True)
     for i, rows in enumerate(rows_per_file):
-        with open(os.path.join(src_dir, f"part-{i:03d}.json"), "w") as f:
+        path = os.path.join(src_dir, f"part-{i:03d}.json")
+        with open(path, "w") as f:
             for doc_id, text, emb in rows:
                 f.write(
                     json.dumps(
@@ -70,6 +71,13 @@ def _write_stream_files(rows_per_file, src_dir):
                     )
                     + "\n"
                 )
+        # strictly increasing mtimes: the file stream source orders
+        # same-timestamp files NONDETERMINISTICALLY, which intermittently
+        # violated the id-ordered-arrival precondition the parity tests
+        # depend on (observed: micro-vs-oneshot survivor flake; confirmed
+        # by a same-mtime vs spaced-mtime A/B). Same convention as
+        # test_streaming_semantic.
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
 def _survivor_ids(spark, root):
