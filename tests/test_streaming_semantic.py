@@ -384,6 +384,9 @@ def test_readstream_wrapper(spark, tmp_path):
         with open(src / f"b{i}.json", "w") as f:
             for row in chunk:
                 f.write(json.dumps(row) + "\n")
+        # spaced mtimes: same-timestamp files stream in nondeterministic
+        # order (see test_streaming_pipeline._write_stream_files)
+        os.utime(src / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
     schema = StructType([
         StructField("vec_id", LongType()),
         StructField("embedding", ArrayType(FloatType())),
