@@ -603,8 +603,11 @@ FROM l{iters}
         "the edge list + one (node,label) hash agg + one per-NODE "
         "window (argmax over that node's labels, never a global "
         "sort) + one left join; edges are bounded by the winnowing "
-        "df-cap (<= 64 docs/fingerprint). The oracle unrolls the 4 "
-        "rounds as CTEs (the x_pagerank convention)."
+        "df-cap (<= 64 docs/fingerprint). Final community sizes come "
+        "from a groupBy count + equi-join, never a label-partitioned "
+        "window — a giant community must not flow through one task. "
+        "The oracle unrolls the 4 rounds as CTEs (the x_pagerank "
+        "convention)."
     ),
 )
 def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,11 +647,17 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
             )
         )
-    return labels.select(
+    # Community sizes via groupBy + equi-join (the a6_argmax_latest
+    # convention), NOT count().over(Window.partitionBy("lbl")): a giant
+    # near-dup community would flow through ONE task under a label
+    # window, while groupBy gets map-side partial aggregation and the
+    # rejoin is AQE-skew-splittable. `labels` is persisted above, so
+    # both sides of the join read the cached round-4 frame.
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("community"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("lbl"))
-        .cast("bigint")
-        .alias("community_size"),
+        "community_size",
     )

@@ -748,3 +748,17 @@ def test_round10_plan_shapes(spark):
     assert "hashpartitioning(shard" in v4, (
         "packing running-sum must be shard-partitioned, not a global sort"
     )
+
+
+def test_label_propagation_has_no_label_window(spark):
+    """r12-judge directive #1: community sizes must come from a
+    groupBy count + equi-join, never count().over(Window.partitionBy
+    (lbl)) — a giant near-dup community would flow through ONE task
+    under a label-partitioned window. The only windows allowed in the
+    LPA plan are the per-NODE argmax windows (partitioned by id)."""
+    SF = "/root/testdata/sf0.01"
+    plan = _formatted_plan(QUERIES["x_label_propagation"].spark(spark, SF))
+    assert "windowspecdefinition(lbl" not in plan, (
+        "community_size must not be a label-partitioned window"
+    )
+    assert "CartesianProduct" not in plan
