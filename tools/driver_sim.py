@@ -41,14 +41,13 @@ def main() -> int:
     from realtime_banking_cdc_pipeline_spark.schemas import TESTDATA_TABLES
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # 8g heap: a full-registry sweep (212 queries) accumulates
-    # localCheckpoint blocks the per-query release_caches() cannot
-    # reclaim; the default 1g OOM'd around query ~210 (r12). The REAL
-    # driver runs 50 queries and is unaffected — this is sweep capacity.
+    # Default heap on purpose: r12's full sweep OOM'd ~query 210 on
+    # accumulated localCheckpoint blocks; caching.track_local_checkpoint
+    # now registers those RDDs so the per-query release_caches() frees
+    # them — the full 212-query sweep must fit the default driver heap.
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
-        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
