@@ -939,14 +939,19 @@ def compact_coverage_store(
 
 def read_coverage_health(spark: SparkSession, store_path: str) -> DataFrame:
     """One row: (vocab_size) — the corpus' cumulative distinct-shingle
-    count (the store is duplicate-free by construction). Missing or
-    all-rowless store reads as vocab_size=0."""
+    count. Counts the LIVE partitions only (newest committed base +
+    epochs it doesn't subsume, the ``_cms_live`` rule): a compaction
+    crash can leave folded source epochs on disk next to the committed
+    base (rmtree is ignore_errors), and a raw count would tally those
+    digests twice. The live set is duplicate-free by construction.
+    Missing or all-rowless store reads as vocab_size=0."""
     from .corpus import _has_parquet_files
 
     if not (os.path.exists(store_path) and _has_parquet_files(store_path)):
         return spark.createDataFrame([(0,)], "vocab_size bigint")
-    store = spark.read.parquet(store_path)
-    return store.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    return _cms_live(spark, store_path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size")
+    )
 
 
 def start_coverage_monitor(
@@ -986,4 +991,212 @@ def start_coverage_monitor(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV novelty monitor: constant-size sketch twin of the
+# exact coverage store
+# ---------------------------------------------------------------------------
+#
+# The exact coverage store above IS the vocabulary — correct, but it
+# grows with the corpus (122.7M digests on the 2M curated probe,
+# ~18 s/batch by the end), so at 100 TB the deployment answer is a
+# bottom-k (KMV / theta) sketch (Bar-Yossef et al., RANDOM 2002 — the
+# same estimator family as queries/round8c.py:x_kmv_distinct). This is
+# that twin: per batch it estimates the SAME five-column summary row
+# from a store of at most KMV_NOV_K 60-bit hash values.
+#
+# Estimators (theta-sketch set algebra over the bottom-k sample):
+# - vocab_before: m < k -> m exactly (the store holds the whole
+#   vocabulary's hashes); m == k -> (k-1) * H / h_k.
+# - n_new (the novelty delta): the store's threshold h_k defines a
+#   uniform sample region hv < h_k at rate h_k/H; batch hashes in the
+#   region that miss the store's value set are a rate-thinned sample
+#   of the batch's genuinely-new shingles, so n_new ~= miss_count * H
+#   / h_k ("a-not-b"). Relative error ~ 1/sqrt(miss_count), NOT
+#   1/sqrt(k) of the big counts being differenced — deltas stay
+#   accurate even when n_new << vocab. Below k the store is exhaustive
+#   and every figure is exact (= the exact monitor's row).
+# - n_shingles / n_docs are batch-local and always exact.
+#
+# Exactly-once regime: identical to the exact coverage store — each
+# epoch writes ONLY its own partition (the batch's OWN bottom-k; a
+# replay rewrites it bit-identically), probes fold STRICTLY EARLIER
+# live partitions, and compaction folds strictly-earlier partitions
+# into a committed base. Bottom-k over distinct hv is an idempotent
+# merge (per-epoch bottom-k's always contain the global bottom-k of
+# their union), so crash leftovers re-fold to the same sketch.
+
+KMV_NOV_K = 65536
+_KMV_NOV_HEX = 15                      # 60-bit hash space
+_KMV_NOV_H = float(16 ** _KMV_NOV_HEX)  # 2^60, exactly representable
+
+
+def _kmv_bottom_k(df: DataFrame, k: int) -> DataFrame:
+    """Global bottom-k of the distinct ``hv`` values — a TakeOrdered
+    (per-partition top-k then a k-row driver merge), never a full
+    sort."""
+    return df.select("hv").distinct().orderBy("hv").limit(k)
+
+
+def _kmv_batch_hashes(
+    batch_df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Distinct 60-bit shingle hashes of one micro-batch, salted
+    independently of every other hash family in the repo."""
+    from ..functions.similarity import exploded_shingles, md5_long
+
+    return (
+        exploded_shingles(
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            "doc_id",
+            "text",
+            k,
+        )
+        .select(
+            md5_long(
+                F.concat(F.lit("kmvnov:"), F.col("shingle")), _KMV_NOV_HEX
+            ).alias("hv")
+        )
+        .distinct()
+    )
+
+
+def kmv_novelty_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    epoch_id: int = 0,
+    k: int = 3,
+    kmv_k: int = KMV_NOV_K,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Sketch-backed twin of :func:`coverage_monitor_batch`: fold one
+    micro-batch's bottom-k shingle hashes into the store (own epoch
+    partition) and return the SAME one-row schema — (n_docs,
+    n_shingles, n_new, novelty_rate, vocab_size) — with n_new /
+    novelty_rate / vocab_size estimated from the sketch. Per-batch
+    cost is the batch's own shingle fan-out plus O(kmv_k) store work,
+    independent of corpus size."""
+    from .corpus import _has_parquet_files
+
+    spark = batch_df.sparkSession
+    n_docs = batch_df.count()
+    hv = _kmv_batch_hashes(batch_df, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
+    n_sh = hv.count()
+    if os.path.exists(store_path) and _has_parquet_files(store_path):
+        sample = _kmv_bottom_k(
+            _cms_live_before(spark, store_path, epoch_id), kmv_k
+        ).localCheckpoint(eager=True)
+        m = sample.count()
+    else:
+        sample = None
+        m = 0
+    if m < kmv_k:
+        # store below capacity: it is the exact vocabulary hash set
+        vocab_before = m
+        n_new = (
+            hv.join(F.broadcast(sample), "hv", "left_anti").count()
+            if sample is not None
+            else n_sh
+        )
+    else:
+        h_k = sample.agg(F.max("hv")).first()[0]
+        vocab_before = int((kmv_k - 1) * _KMV_NOV_H // float(h_k))
+        miss = (
+            hv.filter(F.col("hv") < F.lit(h_k))
+            .join(F.broadcast(sample), "hv", "left_anti")
+            .count()
+        )
+        n_new = int(miss * _KMV_NOV_H // float(h_k))
+    _kmv_bottom_k(hv, kmv_k).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"epoch={int(epoch_id)}")
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_kmv_novelty_store(spark, store_path, epoch_id, kmv_k=kmv_k)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(n_sh),
+                int(n_new),
+                (float(n_new) / float(n_sh)) if n_sh else 0.0,
+                int(vocab_before + n_new),
+            )
+        ],
+        "n_docs bigint, n_shingles bigint, n_new bigint, "
+        "novelty_rate double, vocab_size bigint",
+    )
+
+
+def compact_kmv_novelty_store(
+    spark: SparkSession,
+    store_path: str,
+    epoch_id: int,
+    kmv_k: int = KMV_NOV_K,
+) -> None:
+    """Fold partitions STRICTLY EARLIER than ``epoch_id`` into the base
+    ``epoch=-<epoch_id>`` (their global bottom-k) and delete the
+    subsumed ones — the coverage-store regime: strictly-earlier so a
+    replay of ``epoch_id`` still probes a horizon that excludes its
+    own hashes. Committed bases are never rewritten; a partial base is
+    dropped and refolded; leftovers re-fold idempotently."""
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    existing = _epoch_ids(store_path)
+    if not existing:
+        return
+    base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e < epoch_id and e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(store_path, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
+    folded = _kmv_bottom_k(
+        _cms_live_before(spark, store_path, epoch_id), kmv_k
+    ).localCheckpoint(eager=True)
+    folded.write.mode("overwrite").parquet(base)
+    for e in _epoch_ids(store_path):
+        if e < epoch_id and e != -int(epoch_id):
+            shutil.rmtree(
+                os.path.join(store_path, f"epoch={e}"), ignore_errors=True
+            )
+
+
+def read_kmv_novelty_health(
+    spark: SparkSession, store_path: str, kmv_k: int = KMV_NOV_K
+) -> DataFrame:
+    """One row: (sample_size, vocab_size_est) from the live partitions
+    (leftover-tolerant via the ``_cms_live`` base-subsumption rule +
+    the distinct inside the bottom-k fold). Missing store reads as
+    zeros."""
+    from .corpus import _has_parquet_files
+
+    if not (os.path.exists(store_path) and _has_parquet_files(store_path)):
+        return spark.createDataFrame(
+            [(0, 0)], "sample_size bigint, vocab_size_est bigint"
+        )
+    s = _kmv_bottom_k(_cms_live(spark, store_path), kmv_k)
+    row = s.agg(
+        F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
+    ).first()
+    m = int(row["m"] or 0)
+    est = (
+        m
+        if m < kmv_k
+        else int((kmv_k - 1) * _KMV_NOV_H // float(row["hk"]))
+    )
+    return spark.createDataFrame(
+        [(m, est)], "sample_size bigint, vocab_size_est bigint"
     )

@@ -11,9 +11,10 @@ store tiers chained in ONE ``foreachBatch``, per micro-batch::
     with monitors alongside on the raw batch:
       HLL distinct-text, CMS first-token heavy hitters,
       DDSketch token-count quantiles, and (opt-in,
-      ``with_coverage_monitor``) the exact vocabulary-novelty
-      monitor — per-batch never-seen-shingle rate + cumulative
-      vocabulary in ``out/coverage`` (r12)
+      ``with_coverage_monitor``) the vocabulary-novelty monitor —
+      per-batch never-seen-shingle rate + cumulative vocabulary in
+      ``out/coverage``; constant-state KMV sketch by default (r13),
+      the exact digest store behind ``coverage_monitor_exact`` (r12)
 
 This is the streaming twin of ``x_corpus_pipeline_v4``: the batch
 pipeline's filter-then-dedup production order (clean -> exact ->
@@ -106,6 +107,7 @@ def _paths(root: str) -> dict[str, str]:
         "cms": os.path.join(root, "cms_store"),
         "dds": os.path.join(root, "dds_store"),
         "coverage": os.path.join(root, "coverage_store"),
+        "coverage_kmv": os.path.join(root, "coverage_kmv_store"),
         "out": os.path.join(root, "out"),
     }
 
@@ -144,6 +146,7 @@ def pipeline_batch(
     para_match_min: int | None = None,
     with_paragraph_stage: bool = True,
     with_coverage_monitor: bool = False,
+    coverage_monitor_exact: bool = False,
     semantic_threshold: float | None = None,
     timings: dict | None = None,
 ) -> DataFrame:
@@ -394,14 +397,27 @@ def pipeline_batch(
         epoch_id=e,
     )
     if with_coverage_monitor:
-        # vocabulary-novelty monitor (r12): exact per-batch fraction of
-        # never-seen 3-gram shingles over the RAW batch — the crawl-
-        # value decay signal; summary row lands in out/coverage
-        from .metrics import coverage_monitor_batch
+        # vocabulary-novelty monitor: per-batch fraction of never-seen
+        # 3-gram shingles over the RAW batch — the crawl-value decay
+        # signal; summary row lands in out/coverage. DEFAULT is the
+        # constant-state KMV sketch twin (r12 judge directive #3 — the
+        # exact store grows with the vocabulary, 122.7M digests /
+        # ~18 s/batch on the 2M curated probe, which is monitoring
+        # telemetry priced like a dedup stage); the exact store stays
+        # available behind ``coverage_monitor_exact`` for audits.
+        if coverage_monitor_exact:
+            from .metrics import coverage_monitor_batch
 
-        coverage_monitor_batch(
-            batch, p["coverage"], "doc_id", "text", epoch_id=e
-        ).write.mode("overwrite").parquet(
+            row = coverage_monitor_batch(
+                batch, p["coverage"], "doc_id", "text", epoch_id=e
+            )
+        else:
+            from .metrics import kmv_novelty_batch
+
+            row = kmv_novelty_batch(
+                batch, p["coverage_kmv"], "doc_id", "text", epoch_id=e
+            )
+        row.write.mode("overwrite").parquet(
             os.path.join(p["out"], "coverage", f"epoch={e}")
         )
     mark("monitors", t0)
@@ -445,13 +461,14 @@ def compact_pipeline_stores(
         compact_semantic_store(
             spark, p["semantic"], e, retention_epochs=retention_epochs
         )
-    from .metrics import compact_coverage_store
+    from .metrics import compact_coverage_store, compact_kmv_novelty_store
 
     for store, fn in (
         ("hll", compact_hll_store),
         ("cms", compact_cms_store),
         ("dds", compact_dds_store),
         ("coverage", compact_coverage_store),
+        ("coverage_kmv", compact_kmv_novelty_store),
     ):
         if os.path.exists(p[store]):
             fn(spark, p[store], e)
@@ -472,6 +489,7 @@ def start_pipeline_ingest(
     para_match_min: int | None = None,
     with_paragraph_stage: bool = True,
     with_coverage_monitor: bool = False,
+    coverage_monitor_exact: bool = False,
     semantic_threshold: float | None = None,
     on_batch_done=None,
 ):
@@ -495,6 +513,7 @@ def start_pipeline_ingest(
             para_match_min=para_match_min,
             with_paragraph_stage=with_paragraph_stage,
             with_coverage_monitor=with_coverage_monitor,
+            coverage_monitor_exact=coverage_monitor_exact,
             semantic_threshold=semantic_threshold,
             timings=timings,
         )

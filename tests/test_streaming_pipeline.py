@@ -382,7 +382,9 @@ def test_pipeline_coverage_monitor(spark, tmp_path):
     """r12: the opt-in vocabulary-novelty monitor rides alongside the
     gates on the RAW batch — epoch summaries land in out/coverage,
     novelty decays when later batches repeat earlier shingles, and the
-    cumulative vocab equals the sum of per-epoch n_new."""
+    cumulative vocab equals the sum of per-epoch n_new. Exercises the
+    EXACT digest store (r13 made the KMV sketch the default mode —
+    tests/test_streaming_kmv.py covers that path)."""
     rows = _base_rows(spark)
     halves = [rows[:20], rows[20:] + rows[:5]]  # second batch repeats
     root = str(tmp_path / "root")
@@ -399,6 +401,7 @@ def test_pipeline_coverage_monitor(spark, tmp_path):
             root,
             epoch_id=e,
             with_coverage_monitor=True,
+            coverage_monitor_exact=True,
             semantic_threshold=SEM_THRESHOLD,
         )
     cov = {
