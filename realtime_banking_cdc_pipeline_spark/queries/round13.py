@@ -1,0 +1,328 @@
+"""Round-13 queries: the curation DECISION capstone — one oracle-backed
+query that composes the r12 decision layer (coverage knee, per-source
+novelty/redundancy, per-source dedup impact) into the mixing/trim plan
+a training-data run executes.
+
+Reference parity: the reference repo's analytics tier has no corpus
+operators (its compute is dbt SQL over banking CDC rows — SURVEY.md
+§2.9); this module continues the LLM-data-pipeline extension mandated
+by the build brief (r12 judge directive #8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import read_table
+from .llmdata import _DD_TOKS, _dd_shingles
+from .registry import query
+
+_PLAN_K = 3            # shingle order shared with the r12 decision layer
+_PLAN_SHARD_W = 4096   # knee prefix-sum shard width (x_pack_sequences rule)
+_PLAN_S = 1_000_000    # fixed-point scale for exact rational fractions
+_PLAN_B = 1_000_000    # mix budget in ppm of the final training mix
+# coverage knee: the earliest doc prefix covering >= 95% of the corpus
+# vocabulary — ceil(19 * total / 20) in exact integers
+_PLAN_COV_NUM, _PLAN_COV_DEN = 19, 20
+
+_PLAN_SQL = f"""
+WITH t AS (SELECT doc_id, source, md5(text) AS g, {_DD_TOKS} AS toks
+           FROM documents),
+base AS (SELECT doc_id, source, g, CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM t),
+sh AS (SELECT doc_id, source, unnest({_dd_shingles(_PLAN_K)}) AS shingle
+       FROM t),
+first AS (SELECT shingle, MIN(doc_id) AS doc_id FROM sh GROUP BY shingle),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM first),
+owned AS (SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_owned
+          FROM first f JOIN base b USING (doc_id) GROUP BY b.source),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_occ,
+                   CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
+            FROM sh GROUP BY source),
+keep AS (SELECT g, MIN(doc_id) AS keeper FROM base GROUP BY g),
+rep AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN doc_id <> keeper THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tokens_dup
+        FROM base JOIN keep USING (g) GROUP BY source),
+intro AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM first GROUP BY doc_id),
+curve AS (SELECT b.doc_id,
+                 CAST(SUM(COALESCE(i.n_new, 0)) OVER (ORDER BY b.doc_id)
+                      AS BIGINT) AS cum_new
+          FROM base b LEFT JOIN intro i USING (doc_id)),
+need AS (SELECT ({_PLAN_COV_NUM} * total + {_PLAN_COV_DEN - 1})
+                  // {_PLAN_COV_DEN} AS need FROM vocab),
+kneedoc AS (SELECT MIN(doc_id) AS kd FROM curve, need
+            WHERE cum_new >= need.need),
+knee AS (SELECT CAST(SUM(CASE WHEN doc_id <= kd THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_before,
+                CAST(COUNT(*) AS BIGINT) AS n_all
+         FROM base, kneedoc),
+src AS (
+  SELECT rep.source, rep.n_docs, rep.tokens_total, rep.tokens_dup,
+         per_src.n_occ, per_src.n_distinct,
+         COALESCE(owned.n_owned, 0) AS n_owned,
+         ((rep.tokens_total - rep.tokens_dup)
+            * (({_PLAN_S} * per_src.n_distinct) // per_src.n_occ))
+           // {_PLAN_S} AS kept_tokens
+  FROM rep JOIN per_src USING (source) LEFT JOIN owned USING (source)
+),
+tk AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS total_kept FROM src),
+shares AS (SELECT src.*, ({_PLAN_S} * kept_tokens) // tk.total_kept
+                    AS share_fp
+           FROM src, tk),
+wsum AS (SELECT CAST(SUM(share_fp * share_fp) AS BIGINT) AS sw FROM shares),
+alloc0 AS (SELECT shares.*,
+                  ({_PLAN_B} * share_fp * share_fp) // wsum.sw AS mix_base,
+                  ({_PLAN_B} * share_fp * share_fp) % wsum.sw AS mix_rem
+           FROM shares, wsum),
+deficit AS (SELECT {_PLAN_B} - CAST(SUM(mix_base) AS BIGINT) AS d
+            FROM alloc0),
+alloc AS (SELECT alloc0.*,
+                 mix_base + CASE WHEN ROW_NUMBER()
+                     OVER (ORDER BY mix_rem DESC, source ASC) <= deficit.d
+                   THEN 1 ELSE 0 END AS mix_ppm
+          FROM alloc0, deficit)
+SELECT a.source, a.n_docs, a.tokens_total, a.tokens_dup,
+       CAST(a.kept_tokens AS BIGINT) AS kept_tokens,
+       CAST(CAST(a.kept_tokens AS DOUBLE)
+            / CAST(a.tokens_total AS DOUBLE) AS DOUBLE) AS keep_frac,
+       CAST(CAST(a.n_owned AS DOUBLE)
+            / CAST(vocab.total AS DOUBLE) AS DOUBLE) AS owned_frac,
+       CAST(1.0 - CAST(a.n_distinct AS DOUBLE)
+            / CAST(a.n_occ AS DOUBLE) AS DOUBLE) AS redundancy,
+       CAST(a.mix_ppm AS BIGINT) AS mix_ppm,
+       CAST(CAST(knee.n_before AS DOUBLE)
+            / CAST(knee.n_all AS DOUBLE) AS DOUBLE) AS knee_frac,
+       CAST(FLOOR((CAST(knee.n_before AS DOUBLE)
+                   / CAST(knee.n_all AS DOUBLE))
+                  * CAST(tk.total_kept AS DOUBLE)) AS BIGINT)
+         AS budget_tokens
+FROM alloc a, vocab, knee, tk
+"""
+
+
+@query(
+    "x_curation_plan",
+    _PLAN_SQL,
+    bench=True,
+    doc=(
+        "Curation-decision capstone (r12 judge directive #8): ONE plan "
+        "table a training-data run executes, composed from the r12 "
+        "decision layer over a single shared shingle fan-out. Per "
+        "source: exact-dedup trim (x_dedup_source_report's keep-first "
+        "md5 groups), internal-redundancy downsample (x_source_novelty"
+        "'s distinct/occurrence ratio as an exact {_PLAN_S}-fixed-point "
+        "rational -> kept_tokens, never a float in the integer path), "
+        "novelty attribution (owned_frac), and the temperature mix "
+        "(T=1/2, weight ~ kept-share^2 exactly as x_temperature_mix; "
+        "largest-remainder ppm allocation so SUM(mix_ppm) == 1e6 "
+        "bit-exactly). The global coverage knee (earliest doc prefix "
+        "reaching >= 95% of the vocabulary, x_ngram_coverage_curve's "
+        "curve) rides along as knee_frac and prices the overall "
+        "budget_tokens = floor(knee_frac * total_kept). Scale: one "
+        "shingle fan-out persisted once feeds ownership, per-source "
+        "profile and the knee; the knee prefix sum is two-level "
+        "(4096-doc shards; no whole-corpus window); every plan-"
+        "arithmetic frame is one row per SOURCE (bounded, broadcast); "
+        "fixed-point products stay under 2^63 for per-source token "
+        "masses up to ~9e12. Property pin: the emitted plan reconciles "
+        "with its standalone inputs (tests/test_round13_properties.py)."
+    ),
+)
+def x_curation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.similarity import _shingles_from_tokens
+    from ..functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("g"),
+        ws_tokens("text").alias("__toks"),
+    )
+    # per-doc frame: ONE documents scan feeds the dedup contraction,
+    # the knee base and the per-source token sums
+    base = track_persist(
+        t.select(
+            "doc_id", "source", "g",
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    # the one shingle fan-out (the expensive multiplier) — read by the
+    # ownership join, the per-source profile and the first-introducer
+    # contraction; source carried THROUGH the fan-out (x_source_novelty
+    # convention: never join a doc->source map onto multiplied rows)
+    sh = track_persist(
+        t.select(
+            "doc_id",
+            "source",
+            F.explode(
+                _shingles_from_tokens(F.col("__toks"), _PLAN_K)
+            ).alias("shingle"),
+        )
+    )
+    first = track_persist(
+        sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    )
+    vocab = first.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    owned = (
+        first.join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_owned"))
+    )
+    per_src = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .groupBy("source")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_occ"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+    )
+    keep = base.groupBy("g").agg(F.min("doc_id").alias("keeper"))
+    dup_tok = F.when(
+        F.col("doc_id") != F.col("keeper"), F.col("n_tokens")
+    ).otherwise(F.lit(0))
+    rep = (
+        base.join(keep, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(dup_tok).cast("bigint").alias("tokens_dup"),
+        )
+    )
+
+    # ---- coverage knee: two-level prefix sum over the per-doc n_new
+    intro = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    kb = track_persist(
+        base.select("doc_id")
+        .join(intro, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            (F.col("doc_id") / _PLAN_SHARD_W).cast("bigint").alias("__shard"),
+        )
+    )
+    within = F.sum("n_new").over(
+        Window.partitionBy("__shard").orderBy("doc_id")
+    )
+    shard_tot = kb.groupBy("__shard").agg(
+        F.sum("n_new").cast("bigint").alias("__t")
+    )
+    offset = shard_tot.select(
+        "__shard",
+        (F.sum("__t").over(Window.orderBy("__shard")) - F.col("__t")).alias(
+            "__off"
+        ),
+    )
+    need = vocab.select(
+        F.expr(
+            f"({_PLAN_COV_NUM} * total + {_PLAN_COV_DEN - 1}) "
+            f"div {_PLAN_COV_DEN}"
+        ).alias("need")
+    )
+    cum = kb.join(offset, "__shard").select(
+        "doc_id", (F.col("__off") + within).cast("bigint").alias("cum_new")
+    )
+    kneedoc = (
+        cum.crossJoin(F.broadcast(need))
+        .filter(F.col("cum_new") >= F.col("need"))
+        .agg(F.min("doc_id").alias("kd"))
+    )
+    knee = (
+        base.select("doc_id")
+        .crossJoin(F.broadcast(kneedoc))
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("kd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        )
+    )
+
+    # ---- per-source plan arithmetic: every frame below is one row per
+    # source (bounded, broadcast-scalar joins only)
+    src = (
+        rep.join(per_src, "source")
+        .join(owned, "source", "left_outer")
+        .select(
+            "source", "n_docs", "tokens_total", "tokens_dup",
+            "n_occ", "n_distinct",
+            F.coalesce(F.col("n_owned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_owned"),
+            F.expr(
+                f"((tokens_total - tokens_dup)"
+                f" * (({_PLAN_S} * n_distinct) div n_occ)) div {_PLAN_S}"
+            ).cast("bigint").alias("kept_tokens"),
+        )
+    )
+    tk = src.agg(F.sum("kept_tokens").cast("bigint").alias("total_kept"))
+    shares = src.crossJoin(F.broadcast(tk)).withColumn(
+        "share_fp",
+        F.expr(f"({_PLAN_S} * kept_tokens) div total_kept"),
+    )
+    wsum = shares.agg(
+        F.sum(F.col("share_fp") * F.col("share_fp"))
+        .cast("bigint")
+        .alias("sw")
+    )
+    alloc0 = shares.crossJoin(F.broadcast(wsum)).select(
+        "*",
+        F.expr(f"({_PLAN_B} * share_fp * share_fp) div sw").alias("mix_base"),
+        F.expr(f"({_PLAN_B} * share_fp * share_fp) % sw").alias("mix_rem"),
+    )
+    deficit = alloc0.agg(
+        (F.lit(_PLAN_B) - F.sum("mix_base")).cast("bigint").alias("d")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("mix_rem").desc(), F.col("source").asc())
+    )
+    alloc = (
+        alloc0.crossJoin(F.broadcast(deficit))
+        .withColumn("rn", rn)
+        .withColumn(
+            "mix_ppm",
+            (
+                F.col("mix_base")
+                + F.when(F.col("rn") <= F.col("d"), 1).otherwise(0)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        alloc.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(knee))
+        .select(
+            "source", "n_docs", "tokens_total", "tokens_dup", "kept_tokens",
+            (
+                F.col("kept_tokens").cast("double")
+                / F.col("tokens_total").cast("double")
+            ).alias("keep_frac"),
+            (
+                F.col("n_owned").cast("double") / F.col("total").cast("double")
+            ).alias("owned_frac"),
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_occ").cast("double")
+            ).alias("redundancy"),
+            "mix_ppm",
+            (
+                F.col("n_before").cast("double") / F.col("n_all").cast("double")
+            ).alias("knee_frac"),
+            F.floor(
+                (
+                    F.col("n_before").cast("double")
+                    / F.col("n_all").cast("double")
+                )
+                * F.col("total_kept").cast("double")
+            ).cast("bigint").alias("budget_tokens"),
+        )
+    )

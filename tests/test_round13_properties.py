@@ -1,0 +1,75 @@
+"""Round-13 pins: the x_curation_plan capstone must RECONCILE with the
+standalone r12 decision-layer queries it composes — same trim figures
+as x_dedup_source_report, same novelty/redundancy as x_source_novelty,
+a knee consistent with x_ngram_coverage_curve, and an exact
+largest-remainder ppm mix (the x_temperature_mix discipline)."""
+
+from __future__ import annotations
+
+import math
+
+from realtime_banking_cdc_pipeline_spark.queries import QUERIES
+from realtime_banking_cdc_pipeline_spark.queries.round13 import (
+    _PLAN_B,
+    _PLAN_S,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_curation_plan_reconciles_with_inputs(spark):
+    plan = {r.source: r for r in QUERIES["x_curation_plan"].spark(spark, SF).collect()}
+    nov = {r.source: r for r in QUERIES["x_source_novelty"].spark(spark, SF).collect()}
+    rep = {r.source: r for r in QUERIES["x_dedup_source_report"].spark(spark, SF).collect()}
+    assert set(plan) == set(nov) == set(rep)
+
+    # exact-dedup trim figures come from the dedup report, verbatim
+    for s, p in plan.items():
+        assert p.n_docs == rep[s].n_docs
+        assert p.tokens_total == rep[s].tokens_total
+        assert p.tokens_dup == rep[s].tokens_dup
+        # novelty attribution comes from x_source_novelty, verbatim
+        assert p.owned_frac == nov[s].owned_frac
+        assert p.redundancy == nov[s].redundancy
+        # kept_tokens: trim exact dups then downsample by the exact
+        # fixed-point distinct/occurrence rational — never more than
+        # the post-dedup mass, never negative
+        ratio_fp = (_PLAN_S * nov[s].n_distinct) // nov[s].n_occ
+        assert p.kept_tokens == (
+            (p.tokens_total - p.tokens_dup) * ratio_fp
+        ) // _PLAN_S
+        assert 0 <= p.kept_tokens <= p.tokens_total - p.tokens_dup
+        assert p.keep_frac == p.kept_tokens / p.tokens_total
+        assert 0.0 <= p.keep_frac <= 1.0
+
+    # the ppm mix is an exact largest-remainder allocation: sums to
+    # the budget bit-exactly and is monotone in kept-share^2
+    assert sum(p.mix_ppm for p in plan.values()) == _PLAN_B
+    total_kept = sum(p.kept_tokens for p in plan.values())
+    by_kept = sorted(plan.values(), key=lambda p: p.kept_tokens)
+    for lo, hi in zip(by_kept, by_kept[1:]):
+        assert lo.mix_ppm <= hi.mix_ppm + 1  # remainder unit may flip order by 1
+
+    # the knee scalars are global (identical on every row) and price
+    # the budget: budget_tokens = floor(knee_frac * total_kept)
+    fracs = {p.knee_frac for p in plan.values()}
+    assert len(fracs) == 1
+    knee_frac = fracs.pop()
+    assert 0.0 < knee_frac <= 1.0
+    budget = {p.budget_tokens for p in plan.values()}
+    assert budget == {int(math.floor(knee_frac * total_kept))}
+
+
+def test_curation_plan_knee_matches_coverage_curve(spark):
+    curve = (
+        QUERIES["x_ngram_coverage_curve"].spark(spark, SF)
+        .orderBy("doc_id")
+        .collect()
+    )
+    total = curve[-1].cum_new
+    need = (19 * total + 19) // 20
+    knee_doc = min(r.doc_id for r in curve if r.cum_new >= need)
+    n_before = sum(1 for r in curve if r.doc_id <= knee_doc)
+    expected = n_before / len(curve)
+    got = QUERIES["x_curation_plan"].spark(spark, SF).first().knee_frac
+    assert got == expected

@@ -762,3 +762,21 @@ def test_label_propagation_has_no_label_window(spark):
         "community_size must not be a label-partitioned window"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_curation_plan_shapes(spark):
+    """r13 capstone invariants: ONE persisted shingle fan-out feeds
+    ownership/profile/knee (no lineage recompute), no cartesian
+    product, and the only window partitions are the 4096-doc knee
+    shards and the bounded one-row-per-source mix ranking — never a
+    whole-corpus or per-label partition."""
+    import re
+
+    SF = "/root/testdata/sf0.01"
+    df = QUERIES["x_curation_plan"].spark(spark, SF)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "shared frames not persisted"
+    specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
+    assert specs <= {"__shard", "mix_rem"}, specs
+    assert shuffle_count(df) <= 6
