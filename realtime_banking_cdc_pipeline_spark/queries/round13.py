@@ -26,8 +26,7 @@ _PLAN_B = 1_000_000    # mix budget in ppm of the final training mix
 # vocabulary — ceil(19 * total / 20) in exact integers
 _PLAN_COV_NUM, _PLAN_COV_DEN = 19, 20
 
-_PLAN_SQL = f"""
-WITH t AS (SELECT doc_id, source, md5(text) AS g, {_DD_TOKS} AS toks
+_PLAN_CTES = f"""t AS (SELECT doc_id, source, md5(text) AS g, {_DD_TOKS} AS toks
            FROM documents),
 base AS (SELECT doc_id, source, g, CAST(len(toks) AS BIGINT) AS n_tokens
          FROM t),
@@ -84,7 +83,10 @@ alloc AS (SELECT alloc0.*,
                  mix_base + CASE WHEN ROW_NUMBER()
                      OVER (ORDER BY mix_rem DESC, source ASC) <= deficit.d
                    THEN 1 ELSE 0 END AS mix_ppm
-          FROM alloc0, deficit)
+          FROM alloc0, deficit)"""
+
+_PLAN_SQL = f"""
+WITH {_PLAN_CTES}
 SELECT a.source, a.n_docs, a.tokens_total, a.tokens_dup,
        CAST(a.kept_tokens AS BIGINT) AS kept_tokens,
        CAST(CAST(a.kept_tokens AS DOUBLE)
@@ -325,4 +327,105 @@ def x_curation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("total_kept").cast("double")
             ).cast("bigint").alias("budget_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_curation_sample — execute the plan: draw the per-source sample the
+# mix prescribes
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 500  # total sample budget (docs)
+
+_SAMPLE_SQL = f"""
+WITH {_PLAN_CTES},
+q0 AS (SELECT source, ({_SAMPLE_K} * mix_ppm) // {_PLAN_B} AS qbase,
+              ({_SAMPLE_K} * mix_ppm) % {_PLAN_B} AS qrem
+       FROM alloc),
+qdef AS (SELECT {_SAMPLE_K} - CAST(SUM(qbase) AS BIGINT) AS d FROM q0),
+quota AS (SELECT source,
+                 qbase + CASE WHEN ROW_NUMBER()
+                     OVER (ORDER BY qrem DESC, source ASC) <= qdef.d
+                   THEN 1 ELSE 0 END AS quota
+          FROM q0, qdef),
+keepers AS (SELECT b.doc_id, b.source
+            FROM base b JOIN keep k USING (g)
+            WHERE b.doc_id = k.keeper),
+ranked AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                              doc_id ASC) AS rk
+           FROM keepers)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk,
+       CAST(q.quota AS BIGINT) AS src_quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
+@query(
+    "x_curation_sample",
+    _SAMPLE_SQL,
+    doc=(
+        "Plan EXECUTION: draw the training sample x_curation_plan "
+        f"prescribes. The {_SAMPLE_K}-doc budget is apportioned across "
+        "sources by exact largest-remainder allocation over the plan's "
+        "mix_ppm (so the sample's source mixture IS the plan's, to the "
+        "integer unit); each source then takes its quota from its "
+        "exact-dedup KEEPERS (doc_id == min doc_id of the md5(text) "
+        "group — the trim the plan already priced) by deterministic "
+        "md5 rank, the RNG-free reservoir every sampling op here uses "
+        "(x_temperature_mix convention). Scale: the plan side is one "
+        "row per source (broadcast); keepers are one md5-contraction "
+        "hash agg + an equi-join; the per-source rank is one window "
+        "pass partitioned on source (the x_temperature_mix shape). "
+        "Undersupplied sources (quota > keepers) under-deliver "
+        "honestly rather than borrowing — the property test pins "
+        "per-source counts to min(quota, keepers)."
+    ),
+)
+def x_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = x_curation_plan(spark, sf_dir).select("source", "mix_ppm")
+    q0 = plan.select(
+        "source",
+        F.expr(f"({_SAMPLE_K} * mix_ppm) div {_PLAN_B}").alias("qbase"),
+        F.expr(f"({_SAMPLE_K} * mix_ppm) % {_PLAN_B}").alias("qrem"),
+    )
+    qdef = q0.agg(
+        (F.lit(_SAMPLE_K) - F.sum("qbase")).cast("bigint").alias("d")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("qrem").desc(), F.col("source").asc())
+    )
+    quota = (
+        q0.crossJoin(F.broadcast(qdef))
+        .withColumn("rn", rn)
+        .select(
+            "source",
+            (
+                F.col("qbase")
+                + F.when(F.col("rn") <= F.col("d"), 1).otherwise(0)
+            ).cast("bigint").alias("src_quota"),
+        )
+    )
+    d = read_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("g")
+    )
+    keep = b.groupBy("g").agg(F.min("doc_id").alias("keeper"))
+    keepers = (
+        b.join(keep, "g")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        keepers.withColumn("rk", rk.cast("bigint"))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("src_quota"))
+        .select("doc_id", "source", "rk", "src_quota")
     )

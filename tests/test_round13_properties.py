@@ -73,3 +73,51 @@ def test_curation_plan_knee_matches_coverage_curve(spark):
     expected = n_before / len(curve)
     got = QUERIES["x_curation_plan"].spark(spark, SF).first().knee_frac
     assert got == expected
+
+
+def test_curation_sample_executes_the_plan(spark):
+    """x_curation_sample must deliver exactly the plan's mixture: the
+    per-source quotas are a largest-remainder split of the 500-doc
+    budget over mix_ppm (sum == 500 bit-exactly), and each source
+    delivers min(quota, its keeper count) rows in deterministic md5
+    rank order."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.queries.round13 import _SAMPLE_K
+
+    sample = QUERIES["x_curation_sample"].spark(spark, SF).collect()
+    plan = {r.source: r for r in QUERIES["x_curation_plan"].spark(spark, SF).collect()}
+
+    quotas = {r.source: r.src_quota for r in sample}
+    assert sum(quotas.values()) == _SAMPLE_K
+    # quota is the largest-remainder split of _SAMPLE_K over mix_ppm
+    q0 = {s: (_SAMPLE_K * p.mix_ppm) // 1_000_000 for s, p in plan.items()}
+    rem = {s: (_SAMPLE_K * p.mix_ppm) % 1_000_000 for s, p in plan.items()}
+    d = _SAMPLE_K - sum(q0.values())
+    bump = {
+        s for s, _ in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:d]
+    }
+    for s, q in quotas.items():
+        assert q == q0[s] + (1 if s in bump else 0), s
+
+    # per-source delivery = min(quota, keepers); every sampled doc is
+    # a keeper (its text's min-doc_id representative)
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("g"))
+        .collect()
+    )
+    keeper_of = {}
+    for r in docs:
+        if r.g not in keeper_of or r.doc_id < keeper_of[r.g]:
+            keeper_of[r.g] = r.doc_id
+    keepers_by_src = Counter(
+        r.source for r in docs if keeper_of[r.g] == r.doc_id
+    )
+    got_by_src = Counter(r.source for r in sample)
+    keeper_ids = set(keeper_of.values())
+    assert all(r.doc_id in keeper_ids for r in sample)
+    for s, q in quotas.items():
+        assert got_by_src[s] == min(q, keepers_by_src[s]), s
