@@ -1094,7 +1094,12 @@ def kmv_novelty_batch(
         sample = _kmv_bottom_k(
             _cms_live_before(spark, store_path, epoch_id), kmv_k
         ).localCheckpoint(eager=True)
-        m = sample.count()
+        # one agg for both scalars — per-batch store work is a handful
+        # of small jobs, so fixed job overhead dominates; don't split
+        srow = sample.agg(
+            F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
+        ).first()
+        m = int(srow["m"] or 0)
     else:
         sample = None
         m = 0
@@ -1107,7 +1112,7 @@ def kmv_novelty_batch(
             else n_sh
         )
     else:
-        h_k = sample.agg(F.max("hv")).first()[0]
+        h_k = srow["hk"]
         vocab_before = int((kmv_k - 1) * _KMV_NOV_H // float(h_k))
         miss = (
             hv.filter(F.col("hv") < F.lit(h_k))
