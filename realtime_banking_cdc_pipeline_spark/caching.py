@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_TRACKED_RDDS: list = []  # (SparkContext, rdd_id) pairs from localCheckpoints
 
 
 def track_persist(df: DataFrame) -> DataFrame:
@@ -30,10 +31,47 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + register its checkpoint RDD for
+    ``release_caches``.
+
+    The iterative graph operators cut lineage with eager
+    localCheckpoints; those blocks live in executor storage but are NOT
+    in the CacheManager, so ``DataFrame.unpersist`` is a no-op on them
+    and a long sweep (212 registry queries back-to-back) accumulates
+    them until the JVM heap fills. The checkpointed RDD only surfaces
+    in ``SparkContext.getPersistentRDDs`` — we diff that registry
+    around the checkpoint call (query builds are driver-side
+    sequential, so the diff is exactly this call's RDD) and record the
+    id; ``release_caches`` unpersists it by id.
+
+    Caveat vs ``track_persist``: a freed localCheckpoint cannot be
+    recomputed (lineage is gone) — releasing must happen BETWEEN
+    queries, after results are consumed, which is already the
+    ``release_caches`` contract.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:
+        return df.localCheckpoint(eager=True)  # registry unavailable (Connect)
+    out = df.localCheckpoint(eager=True)
+    try:
+        for i in sc._jsc.getPersistentRDDs().keySet().toArray():
+            if int(i) not in before:
+                _TRACKED_RDDS.append((sc, int(i)))
+    except Exception:
+        pass
+    return out
+
+
 def release_caches() -> int:
-    """Unpersist every tracked frame (blocking=False); returns how many
-    were released. Safe to call at any time — frames already executed
-    simply drop their blocks; frames never executed drop nothing."""
+    """Unpersist every tracked frame and checkpoint RDD
+    (blocking=False); returns how many were released. Safe to call at
+    any time between queries — frames already executed simply drop
+    their blocks; frames never executed drop nothing. Do NOT call while
+    a returned-but-not-yet-collected frame depends on a tracked
+    localCheckpoint (those cannot recompute)."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -42,5 +80,14 @@ def release_caches() -> int:
             n += 1
         except Exception:
             # session already stopped — nothing to release
+            pass
+    while _TRACKED_RDDS:
+        sc, rid = _TRACKED_RDDS.pop()
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+                n += 1
+        except Exception:
             pass
     return n

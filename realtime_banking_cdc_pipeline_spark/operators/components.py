@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -46,7 +48,7 @@ def connected_components(
     if nodes is not None:
         ids = ids.unionByName(nodes.toDF("id"))
     labels = (
-        ids.distinct().withColumn("label", F.col("id")).localCheckpoint(eager=True)
+        ids.distinct().withColumn("label", F.col("id")).transform(track_local_checkpoint)
     )
 
     for _ in range(max_iter):
@@ -57,7 +59,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(track_local_checkpoint)
         )
         improved = (
             new.alias("n")
@@ -122,14 +124,14 @@ def connected_components_star(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(track_local_checkpoint)
     )
     all_ids = e.select(F.col("a").alias("id")).unionByName(
         e.select(F.col("b").alias("id"))
     )
     if nodes is not None:
         all_ids = all_ids.unionByName(nodes.toDF("id"))
-    all_ids = all_ids.distinct().localCheckpoint(eager=True)
+    all_ids = all_ids.distinct().transform(track_local_checkpoint)
 
     def star_round(cur: DataFrame, large: bool) -> DataFrame:
         # symmetric adjacency; m(u) = min(neighbors(u) ∪ u)
@@ -153,7 +155,7 @@ def connected_components_star(
             )
             .distinct()
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(track_local_checkpoint)
 
     converged = False
     for _ in range(max_iter):
@@ -371,11 +373,11 @@ def k_core(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(track_local_checkpoint)
     )
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
-        weak = deg.filter(F.col("c") < k).select("a").localCheckpoint(eager=True)
+        weak = deg.filter(F.col("c") < k).select("a").transform(track_local_checkpoint)
         if weak.isEmpty():
             return deg.select(
                 F.col("a").alias("id"), F.col("c").cast("bigint").alias("core_degree")
@@ -383,7 +385,7 @@ def k_core(
         sym = (
             sym.join(weak.withColumnRenamed("a", "w"), F.col("a") == F.col("w"), "left_anti")
             .join(weak.withColumnRenamed("a", "w"), F.col("b") == F.col("w"), "left_anti")
-        ).localCheckpoint(eager=True)
+        ).transform(track_local_checkpoint)
     raise RuntimeError(
         f"k_core did not converge within {max_iter} peeling rounds — "
         "raise max_iter (and the oracle's unroll count) for this graph"

@@ -116,7 +116,7 @@ FROM alloc a, vocab, knee, tk
         "decision layer over a single shared shingle fan-out. Per "
         "source: exact-dedup trim (x_dedup_source_report's keep-first "
         "md5 groups), internal-redundancy downsample (x_source_novelty"
-        "'s distinct/occurrence ratio as an exact {_PLAN_S}-fixed-point "
+        "'s distinct/occurrence ratio as an exact 1e6-fixed-point "
         "rational -> kept_tokens, never a float in the integer path), "
         "novelty attribution (owned_frac), and the temperature mix "
         "(T=1/2, weight ~ kept-share^2 exactly as x_temperature_mix; "

@@ -1090,6 +1090,7 @@ def _capped_pair_cos(
     downstream kNN/mutuality/component plan the same size as the exact
     twin's (a persisted-only plan blew the 1 GiB default driver heap
     on PLAN size even at sf0.001)."""
+    from ..caching import track_local_checkpoint
     from ..functions.similarity import fx_dot
     from .llmdata import adaptive_cells
     from .round6b import _two_level_cells
@@ -1187,7 +1188,7 @@ def _capped_pair_cos(
             )
         )
         hp = hp.unionByName(pp)
-    return hp.distinct().localCheckpoint(eager=True)
+    return hp.distinct().transform(track_local_checkpoint)
 
 
 def _mknn_result(
