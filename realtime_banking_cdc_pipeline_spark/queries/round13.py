@@ -429,3 +429,127 @@ def x_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("src_quota"))
         .select("doc_id", "source", "rk", "src_quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_coverage_knee_sweep — budget sensitivity of the coverage knee
+# ---------------------------------------------------------------------------
+
+_KNEE_PCTS = (50, 80, 90, 95, 99)
+
+_KNEE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dd_shingles(_PLAN_K)}) AS shingle FROM toks),
+first AS (SELECT shingle, MIN(doc_id) AS doc_id FROM sh GROUP BY shingle),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM first),
+intro AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM first GROUP BY doc_id),
+curve AS (SELECT d.doc_id,
+                 CAST(SUM(COALESCE(i.n_new, 0)) OVER (ORDER BY d.doc_id)
+                      AS BIGINT) AS cum_new
+          FROM documents d LEFT JOIN intro i USING (doc_id)),
+pcts AS (SELECT unnest([{", ".join(str(p) for p in _KNEE_PCTS)}]) AS pct),
+need AS (SELECT pct, (pct * total + 99) // 100 AS need FROM pcts, vocab),
+knees AS (SELECT n.pct, MIN(c.doc_id) AS knee_doc
+          FROM need n JOIN curve c ON c.cum_new >= n.need
+          GROUP BY n.pct),
+sizes AS (SELECT k.pct, k.knee_doc,
+                 CAST(SUM(CASE WHEN c.doc_id <= k.knee_doc THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_before,
+                 CAST(COUNT(*) AS BIGINT) AS n_all
+          FROM knees k, curve c GROUP BY k.pct, k.knee_doc)
+SELECT CAST(pct AS INTEGER) AS pct,
+       CAST(knee_doc AS BIGINT) AS knee_doc,
+       n_before,
+       CAST(CAST(n_before AS DOUBLE) / CAST(n_all AS DOUBLE) AS DOUBLE)
+         AS knee_frac
+FROM sizes
+"""
+
+
+@query(
+    "x_coverage_knee_sweep",
+    _KNEE_SQL,
+    doc=(
+        "Budget sensitivity of the coverage knee: for each target "
+        "coverage (50/80/90/95/99% of the 3-gram vocabulary), the "
+        "earliest arrival-order doc prefix that reaches it — the whole "
+        "saturation curve x_curation_plan's single 95% knee sits on, "
+        "so a curation run can see how steep the marginal-data cliff "
+        "is (a 99% knee far beyond the 95% knee = long redundant "
+        "tail; close = the corpus is still fresh). Exact integer "
+        "ceil thresholds (pct*total+99 div 100); knee per threshold "
+        "via one grouped min over the threshold-crossing join. Scale: "
+        "the same persisted two-level prefix frame as the plan (4096-"
+        "doc shards, no whole-corpus window); the threshold frame is "
+        "5 broadcast rows, and the prefix-size count joins 5 rows "
+        "against the doc-sized frame (broadcast range condition)."
+    ),
+)
+def x_coverage_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.similarity import exploded_shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d, "doc_id", "text", _PLAN_K)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    intro = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    kb = track_persist(
+        d.select("doc_id")
+        .join(intro, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            (F.col("doc_id") / _PLAN_SHARD_W).cast("bigint").alias("__shard"),
+        )
+    )
+    within = F.sum("n_new").over(
+        Window.partitionBy("__shard").orderBy("doc_id")
+    )
+    shard_tot = kb.groupBy("__shard").agg(
+        F.sum("n_new").cast("bigint").alias("__t")
+    )
+    offset = shard_tot.select(
+        "__shard",
+        (F.sum("__t").over(Window.orderBy("__shard")) - F.col("__t")).alias(
+            "__off"
+        ),
+    )
+    cum = track_persist(
+        kb.join(offset, "__shard").select(
+            "doc_id", (F.col("__off") + within).cast("bigint").alias("cum_new")
+        )
+    )
+    total = kb.agg(F.sum("n_new").cast("bigint").alias("total"))
+    need = (
+        spark.createDataFrame([(p,) for p in _KNEE_PCTS], "pct int")
+        .crossJoin(F.broadcast(total))
+        .select("pct", F.expr("(pct * total + 99) div 100").alias("need"))
+    )
+    knees = (
+        cum.crossJoin(F.broadcast(need))
+        .filter(F.col("cum_new") >= F.col("need"))
+        .groupBy("pct")
+        .agg(F.min("doc_id").alias("knee_doc"))
+    )
+    return (
+        cum.select("doc_id")
+        .crossJoin(F.broadcast(knees))
+        .groupBy("pct", "knee_doc")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("knee_doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        )
+        .select(
+            "pct",
+            F.col("knee_doc").cast("bigint").alias("knee_doc"),
+            "n_before",
+            (
+                F.col("n_before").cast("double") / F.col("n_all").cast("double")
+            ).alias("knee_frac"),
+        )
+    )

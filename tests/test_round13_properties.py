@@ -121,3 +121,20 @@ def test_curation_sample_executes_the_plan(spark):
     assert all(r.doc_id in keeper_ids for r in sample)
     for s, q in quotas.items():
         assert got_by_src[s] == min(q, keepers_by_src[s]), s
+
+
+def test_knee_sweep_monotone_and_matches_plan(spark):
+    """The knee sweep must be monotone in the coverage target (a higher
+    target can never need a SHORTER prefix), and its 95% row must equal
+    the single knee x_curation_plan prices its budget with."""
+    rows = sorted(
+        QUERIES["x_coverage_knee_sweep"].spark(spark, SF).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == [50, 80, 90, 95, 99]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.knee_doc <= hi.knee_doc
+        assert lo.n_before <= hi.n_before
+        assert lo.knee_frac <= hi.knee_frac
+    plan_frac = QUERIES["x_curation_plan"].spark(spark, SF).first().knee_frac
+    assert {r.knee_frac for r in rows if r.pct == 95} == {plan_frac}
