@@ -1205,3 +1205,202 @@ def read_kmv_novelty_health(
     return spark.createDataFrame(
         [(m, est)], "sample_size bigint, vocab_size_est bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-source KMV novelty: the streaming twin of
+# queries/round12.py:x_source_novelty
+# ---------------------------------------------------------------------------
+#
+# The corpus-level KMV monitor above answers "is the stream still
+# novel"; mixing decisions (x_curation_plan) need it PER SOURCE — which
+# feed is still contributing vocabulary and which has gone stale. Same
+# estimator and exactly-once regime, keyed by source: the store holds
+# at most KMV_NOV_K hashes PER SOURCE, each epoch writes only its own
+# partition (the batch's per-source bottom-k), probes fold strictly
+# earlier live partitions, compaction folds strictly earlier into a
+# committed base. Per-source bottom-k is computed in two phases
+# (16-way hash shards, then a rank over <= 16k survivors per source —
+# the x_cluster_balanced_sample rule), so a dominant source never
+# pushes its full hash set through one rank task.
+
+_KMV_SRC_SHARDS = 16
+
+
+def _kmv_per_source_bottom_k(df: DataFrame, k: int) -> DataFrame:
+    """Per-source bottom-k of distinct (source, hv) rows, two-phase."""
+    from pyspark.sql import Window
+
+    dd = df.select("source", "hv").distinct()
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("hv"), F.lit(_KMV_SRC_SHARDS))
+    ).orderBy("hv")
+    cand = dd.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy("hv")
+    return (
+        cand.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .select("source", "hv")
+    )
+
+
+def kmv_source_novelty_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    epoch_id: int = 0,
+    k: int = 3,
+    kmv_k: int = KMV_NOV_K,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Fold one micro-batch's per-source bottom-k shingle hashes into
+    the store and return ONE ROW PER SOURCE present in the batch:
+    (source, n_docs, n_shingles, n_new, novelty_rate, vocab_size) —
+    all figures per source, estimated exactly as the corpus-level
+    monitor (exact below kmv_k per source). Entirely join/agg shaped:
+    no driver loop over sources."""
+    from ..functions.similarity import _shingles_from_tokens, md5_long
+    from ..functions.text import ws_tokens
+    from .corpus import _has_parquet_files
+
+    spark = batch_df.sparkSession
+    per_docs = batch_df.groupBy(
+        F.col(source_col).alias("source")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # source carried THROUGH the fan-out (the x_source_novelty rule:
+    # never join a doc->source map back onto multiplied shingle rows)
+    toks = batch_df.select(
+        F.col(source_col).alias("source"),
+        ws_tokens(F.col(text_col)).alias("__toks"),
+    )
+    hv = (
+        toks.select(
+            "source",
+            F.explode(_shingles_from_tokens(F.col("__toks"), k)).alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "source",
+            md5_long(
+                F.concat(F.lit("kmvnov:"), F.col("shingle")), _KMV_NOV_HEX
+            ).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_sh = hv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    if os.path.exists(store_path) and _has_parquet_files(store_path):
+        sample = _kmv_per_source_bottom_k(
+            _cms_live_before(spark, store_path, epoch_id), kmv_k
+        ).localCheckpoint(eager=True)
+        stats = sample.groupBy("source").agg(
+            F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
+        )
+        # region-filtered misses: below a full source's threshold, or
+        # everything for a below-capacity / unseen source
+        probe = (
+            hv.join(stats, "source", "left_outer")
+            .filter(
+                F.col("m").isNull()
+                | (F.col("m") < F.lit(kmv_k))
+                | (F.col("hv") < F.col("hk"))
+            )
+            .join(sample, ["source", "hv"], "left_anti")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("miss"))
+        )
+        est = (
+            n_sh.join(per_docs, "source")
+            .join(stats, "source", "left_outer")
+            .join(probe, "source", "left_outer")
+            .select(
+                "source", "n_docs", "n_shingles",
+                F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("m"),
+                F.col("hk").cast("bigint").alias("hk"),
+                F.coalesce(F.col("miss"), F.lit(0))
+                .cast("bigint")
+                .alias("miss"),
+            )
+        )
+    else:
+        est = n_sh.join(per_docs, "source").select(
+            "source", "n_docs", "n_shingles",
+            F.lit(0).cast("bigint").alias("m"),
+            F.lit(None).cast("bigint").alias("hk"),
+            F.col("n_shingles").alias("miss"),
+        )
+    full = F.col("m") >= F.lit(kmv_k)
+    n_new = F.when(
+        full,
+        F.floor(
+            F.col("miss").cast("double")
+            * F.lit(_KMV_NOV_H)
+            / F.col("hk").cast("double")
+        ),
+    ).otherwise(F.col("miss")).cast("bigint")
+    vocab_before = F.when(
+        full,
+        F.floor(
+            F.lit(float(kmv_k - 1))
+            * F.lit(_KMV_NOV_H)
+            / F.col("hk").cast("double")
+        ),
+    ).otherwise(F.col("m")).cast("bigint")
+    out = est.select(
+        "source", "n_docs", "n_shingles",
+        n_new.alias("n_new"),
+        F.when(
+            F.col("n_shingles") > 0,
+            n_new.cast("double") / F.col("n_shingles").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("novelty_rate"),
+        (vocab_before + n_new).alias("vocab_size"),
+    ).localCheckpoint(eager=True)
+    _kmv_per_source_bottom_k(hv, kmv_k).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"epoch={int(epoch_id)}")
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_kmv_source_store(spark, store_path, epoch_id, kmv_k=kmv_k)
+    return out
+
+
+def compact_kmv_source_store(
+    spark: SparkSession,
+    store_path: str,
+    epoch_id: int,
+    kmv_k: int = KMV_NOV_K,
+) -> None:
+    """Strictly-earlier fold to a committed base — the corpus-level
+    KMV store's regime, with the per-source two-phase bottom-k as the
+    fold function."""
+    if epoch_id <= 0:
+        raise ValueError("compaction epoch must be positive")
+    existing = _epoch_ids(store_path)
+    if not existing:
+        return
+    base = os.path.join(store_path, f"epoch=-{int(epoch_id)}")
+    if os.path.exists(base):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            for e in existing:
+                if e < epoch_id and e != -int(epoch_id):
+                    shutil.rmtree(
+                        os.path.join(store_path, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+            return
+        shutil.rmtree(base, ignore_errors=True)
+    folded = _kmv_per_source_bottom_k(
+        _cms_live_before(spark, store_path, epoch_id), kmv_k
+    ).localCheckpoint(eager=True)
+    folded.write.mode("overwrite").parquet(base)
+    for e in _epoch_ids(store_path):
+        if e < epoch_id and e != -int(epoch_id):
+            shutil.rmtree(
+                os.path.join(store_path, f"epoch={e}"), ignore_errors=True
+            )

@@ -187,3 +187,116 @@ def test_pipeline_kmv_default_and_exact_flag(spark, tmp_path):
     assert tuple(r1.asDict()[c] for c in ("n_docs", "n_shingles", "n_new", "vocab_size")) == tuple(
         r2.asDict()[c] for c in ("n_docs", "n_shingles", "n_new", "vocab_size")
     )
+
+
+def _with_source(rows, n_sources=3):
+    return [(d, f"src{d % n_sources}", t) for d, t in rows]
+
+
+def test_kmv_source_novelty_exact_below_capacity(spark, tmp_path):
+    """Per-source twin: below per-source capacity every figure is
+    exact — pinned against a plain-DataFrame per-source reference
+    (first-epoch attribution of distinct (source, shingle) hashes)."""
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        _shingles_from_tokens,
+    )
+    from realtime_banking_cdc_pipeline_spark.functions.text import ws_tokens
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        kmv_source_novelty_batch,
+    )
+
+    rows = _with_source(_doc_rows(spark))
+    halves = [rows[:30], rows[30:]]
+    store = str(tmp_path / "ksrc")
+    schema = "doc_id long, source string, text string"
+    got = []
+    for e, batch in enumerate(halves):
+        df = spark.createDataFrame(batch, schema)
+        got.append(
+            {
+                r.source: r
+                for r in kmv_source_novelty_batch(
+                    df, store, "doc_id", "text", epoch_id=e
+                ).collect()
+            }
+        )
+
+    # reference: per (source, shingle), the epoch that introduced it
+    seen: dict = {}
+    for e, batch in enumerate(halves):
+        df = spark.createDataFrame(batch, schema)
+        sh = (
+            df.select(
+                "source",
+                F.explode(
+                    _shingles_from_tokens(ws_tokens(F.col("text")), 3)
+                ).alias("s"),
+            )
+            .distinct()
+            .collect()
+        )
+        per_src_new = {}
+        per_src_sh = {}
+        for r in sh:
+            per_src_sh[r.source] = per_src_sh.get(r.source, 0) + 1
+            if (r.source, r.s) not in seen:
+                seen[(r.source, r.s)] = e
+                per_src_new[r.source] = per_src_new.get(r.source, 0) + 1
+        for src, row in got[e].items():
+            assert row.n_shingles == per_src_sh[src], (e, src)
+            assert row.n_new == per_src_new.get(src, 0), (e, src)
+        # cumulative per-source vocab
+        for src, row in got[e].items():
+            vocab = sum(
+                1 for (s, _), ee in seen.items() if s == src and ee <= e
+            )
+            assert row.vocab_size == vocab, (e, src)
+
+
+def test_kmv_source_novelty_replay_and_compaction(spark, tmp_path):
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        compact_kmv_source_store,
+        kmv_source_novelty_batch,
+    )
+
+    rows = _with_source(_doc_rows(spark))
+    halves = [rows[:30], rows[30:]]
+    store = str(tmp_path / "ksrc")
+    schema = "doc_id long, source string, text string"
+    out = []
+    for e, batch in enumerate(halves):
+        df = spark.createDataFrame(batch, schema)
+        out.append(
+            sorted(
+                map(tuple, kmv_source_novelty_batch(
+                    df, store, "doc_id", "text", epoch_id=e
+                ).collect())
+            )
+        )
+    # replay last epoch: identical per-source rows
+    df = spark.createDataFrame(halves[1], schema)
+    replay = sorted(
+        map(tuple, kmv_source_novelty_batch(
+            df, store, "doc_id", "text", epoch_id=1
+        ).collect())
+    )
+    assert replay == out[1]
+    # compaction preserves a third batch's verdicts
+    probe = spark.createDataFrame(
+        [(9001, "src0", rows[0][2]), (9002, "src1", "zz unseen aa bb cc dd")],
+        schema,
+    )
+    before = sorted(
+        map(tuple, kmv_source_novelty_batch(
+            probe, store, "doc_id", "text", epoch_id=2
+        ).collect())
+    )
+    compact_kmv_source_store(spark, store, 2)
+    after = sorted(
+        map(tuple, kmv_source_novelty_batch(
+            probe, store, "doc_id", "text", epoch_id=2
+        ).collect())
+    )
+    assert after == before
