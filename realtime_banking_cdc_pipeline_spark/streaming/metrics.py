@@ -1404,3 +1404,44 @@ def compact_kmv_source_store(
             shutil.rmtree(
                 os.path.join(store_path, f"epoch={e}"), ignore_errors=True
             )
+
+
+def start_source_novelty_monitor(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    k: int = 3,
+    kmv_k: int = KMV_NOV_K,
+    max_files_per_trigger: int = 1,
+    compact_every: int = 16,
+):
+    """File-source streaming wrapper: each micro-batch's per-source
+    novelty rows land in ``out_path`` under their own epoch partition
+    (replay overwrites). availableNow drains then stops (test mode)."""
+
+    def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        rows = kmv_source_novelty_batch(
+            batch_df, store_path, id_col, text_col, source_col=source_col,
+            epoch_id=epoch, k=k, kmv_k=kmv_k, compact_every=compact_every,
+        )
+        rows.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={int(epoch)}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(src_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

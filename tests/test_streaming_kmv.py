@@ -300,3 +300,39 @@ def test_kmv_source_novelty_replay_and_compaction(spark, tmp_path):
         ).collect())
     )
     assert after == before
+
+
+def test_source_novelty_streaming_wrapper(spark, tmp_path):
+    import json
+
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        start_source_novelty_monitor,
+    )
+
+    rows = _with_source(_doc_rows(spark, n=40))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, chunk in enumerate([rows[:20], rows[20:]]):
+        path = os.path.join(src, f"part-{i:03d}.json")
+        with open(path, "w") as f:
+            for doc_id, source, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "source": source,
+                                    "text": text}) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    q = start_source_novelty_monitor(
+        spark, src, store, out, str(tmp_path / "ckpt"),
+        "doc_id long, source string, text string", "doc_id", "text",
+    )
+    assert q.awaitTermination(600), "source-novelty monitor did not drain"
+    got = spark.read.parquet(out)
+    assert got.select("epoch").distinct().count() == 2
+    # per-source vocab at the last epoch == cumulative per-source n_new
+    last = {r.source: r.vocab_size for r in got.filter("epoch = 1").collect()}
+    acc = {
+        r.source: r.total
+        for r in got.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["sum"]).sum("n_new").alias("total")
+        ).collect()
+    }
+    assert last == {s: int(v) for s, v in acc.items()}
