@@ -52,13 +52,14 @@ from . import round13  # noqa: F401,E402  (curation-plan capstone)
 # caching.track_local_checkpoint this round — mechanically neutral AND
 # re-proved by the full 212-query default-heap sweep,
 # CORRECTNESS_LOCAL_r13_full.json, but the driver record should carry
-# them too) + the 43 stalest driver-proof entries: the full 27-entry
-# r08-era cohort and the first 16 r09-era names alphabetically. After
+# them too) + the 42 stalest driver-proof entries: the full 27-entry
+# r08-era cohort and the first 15 r09-era names alphabetically. After
 # this round no query's only-ever driver proof predates r08.
-# (x_curation_sample and x_coverage_knee_sweep registered later in
-# r13 also enter the window; j1_fact_dim_join and c6_incremental_rollup
-# — the alphabetically last r09 fills — move back to verified to keep
-# the pin at 50, leaving a 16-name r09 fill.)
+# (x_curation_sample, x_coverage_knee_sweep and x_source_drift
+# registered later in r13 also enter the window; j1_fact_dim_join,
+# c6_incremental_rollup and c3_incremental_merge — the alphabetically
+# last r09 fills — move back to verified to keep the pin at 50,
+# leaving a 15-name r09 fill.)
 # a_approx_sketches is PERMANENTLY pinned in this set (r9 judge
 # directive #2): it is the registry's sole no-oracle entry (Spark-native
 # approx_count_distinct has no DuckDB twin); its real correctness gate
@@ -73,55 +74,56 @@ _DRIVER_VERIFIED = frozenset({
     "a_pareto_share", "a_rfm_segments", "a_sliding_distinct",
     "a_structuring_screen", "a_time_weighted_balance", "a_top_paths",
     "a_value_histogram", "agg_cube_status_priority", "agg_unpivot_metrics",
-    "c6_incremental_rollup", "c7_late_events", "j1_fact_dim_join",
-    "j2_two_hop_join", "j3_anti_orphans", "j5_self_join",
-    "j6_interval_join", "j7_range_band_join", "o1_top10_orders",
-    "o1b_trailing_window_top", "p1_json_extract", "p_scalar_suite",
-    "p_subqueries", "q01_pricing_summary", "q02_min_cost_supplier",
-    "q03_shipping_priority", "q04_order_priority", "q05_local_supplier_volume",
-    "q06_revenue_forecast", "q07_volume_shipping", "q08_market_share",
-    "q09_product_profit", "q10_returned_items", "q11_revenue_concentration",
-    "q12_late_shipments", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q18_large_volume_orders", "q19_disjunctive_predicates", "q20_heavy_shippers",
-    "q21_suppliers_kept_waiting", "q22_dormant_rich_customers", "s_tumbling_window_agg",
-    "set_ops_cohorts", "t_event_type_drift", "t_freshness_skew",
-    "t_profile_table", "t_quality_checks", "w1_dedup_latest",
-    "w_distribution_ranks", "w_event_rate_spike", "w_gap_islands",
-    "w_locf_gapfill", "w_range_frame", "w_rolling_median",
-    "w_running_totals", "w_sessionize", "w_topk_per_group",
-    "x_ann_cosine_topk", "x_ann_ivf_trained", "x_ann_ivf_trained_mp",
-    "x_ann_ivfpq_topk", "x_ann_lsh_buckets", "x_ann_lsh_cosine_pairs",
-    "x_ann_pq_adc", "x_ann_recall_eval", "x_ann_sq8",
-    "x_ann_sq8_rescore", "x_audio_decode", "x_audio_mulaw_stats",
-    "x_bigram_likelihood", "x_bloom_decontaminate", "x_bloom_skip_index",
-    "x_chunk_documents", "x_clean_normalize", "x_cluster_balanced_sample",
-    "x_cms_calibration", "x_containment_pairs", "x_corpus_pipeline_v3",
-    "x_corpus_pipeline_v4", "x_curriculum_order", "x_dataset_card",
-    "x_dataset_manifest", "x_ddsketch_quantiles", "x_dedup_exact",
-    "x_dedup_source_report", "x_embedding_centroids", "x_embedding_outliers",
-    "x_feature_hash_embed", "x_fingerprint", "x_fuzzy_pairs",
-    "x_gopher_rules", "x_heldout_likelihood", "x_hll_distinct",
-    "x_hll_overlap", "x_image_gif_stats", "x_image_png_stats",
-    "x_image_resize", "x_importance_sample", "x_kmv_distinct",
-    "x_kmv_jaccard", "x_knn_classify", "x_label_centroids",
-    "x_lang_id", "x_langid_eval", "x_length_bucket_batching",
-    "x_length_trim", "x_lsh_dedup_eval", "x_minhash_calibration",
-    "x_minhash_lsh_pairs", "x_minhash_signature", "x_multimodal_features",
-    "x_mutual_knn_recall_eval", "x_ngram_counts", "x_ngram_coverage_curve",
-    "x_ngram_jaccard_pairs", "x_ngram_novelty", "x_pagerank",
-    "x_paragraph_dedup", "x_paragraph_profile", "x_pmi_cooccurrence",
-    "x_pq_codes", "x_quality_classifier", "x_quality_score",
-    "x_quality_stratified_trim", "x_rank_fusion_rrf", "x_reservoir_sample",
-    "x_semdedup", "x_semdedup_capped", "x_semdedup_diverse",
-    "x_semdedup_diverse_capped", "x_semdedup_keep_best", "x_semdedup_keep_best_capped",
-    "x_semdedup_recall_eval", "x_semdedup_refined", "x_semdedup_refined_capped",
-    "x_simhash", "x_simhash_dedup_pairs", "x_snapshot_diff",
-    "x_source_novelty", "x_source_reputation", "x_substring_rewrite",
-    "x_temperature_mix", "x_tfidf_topk_terms", "x_token_stats",
-    "x_top_terms", "x_triangle_count", "x_unigram_likelihood",
-    "x_video_framesample", "x_vocab_coverage", "x_winnowing",
-    "x_winnowing_matches", "x_zorder_layout", "x_zorder_pruning_eval",
+    "c3_incremental_merge", "c6_incremental_rollup", "c7_late_events",
+    "j1_fact_dim_join", "j2_two_hop_join", "j3_anti_orphans",
+    "j5_self_join", "j6_interval_join", "j7_range_band_join",
+    "o1_top10_orders", "o1b_trailing_window_top", "p1_json_extract",
+    "p_scalar_suite", "p_subqueries", "q01_pricing_summary",
+    "q02_min_cost_supplier", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_revenue_forecast", "q07_volume_shipping",
+    "q08_market_share", "q09_product_profit", "q10_returned_items",
+    "q11_revenue_concentration", "q12_late_shipments", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_orders", "q19_disjunctive_predicates",
+    "q20_heavy_shippers", "q21_suppliers_kept_waiting", "q22_dormant_rich_customers",
+    "s_tumbling_window_agg", "set_ops_cohorts", "t_event_type_drift",
+    "t_freshness_skew", "t_profile_table", "t_quality_checks",
+    "w1_dedup_latest", "w_distribution_ranks", "w_event_rate_spike",
+    "w_gap_islands", "w_locf_gapfill", "w_range_frame",
+    "w_rolling_median", "w_running_totals", "w_sessionize",
+    "w_topk_per_group", "x_ann_cosine_topk", "x_ann_ivf_trained",
+    "x_ann_ivf_trained_mp", "x_ann_ivfpq_topk", "x_ann_lsh_buckets",
+    "x_ann_lsh_cosine_pairs", "x_ann_pq_adc", "x_ann_recall_eval",
+    "x_ann_sq8", "x_ann_sq8_rescore", "x_audio_decode",
+    "x_audio_mulaw_stats", "x_bigram_likelihood", "x_bloom_decontaminate",
+    "x_bloom_skip_index", "x_chunk_documents", "x_clean_normalize",
+    "x_cluster_balanced_sample", "x_cms_calibration", "x_containment_pairs",
+    "x_corpus_pipeline_v3", "x_corpus_pipeline_v4", "x_curriculum_order",
+    "x_dataset_card", "x_dataset_manifest", "x_ddsketch_quantiles",
+    "x_dedup_exact", "x_dedup_source_report", "x_embedding_centroids",
+    "x_embedding_outliers", "x_feature_hash_embed", "x_fingerprint",
+    "x_fuzzy_pairs", "x_gopher_rules", "x_heldout_likelihood",
+    "x_hll_distinct", "x_hll_overlap", "x_image_gif_stats",
+    "x_image_png_stats", "x_image_resize", "x_importance_sample",
+    "x_kmv_distinct", "x_kmv_jaccard", "x_knn_classify",
+    "x_label_centroids", "x_lang_id", "x_langid_eval",
+    "x_length_bucket_batching", "x_length_trim", "x_lsh_dedup_eval",
+    "x_minhash_calibration", "x_minhash_lsh_pairs", "x_minhash_signature",
+    "x_multimodal_features", "x_mutual_knn_recall_eval", "x_ngram_counts",
+    "x_ngram_coverage_curve", "x_ngram_jaccard_pairs", "x_ngram_novelty",
+    "x_pagerank", "x_paragraph_dedup", "x_paragraph_profile",
+    "x_pmi_cooccurrence", "x_pq_codes", "x_quality_classifier",
+    "x_quality_score", "x_quality_stratified_trim", "x_rank_fusion_rrf",
+    "x_reservoir_sample", "x_semdedup", "x_semdedup_capped",
+    "x_semdedup_diverse", "x_semdedup_diverse_capped", "x_semdedup_keep_best",
+    "x_semdedup_keep_best_capped", "x_semdedup_recall_eval", "x_semdedup_refined",
+    "x_semdedup_refined_capped", "x_simhash", "x_simhash_dedup_pairs",
+    "x_snapshot_diff", "x_source_novelty", "x_source_reputation",
+    "x_substring_rewrite", "x_temperature_mix", "x_tfidf_topk_terms",
+    "x_token_stats", "x_top_terms", "x_triangle_count",
+    "x_unigram_likelihood", "x_video_framesample", "x_vocab_coverage",
+    "x_winnowing", "x_winnowing_matches", "x_zorder_layout",
+    "x_zorder_pruning_eval",
 })
 
 _ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}

@@ -553,3 +553,133 @@ def x_coverage_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("knee_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_source_drift — are sources going stale? Late-half novelty against
+# the early-half vocabulary
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = f"""
+WITH bounds AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS split
+                FROM documents),
+toks AS (SELECT doc_id, source, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, source, unnest({_dd_shingles(_PLAN_K)}) AS shingle
+       FROM toks),
+early_vocab AS (SELECT DISTINCT shingle FROM sh, bounds
+                WHERE doc_id < split),
+late AS (SELECT DISTINCT source, shingle FROM sh, bounds
+         WHERE doc_id >= split),
+fresh AS (SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_fresh
+          FROM late l LEFT JOIN early_vocab e USING (shingle)
+          WHERE e.shingle IS NULL GROUP BY l.source),
+late_counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_late
+                FROM late GROUP BY source),
+docs AS (SELECT source,
+                CAST(SUM(CASE WHEN doc_id < split THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_docs_early,
+                CAST(SUM(CASE WHEN doc_id >= split THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_docs_late
+         FROM documents, bounds GROUP BY source)
+SELECT d.source, d.n_docs_early, d.n_docs_late,
+       COALESCE(lc.n_distinct_late, 0) AS n_distinct_late,
+       COALESCE(f.n_fresh, 0) AS n_fresh_late,
+       CAST(CASE WHEN COALESCE(lc.n_distinct_late, 0) > 0
+                 THEN CAST(COALESCE(f.n_fresh, 0) AS DOUBLE)
+                      / CAST(lc.n_distinct_late AS DOUBLE)
+                 ELSE 0.0 END AS DOUBLE) AS fresh_frac
+FROM docs d
+LEFT JOIN late_counts lc USING (source)
+LEFT JOIN fresh f USING (source)
+"""
+
+
+@query(
+    "x_source_drift",
+    _DRIFT_SQL,
+    doc=(
+        "Source staleness over time — the temporal companion to "
+        "x_source_novelty's global attribution: split the corpus at "
+        "the arrival midpoint ((min+max+1) div 2 of doc_id, exact "
+        "integers), build the EARLY half's shingle vocabulary, and "
+        "per source measure what fraction of its LATE half's distinct "
+        "shingles is genuinely fresh against it. A source whose "
+        "fresh_frac collapses between halves is going stale (keep "
+        "crawling it yields vocabulary the corpus already has) — the "
+        "time-axis signal the curation plan's static mix cannot see. "
+        "Scale: one shingle fan-out with the early/late flag derived "
+        "from a broadcast one-row bound, one distinct contraction per "
+        "half (map-side combinable), one anti-join on the shingle "
+        "hash; per-source outputs are bounded rows."
+    ),
+)
+def x_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+    from ..functions.similarity import _shingles_from_tokens
+    from ..functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("(min(doc_id) + max(doc_id) + 1) div 2").alias("split")
+    )
+    sh = track_persist(
+        d.select(
+            "doc_id", "source", ws_tokens("text").alias("__toks")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                _shingles_from_tokens(F.col("__toks"), _PLAN_K)
+            ).alias("shingle"),
+        )
+        .crossJoin(F.broadcast(bounds))
+    )
+    early_vocab = (
+        sh.filter(F.col("doc_id") < F.col("split"))
+        .select("shingle")
+        .distinct()
+    )
+    late = track_persist(
+        sh.filter(F.col("doc_id") >= F.col("split"))
+        .select("source", "shingle")
+        .distinct()
+    )
+    fresh = (
+        late.join(early_vocab, "shingle", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fresh"))
+    )
+    late_counts = late.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_late")
+    )
+    docs = (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("split"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_early"),
+            F.sum(F.when(F.col("doc_id") >= F.col("split"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_late"),
+        )
+    )
+    return (
+        docs.join(late_counts, "source", "left_outer")
+        .join(fresh, "source", "left_outer")
+        .select(
+            "source", "n_docs_early", "n_docs_late",
+            F.coalesce(F.col("n_distinct_late"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_late"),
+            F.coalesce(F.col("n_fresh"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fresh_late"),
+            F.when(
+                F.coalesce(F.col("n_distinct_late"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_fresh"), F.lit(0)).cast("double")
+                / F.col("n_distinct_late").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("fresh_frac"),
+        )
+    )

@@ -138,3 +138,51 @@ def test_knee_sweep_monotone_and_matches_plan(spark):
         assert lo.knee_frac <= hi.knee_frac
     plan_frac = QUERIES["x_curation_plan"].spark(spark, SF).first().knee_frac
     assert {r.knee_frac for r in rows if r.pct == 95} == {plan_frac}
+
+
+def test_source_drift_sanity_and_reconciliation(spark):
+    """x_source_drift: per source, fresh late vocabulary is a subset of
+    its late vocabulary (0 <= fresh_frac <= 1); doc counts partition
+    the corpus at the arrival midpoint; and the UNION of fresh late
+    shingles equals the late vocabulary minus the early vocabulary
+    (cross-checked with a plain recomputation)."""
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.functions.similarity import (
+        _shingles_from_tokens,
+    )
+    from realtime_banking_cdc_pipeline_spark.functions.text import ws_tokens
+
+    rows = QUERIES["x_source_drift"].spark(spark, SF).collect()
+    d = spark.read.parquet(SF + "/documents.parquet")
+    lo, hi, n = d.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).first()
+    split = (lo + hi + 1) // 2
+    assert sum(r.n_docs_early + r.n_docs_late for r in rows) == n
+    for r in rows:
+        assert 0 <= r.n_fresh_late <= r.n_distinct_late
+        assert 0.0 <= r.fresh_frac <= 1.0
+        if r.n_distinct_late:
+            assert r.fresh_frac == r.n_fresh_late / r.n_distinct_late
+
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(_shingles_from_tokens(ws_tokens(F.col("text")), 3)).alias("s"),
+    )
+    early = {
+        r.s for r in sh.filter(F.col("doc_id") < split).select("s").distinct().collect()
+    }
+    late_pairs = {
+        (r.source, r.s)
+        for r in sh.filter(F.col("doc_id") >= split)
+        .select("source", "s")
+        .distinct()
+        .collect()
+    }
+    fresh_by_src: dict = {}
+    for src, s in late_pairs:
+        if s not in early:
+            fresh_by_src[src] = fresh_by_src.get(src, 0) + 1
+    for r in rows:
+        assert r.n_fresh_late == fresh_by_src.get(r.source, 0), r.source
