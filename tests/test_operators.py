@@ -470,3 +470,23 @@ def test_schema_evolution_read_and_align(spark, tmp_path):
     assert align_to_schema(merged, target).unionByName(aligned).count() == 3
     with pytest.raises(ValueError, match="legacy"):
         align_to_schema(old_batch, target, strict_extras=True)
+
+
+def test_track_local_checkpoint_release(spark):
+    """r13: localCheckpoint blocks are NOT in the CacheManager, so
+    DataFrame.unpersist never frees them — track_local_checkpoint must
+    register the checkpoint RDD id and release_caches() must unpersist
+    it (the 212-query default-heap sweep regression)."""
+    from realtime_banking_cdc_pipeline_spark import caching
+
+    caching.release_caches()  # clean slate
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    df = caching.track_local_checkpoint(spark.range(0, 1000).toDF("id"))
+    assert df.count() == 1000
+    assert jsc.getPersistentRDDs().size() > base, "checkpoint RDD not registered"
+    assert len(caching._TRACKED_RDDS) >= 1
+    freed = caching.release_caches()
+    assert freed >= 1
+    assert jsc.getPersistentRDDs().size() == base, "checkpoint blocks not freed"
+    assert not caching._TRACKED_RDDS
