@@ -780,3 +780,26 @@ def test_curation_plan_shapes(spark):
     specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
     assert specs <= {"__shard", "mix_rem"}, specs
     assert shuffle_count(df) <= 6
+
+
+def test_round13_late_batch_plan_shapes(spark):
+    """x_curation_sample / x_source_drift / x_coverage_knee_sweep:
+    cartesian-free, shared frames persisted, and window partitions
+    limited to the bounded keys (4096-doc knee shards, per-source
+    ranks, one-row-per-source remainder ranks) — never a whole-corpus
+    or per-label partition."""
+    import re
+
+    SF = "/root/testdata/sf0.01"
+    allowed = {
+        "x_curation_sample": {"__shard", "mix_rem", "qrem", "source"},
+        "x_source_drift": set(),
+        "x_coverage_knee_sweep": {"__shard"},
+    }
+    for name, keys in allowed.items():
+        df = QUERIES[name].spark(spark, SF)
+        plan = _formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "InMemoryTableScan" in plan, f"{name}: shared frames not persisted"
+        specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
+        assert specs <= keys, (name, specs)
