@@ -134,7 +134,21 @@ def main() -> None:
     }
     out.update(canary_fields(timings))
     out.update(bench_streaming(spark))
-    print(json.dumps(out))
+    # The driver keeps only the LAST 2000 chars of stdout as the bench
+    # artifact tail (BENCH_r13.json measured the full line at ~2350
+    # chars: truncated mid-JSON, "parsed" came back null and the raw
+    # per-query map was lost — r13 judge directive #7). The per-query
+    # ratio map is derivable (queries[n] / canary_geomean_sec), so it
+    # stays out of stdout; if the line still outgrows the window, the
+    # raw "queries" map wins and the derived/canary extras drop first.
+    out.pop("queries_canary_ratio", None)
+    line = json.dumps(out)
+    for spare in ("canaries", "canary_geomean_sec"):
+        if len(line) <= 1950:
+            break
+        out.pop(spare, None)
+        line = json.dumps(out)
+    print(line)
 
 
 # Drift canaries (r8 judge directive #3): three untouched,

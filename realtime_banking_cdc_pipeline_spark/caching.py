@@ -50,8 +50,23 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
     queries, after results are consumed, which is already the
     ``release_caches`` contract.
     """
-    sc = df.sparkSession.sparkContext
+    return _checkpoint_and_record(df, _TRACKED_RDDS)
+
+
+def _checkpoint_and_record(df: DataFrame, sink: list) -> DataFrame:
+    """Eager localCheckpoint; append the new checkpoint RDD ids (the
+    getPersistentRDDs before/after diff) to ``sink`` as
+    (SparkContext, rdd_id) pairs. The diff assumes driver-side
+    SEQUENTIAL builds — the registry is process-global, so a
+    concurrent persist/checkpoint on another thread would be captured
+    here (and later freed by the wrong releaser). Query sweeps and
+    foreachBatch streams each run their builds sequentially on one
+    driver thread, which is the supported regime. The sparkContext
+    access itself sits inside the try: on Spark Connect (no
+    sparkContext attribute) or a stopped session the whole tracking
+    path degrades to a plain localCheckpoint instead of raising."""
     try:
+        sc = df.sparkSession.sparkContext
         before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     except Exception:
         return df.localCheckpoint(eager=True)  # registry unavailable (Connect)
@@ -59,10 +74,50 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
     try:
         for i in sc._jsc.getPersistentRDDs().keySet().toArray():
             if int(i) not in before:
-                _TRACKED_RDDS.append((sc, int(i)))
+                sink.append((sc, int(i)))
     except Exception:
         pass
     return out
+
+
+class CheckpointScope:
+    """Deterministic release for localCheckpoints whose lifetime is one
+    code block (a streaming micro-batch, one store compaction): take
+    checkpoints via :meth:`ckpt`, call :meth:`release` when every frame
+    derived from them has been consumed. Unlike the module-level
+    ``release_caches`` registry this frees ONLY its own checkpoints, so
+    a streaming foreachBatch can clean up after itself without touching
+    frames a concurrent query sweep still needs. Same single-driver-
+    thread-per-scope assumption as ``track_local_checkpoint``."""
+
+    def __init__(self) -> None:
+        self._rdds: list = []
+
+    def ckpt(self, df: DataFrame) -> DataFrame:
+        return _checkpoint_and_record(df, self._rdds)
+
+    def release(self) -> int:
+        return _release_rdds(self._rdds)
+
+    def __enter__(self) -> "CheckpointScope":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _release_rdds(rdds: list) -> int:
+    n = 0
+    while rdds:
+        sc, rid = rdds.pop()
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+                n += 1
+        except Exception:
+            pass
+    return n
 
 
 def release_caches() -> int:
@@ -71,7 +126,11 @@ def release_caches() -> int:
     any time between queries — frames already executed simply drop
     their blocks; frames never executed drop nothing. Do NOT call while
     a returned-but-not-yet-collected frame depends on a tracked
-    localCheckpoint (those cannot recompute)."""
+    localCheckpoint (those cannot recompute). Like the tracking side,
+    this assumes SEQUENTIAL driver-side builds: hosts call it between
+    queries on the one thread that built them; work that runs
+    concurrently with query builds (an overlapping stream) must use its
+    own ``CheckpointScope`` instead of this global registry."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -81,13 +140,5 @@ def release_caches() -> int:
         except Exception:
             # session already stopped — nothing to release
             pass
-    while _TRACKED_RDDS:
-        sc, rid = _TRACKED_RDDS.pop()
-        try:
-            jmap = sc._jsc.getPersistentRDDs()
-            if jmap.containsKey(rid):
-                jmap.get(rid).unpersist(False)
-                n += 1
-        except Exception:
-            pass
+    n += _release_rdds(_TRACKED_RDDS)
     return n
