@@ -16,6 +16,20 @@ def spark():
     return get_spark("tests", shuffle_partitions=8)
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """The host contract (bench.py, tools/driver_sim.py): bulk-release
+    operator-persisted frames BETWEEN queries. Without this, frames a
+    property test persisted leak into later tests through the
+    CacheManager's canonical-plan matching and reshape the physical
+    plans the plan-shape tests pin (observed: x_curation_plan's spine
+    exchange count 4 -> 21 purely from stale caches)."""
+    yield
+    from realtime_banking_cdc_pipeline_spark.caching import release_caches
+
+    release_caches()
+
+
 @pytest.fixture(scope="session")
 def banking_fixture():
     from realtime_banking_cdc_pipeline_spark.sources import fixtures

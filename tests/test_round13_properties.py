@@ -186,3 +186,39 @@ def test_source_drift_sanity_and_reconciliation(spark):
             fresh_by_src[src] = fresh_by_src.get(src, 0) + 1
     for r in rows:
         assert r.n_fresh_late == fresh_by_src.get(r.source, 0), r.source
+
+
+def test_plan_mix_keeps_shingle_free_sources_visible(spark):
+    """r13 ADVICE closure: if a source contributes NO fan-out rows,
+    the mix frame must keep it VISIBLE (left join) with n_occ =
+    n_distinct = kept_tokens = mix_ppm = 0 instead of silently
+    dropping it — and the ppm budget must still sum exactly over the
+    full source set. (With the CURRENT house shingle convention the
+    drop cannot actually occur — even an empty doc pads to one
+    empty-string shingle, asserted below — so this pins the mix
+    frame's robustness against any future tokenizer/fan-out change,
+    simulated by filtering one source out of the fan-out.)"""
+    from realtime_banking_cdc_pipeline_spark.queries.round13 import (
+        _plan_base_sh,
+        _plan_mix_from,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "alpha beta gamma delta"),
+            (2, "a", "alpha beta gamma delta epsilon"),
+            (3, "tiny", ""),
+            (4, "tiny", "   "),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    base, sh = _plan_base_sh(docs)
+    # the padding convention: zero-token docs still emit one shingle
+    assert sh.filter(sh.source == "tiny").count() == 2
+    sh_missing = sh.filter(sh.source != "tiny")
+    mix = {r.source: r for r in _plan_mix_from(base, sh_missing).collect()}
+    assert set(mix) == {"a", "tiny"}
+    t = mix["tiny"]
+    assert (t.n_occ, t.n_distinct, t.kept_tokens, t.mix_ppm) == (0, 0, 0, 0)
+    assert t.n_docs == 2 and t.tokens_total == 0 and t.tokens_dup == 0
+    assert sum(r.mix_ppm for r in mix.values()) == _PLAN_B

@@ -791,8 +791,12 @@ def test_round13_late_batch_plan_shapes(spark):
     import re
 
     SF = "/root/testdata/sf0.01"
+    # x_curation_sample consumes the factored MIX frame (r14, judge
+    # directive #2): no "__shard" window may appear — its presence
+    # would mean the coverage-knee prefix-sum subtree crept back into
+    # the sample's plan for columns the sample drops.
     allowed = {
-        "x_curation_sample": {"__shard", "mix_rem", "qrem", "source"},
+        "x_curation_sample": {"mix_rem", "qrem", "source"},
         "x_source_drift": set(),
         "x_coverage_knee_sweep": {"__shard"},
     }
