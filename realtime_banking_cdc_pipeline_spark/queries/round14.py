@@ -1,0 +1,185 @@
+"""Round-14 queries: drift-aware curation mix — compose the r13
+decision layer's two newest signals (the temperature mix of
+x_curation_plan and the staleness signal of x_source_drift) into one
+allocation, so a source that stops contributing fresh vocabulary earns
+a decaying share of the training mix (r13 judge directive #6).
+
+Reference parity: the reference repo's analytics tier has no corpus
+operators (its compute is dbt SQL over banking CDC rows — SURVEY.md
+§2.9); this module continues the LLM-data-pipeline extension the build
+brief names first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet_io import read_table
+from .registry import query
+from .round13 import (
+    _PLAN_B,
+    _PLAN_CTES,
+    _PLAN_S,
+    _plan_base_sh,
+    _plan_mix_from,
+    largest_remainder_ppm,
+)
+
+# Drift multiplier: m_fp = (S + fresh_fp) div 2 in [S/2, S] — a fully
+# stale source (no fresh late vocabulary) keeps HALF its temperature
+# weight, a fully fresh one keeps all of it, linear in between. The
+# halving floor keeps a stale-but-large source in the mix (curation
+# wants decay, not eviction); the exact integer form keeps the whole
+# path rational. Overflow bound: share_fp <= 1e6 so share_fp^2 div S
+# <= 1e6, times m_fp <= 1e6 gives w <= 1e12; the ppm numerator
+# B * w <= 1e18 < 2^63.
+
+_DRIFT_MIX_SQL = f"""
+WITH {_PLAN_CTES},
+dbounds AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS split
+            FROM documents),
+early_vocab AS (SELECT DISTINCT shingle FROM sh, dbounds
+                WHERE doc_id < split),
+late AS (SELECT DISTINCT source, shingle FROM sh, dbounds
+         WHERE doc_id >= split),
+freshlate AS (SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_fresh
+              FROM late l LEFT JOIN early_vocab e USING (shingle)
+              WHERE e.shingle IS NULL GROUP BY l.source),
+late_counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_late
+                FROM late GROUP BY source),
+drift AS (SELECT s.source,
+                 COALESCE(lc.n_distinct_late, 0) AS n_distinct_late,
+                 COALESCE(f.n_fresh, 0) AS n_fresh_late
+          FROM (SELECT DISTINCT source FROM base) s
+          LEFT JOIN late_counts lc USING (source)
+          LEFT JOIN freshlate f USING (source)),
+dw AS (SELECT sha.source, sha.kept_tokens, sha.share_fp,
+              d.n_distinct_late, d.n_fresh_late,
+              CASE WHEN d.n_distinct_late > 0
+                   THEN ({_PLAN_S} * d.n_fresh_late) // d.n_distinct_late
+                   ELSE 0 END AS fresh_fp
+       FROM shares sha JOIN drift d USING (source)),
+dww AS (SELECT dw.*,
+               ({_PLAN_S} + fresh_fp) // 2 AS drift_fp,
+               ((share_fp * share_fp) // {_PLAN_S})
+                 * (({_PLAN_S} + fresh_fp) // 2) AS w
+        FROM dw),
+dwsum AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM dww),
+dalloc0 AS (SELECT dww.*,
+                   ({_PLAN_B} * w) // dwsum.sw AS mix_base,
+                   ({_PLAN_B} * w) % dwsum.sw AS mix_rem
+            FROM dww, dwsum),
+ddef AS (SELECT {_PLAN_B} - CAST(SUM(mix_base) AS BIGINT) AS d
+         FROM dalloc0)
+SELECT a.source,
+       CAST(a.kept_tokens AS BIGINT) AS kept_tokens,
+       CAST(a.share_fp AS BIGINT) AS share_fp,
+       CAST(a.n_distinct_late AS BIGINT) AS n_distinct_late,
+       CAST(a.n_fresh_late AS BIGINT) AS n_fresh_late,
+       CAST(a.fresh_fp AS BIGINT) AS fresh_fp,
+       CAST(a.drift_fp AS BIGINT) AS drift_fp,
+       CAST(a.mix_base + CASE WHEN ROW_NUMBER()
+                OVER (ORDER BY a.mix_rem DESC, a.source ASC) <= ddef.d
+              THEN 1 ELSE 0 END AS BIGINT) AS mix_ppm
+FROM dalloc0 a, ddef
+"""
+
+
+@query(
+    "x_curation_plan_drift",
+    _DRIFT_MIX_SQL,
+    bench=True,
+    doc=(
+        "Drift-aware temperature mix (r13 judge directive #6): "
+        "x_curation_plan's kept-share^2 weights, each decayed by the "
+        "source's x_source_drift freshness — m_fp = (S + fresh_fp) "
+        "div 2, so a source whose late-half vocabulary is entirely "
+        "already-seen keeps HALF its weight and a fully fresh source "
+        "keeps all of it. Every step is exact fixed-point integer "
+        "arithmetic (fresh_fp = (S * n_fresh_late) div "
+        "n_distinct_late; w = (share_fp^2 div S) * m_fp; products "
+        "bounded by 1e12 and the ppm numerator by 1e18 < 2^63) with "
+        "the same largest-remainder allocation as the parents, so "
+        "SUM(mix_ppm) == 1e6 bit-exactly. Scale: ONE shingle fan-out "
+        "(persisted) feeds both the per-source profile and the "
+        "early/late split; the early-vocab anti-join is the "
+        "x_source_drift shape (distinct contractions, map-side "
+        "combinable); all mix arithmetic is one row per source, "
+        "broadcast. Reconciliation pins against BOTH parents: "
+        "tests/test_round14_properties.py."
+    ),
+)
+def x_curation_plan_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    base, sh = _plan_base_sh(d)
+    shares = _plan_mix_from(base, sh).select(
+        "source", "kept_tokens", "share_fp"
+    )
+    bounds = base.agg(
+        F.expr("(min(doc_id) + max(doc_id) + 1) div 2").alias("split")
+    )
+    shb = sh.crossJoin(F.broadcast(bounds))
+    early_vocab = (
+        shb.filter(F.col("doc_id") < F.col("split"))
+        .select("shingle")
+        .distinct()
+    )
+    late = track_persist(
+        shb.filter(F.col("doc_id") >= F.col("split"))
+        .select("source", "shingle")
+        .distinct()
+    )
+    freshlate = (
+        late.join(early_vocab, "shingle", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fresh"))
+    )
+    late_counts = late.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_late")
+    )
+    drift = (
+        base.select("source")
+        .distinct()
+        .join(late_counts, "source", "left_outer")
+        .join(freshlate, "source", "left_outer")
+        .select(
+            "source",
+            F.coalesce(F.col("n_distinct_late"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_late"),
+            F.coalesce(F.col("n_fresh"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fresh_late"),
+        )
+    )
+    dw = (
+        shares.join(F.broadcast(drift), "source")
+        .withColumn(
+            "fresh_fp",
+            F.when(
+                F.col("n_distinct_late") > 0,
+                F.expr(
+                    f"({_PLAN_S} * n_fresh_late) div n_distinct_late"
+                ),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "drift_fp", F.expr(f"({_PLAN_S} + fresh_fp) div 2").cast("bigint")
+        )
+        .withColumn(
+            "__w",
+            F.expr(
+                f"((share_fp * share_fp) div {_PLAN_S}) * drift_fp"
+            ).cast("bigint"),
+        )
+    )
+    return largest_remainder_ppm(dw, "__w").select(
+        "source", "kept_tokens", "share_fp",
+        "n_distinct_late", "n_fresh_late", "fresh_fp", "drift_fp",
+        "mix_ppm",
+    )

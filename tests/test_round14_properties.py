@@ -1,0 +1,111 @@
+"""Round-14 pins: x_curation_plan_drift must RECONCILE with BOTH
+parents — share_fp recomputed from x_curation_plan's kept_tokens,
+freshness figures verbatim from x_source_drift — and its mix must be
+the exact fixed-point largest-remainder allocation of the decayed
+weights, summing to the ppm budget bit-exactly. A synthetic corpus
+pins the DIRECTION: a source that stops contributing fresh vocabulary
+loses mix share relative to the static plan."""
+
+from __future__ import annotations
+
+from realtime_banking_cdc_pipeline_spark.queries import QUERIES
+from realtime_banking_cdc_pipeline_spark.queries.round13 import (
+    _PLAN_B,
+    _PLAN_S,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_drift_mix_reconciles_with_both_parents(spark):
+    dm = {
+        r.source: r
+        for r in QUERIES["x_curation_plan_drift"].spark(spark, SF).collect()
+    }
+    plan = {
+        r.source: r
+        for r in QUERIES["x_curation_plan"].spark(spark, SF).collect()
+    }
+    sd = {
+        r.source: r
+        for r in QUERIES["x_source_drift"].spark(spark, SF).collect()
+    }
+    assert set(dm) == set(plan) == set(sd)
+
+    total_kept = sum(p.kept_tokens for p in plan.values())
+    w = {}
+    for s, r in dm.items():
+        # plan-parent figures, verbatim
+        assert r.kept_tokens == plan[s].kept_tokens
+        share = (_PLAN_S * r.kept_tokens) // total_kept
+        assert r.share_fp == share
+        # drift-parent figures, verbatim
+        assert r.n_distinct_late == sd[s].n_distinct_late
+        assert r.n_fresh_late == sd[s].n_fresh_late
+        fresh = (
+            (_PLAN_S * r.n_fresh_late) // r.n_distinct_late
+            if r.n_distinct_late
+            else 0
+        )
+        assert r.fresh_fp == fresh
+        m = (_PLAN_S + fresh) // 2
+        assert r.drift_fp == m
+        assert _PLAN_S // 2 <= m <= _PLAN_S
+        w[s] = (share * share // _PLAN_S) * m
+
+    # the allocation is the exact largest-remainder split of the
+    # decayed weights
+    sw = sum(w.values())
+    base = {s: (_PLAN_B * ww) // sw for s, ww in w.items()}
+    rem = {s: (_PLAN_B * ww) % sw for s, ww in w.items()}
+    d = _PLAN_B - sum(base.values())
+    bump = {
+        s for s, _ in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:d]
+    }
+    for s, r in dm.items():
+        assert r.mix_ppm == base[s] + (1 if s in bump else 0), s
+    assert sum(r.mix_ppm for r in dm.values()) == _PLAN_B
+
+
+def test_drift_mix_decays_stale_sources(spark, tmp_path):
+    """Direction pin on a planted corpus: 'stale' keeps re-sending its
+    early text in the late half (zero fresh late vocabulary) while
+    'fresh' keeps introducing new vocabulary — the drift mix must move
+    share from stale to fresh relative to the static plan."""
+    docs = spark.createDataFrame(
+        [
+            (1, "stale", "s1a s1b s1c s1d s1e"),
+            (2, "stale", "s2a s2b s2c s2d s2e"),
+            (3, "fresh", "f1a f1b f1c f1d f1e"),
+            (4, "fresh", "f2a f2b f2c f2d f2e"),
+            # late half (split = (1 + 8 + 1) div 2 = 5)
+            (5, "stale", "s1a s1b s1c s1d s1e"),
+            (6, "stale", "s2a s2b s2c s2d s2e"),
+            (7, "fresh", "f3a f3b f3c f3d f3e"),
+            (8, "fresh", "f4a f4b f4c f4d f4e"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        sf_dir + "/documents.parquet"
+    )
+    static = {
+        r.source: r.mix_ppm
+        for r in QUERIES["x_curation_plan"].spark(spark, sf_dir).collect()
+    }
+    drifted = {
+        r.source: r
+        for r in QUERIES["x_curation_plan_drift"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert drifted["stale"].fresh_fp == 0
+    assert drifted["stale"].drift_fp == _PLAN_S // 2
+    assert drifted["fresh"].fresh_fp == _PLAN_S
+    assert drifted["fresh"].drift_fp == _PLAN_S
+    assert drifted["stale"].mix_ppm < static["stale"]
+    assert drifted["fresh"].mix_ppm > static["fresh"]
+    assert (
+        drifted["stale"].mix_ppm + drifted["fresh"].mix_ppm == _PLAN_B
+    )
