@@ -842,10 +842,14 @@ def coverage_monitor_batch(
     (n_docs, n_shingles, n_new, novelty_rate, vocab_size). Two store
     scans per batch (the anti-join probe + the vocab count — the
     latter is a metadata-only parquet count), both over strictly
-    earlier epochs; the batch side is checkpointed once."""
+    earlier epochs; the batch side is checkpointed once and the
+    checkpoints are scope-released before return (r13 ADVICE — no
+    ContextCleaner debt in a long-running stream)."""
+    from ..caching import CheckpointScope
     from ..functions.similarity import exploded_shingles
     from .corpus import _has_parquet_files
 
+    scope = CheckpointScope()
     spark = batch_df.sparkSession
     n_docs = batch_df.count()
     # dg = raw 16-byte md5 (unhex), not the 32-char hex string: the
@@ -865,14 +869,12 @@ def coverage_monitor_batch(
             F.unhex(F.md5(F.col("shingle").cast("binary"))).alias("dg")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    dg = scope.ckpt(dg)
     if os.path.exists(store_path) and _has_parquet_files(store_path):
         earlier = _cms_live_before(spark, store_path, epoch_id)
         vocab_before = earlier.count()
-        fresh = dg.join(earlier, "dg", "left_anti").localCheckpoint(
-            eager=True
-        )
+        fresh = scope.ckpt(dg.join(earlier, "dg", "left_anti"))
     else:
         vocab_before = 0
         fresh = dg
@@ -881,6 +883,7 @@ def coverage_monitor_batch(
     fresh.write.mode("overwrite").parquet(
         os.path.join(store_path, f"epoch={int(epoch_id)}")
     )
+    scope.release()  # dg/fresh fully consumed (counts + store write)
     if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
         compact_coverage_store(spark, store_path, epoch_id)
     return spark.createDataFrame(
@@ -923,13 +926,15 @@ def compact_coverage_store(
                     )
             return
         shutil.rmtree(base, ignore_errors=True)
-    folded = (
-        _cms_live_before(spark, store_path, epoch_id)
-        .select("dg")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    folded.write.mode("overwrite").parquet(base)
+    from ..caching import CheckpointScope
+
+    with CheckpointScope() as scope:
+        folded = scope.ckpt(
+            _cms_live_before(spark, store_path, epoch_id)
+            .select("dg")
+            .distinct()
+        )
+        folded.write.mode("overwrite").parquet(base)
     for e in _epoch_ids(store_path):
         if e < epoch_id and e != -int(epoch_id):
             shutil.rmtree(
@@ -1081,19 +1086,24 @@ def kmv_novelty_batch(
     n_shingles, n_new, novelty_rate, vocab_size) — with n_new /
     novelty_rate / vocab_size estimated from the sketch. Per-batch
     cost is the batch's own shingle fan-out plus O(kmv_k) store work,
-    independent of corpus size."""
+    independent of corpus size. Checkpoint hygiene (r13 ADVICE): the
+    per-batch localCheckpoints are scope-released before return — a
+    long-running stream never waits on the ContextCleaner to reclaim
+    them."""
+    from ..caching import CheckpointScope
     from .corpus import _has_parquet_files
 
+    scope = CheckpointScope()
     spark = batch_df.sparkSession
     n_docs = batch_df.count()
-    hv = _kmv_batch_hashes(batch_df, id_col, text_col, k).localCheckpoint(
-        eager=True
-    )
+    hv = scope.ckpt(_kmv_batch_hashes(batch_df, id_col, text_col, k))
     n_sh = hv.count()
     if os.path.exists(store_path) and _has_parquet_files(store_path):
-        sample = _kmv_bottom_k(
-            _cms_live_before(spark, store_path, epoch_id), kmv_k
-        ).localCheckpoint(eager=True)
+        sample = scope.ckpt(
+            _kmv_bottom_k(
+                _cms_live_before(spark, store_path, epoch_id), kmv_k
+            )
+        )
         # one agg for both scalars — per-batch store work is a handful
         # of small jobs, so fixed job overhead dominates; don't split
         srow = sample.agg(
@@ -1123,6 +1133,7 @@ def kmv_novelty_batch(
     _kmv_bottom_k(hv, kmv_k).write.mode("overwrite").parquet(
         os.path.join(store_path, f"epoch={int(epoch_id)}")
     )
+    scope.release()  # hv/sample fully consumed (counts + store write)
     if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
         compact_kmv_novelty_store(spark, store_path, epoch_id, kmv_k=kmv_k)
     return spark.createDataFrame(
@@ -1168,10 +1179,15 @@ def compact_kmv_novelty_store(
                     )
             return
         shutil.rmtree(base, ignore_errors=True)
-    folded = _kmv_bottom_k(
-        _cms_live_before(spark, store_path, epoch_id), kmv_k
-    ).localCheckpoint(eager=True)
-    folded.write.mode("overwrite").parquet(base)
+    from ..caching import CheckpointScope
+
+    with CheckpointScope() as scope:
+        folded = scope.ckpt(
+            _kmv_bottom_k(
+                _cms_live_before(spark, store_path, epoch_id), kmv_k
+            )
+        )
+        folded.write.mode("overwrite").parquet(base)
     for e in _epoch_ids(store_path):
         if e < epoch_id and e != -int(epoch_id):
             shutil.rmtree(
@@ -1204,6 +1220,43 @@ def read_kmv_novelty_health(
     )
     return spark.createDataFrame(
         [(m, est)], "sample_size bigint, vocab_size_est bigint"
+    )
+
+
+def read_kmv_source_health(
+    spark: SparkSession, store_path: str, kmv_k: int = KMV_NOV_K
+) -> DataFrame:
+    """One row PER SOURCE: (source, sample_size, vocab_size_est) from
+    the live partitions of the per-source KMV store — the streaming
+    estimate of x_source_novelty's n_distinct. Below capacity the
+    sample IS the source's vocabulary hash set, so the estimate is
+    exact. Missing store reads as an empty frame."""
+    from .corpus import _has_parquet_files
+
+    if not (os.path.exists(store_path) and _has_parquet_files(store_path)):
+        return spark.createDataFrame(
+            [], "source string, sample_size bigint, vocab_size_est bigint"
+        )
+    s = _kmv_per_source_bottom_k(_cms_live(spark, store_path), kmv_k)
+    stats = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_size"),
+        F.max("hv").alias("hk"),
+    )
+    full = F.col("sample_size") >= F.lit(kmv_k)
+    return stats.select(
+        "source",
+        "sample_size",
+        F.when(
+            full,
+            F.floor(
+                F.lit(float(kmv_k - 1))
+                * F.lit(_KMV_NOV_H)
+                / F.col("hk").cast("double")
+            ),
+        )
+        .otherwise(F.col("sample_size"))
+        .cast("bigint")
+        .alias("vocab_size_est"),
     )
 
 
@@ -1262,11 +1315,17 @@ def kmv_source_novelty_batch(
     (source, n_docs, n_shingles, n_new, novelty_rate, vocab_size) —
     all figures per source, estimated exactly as the corpus-level
     monitor (exact below kmv_k per source). Entirely join/agg shaped:
-    no driver loop over sources."""
+    no driver loop over sources. Checkpoint hygiene (r13 ADVICE): the
+    per-batch localCheckpoints are scope-released before return (the
+    bounded one-row-per-source result is collected and re-created
+    rather than checkpointed), so a long-running stream never waits on
+    the ContextCleaner to reclaim them."""
+    from ..caching import CheckpointScope
     from ..functions.similarity import _shingles_from_tokens, md5_long
     from ..functions.text import ws_tokens
     from .corpus import _has_parquet_files
 
+    scope = CheckpointScope()
     spark = batch_df.sparkSession
     per_docs = batch_df.groupBy(
         F.col(source_col).alias("source")
@@ -1291,15 +1350,17 @@ def kmv_source_novelty_batch(
             ).alias("hv"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    hv = scope.ckpt(hv)
     n_sh = hv.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
     if os.path.exists(store_path) and _has_parquet_files(store_path):
-        sample = _kmv_per_source_bottom_k(
-            _cms_live_before(spark, store_path, epoch_id), kmv_k
-        ).localCheckpoint(eager=True)
+        sample = scope.ckpt(
+            _kmv_per_source_bottom_k(
+                _cms_live_before(spark, store_path, epoch_id), kmv_k
+            )
+        )
         stats = sample.groupBy("source").agg(
             F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
         )
@@ -1353,7 +1414,11 @@ def kmv_source_novelty_batch(
             / F.col("hk").cast("double")
         ),
     ).otherwise(F.col("m")).cast("bigint")
-    out = est.select(
+    # materialize the bounded one-row-per-source result BEFORE the
+    # store write below changes the state it was estimated against —
+    # collected and re-created (not checkpointed) so the returned
+    # frame holds no executor blocks to reclaim
+    out_rows = est.select(
         "source", "n_docs", "n_shingles",
         n_new.alias("n_new"),
         F.when(
@@ -1361,13 +1426,18 @@ def kmv_source_novelty_batch(
             n_new.cast("double") / F.col("n_shingles").cast("double"),
         ).otherwise(F.lit(0.0)).alias("novelty_rate"),
         (vocab_before + n_new).alias("vocab_size"),
-    ).localCheckpoint(eager=True)
+    ).collect()
     _kmv_per_source_bottom_k(hv, kmv_k).write.mode("overwrite").parquet(
         os.path.join(store_path, f"epoch={int(epoch_id)}")
     )
+    scope.release()  # hv/sample fully consumed (result rows + store write)
     if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
         compact_kmv_source_store(spark, store_path, epoch_id, kmv_k=kmv_k)
-    return out
+    return spark.createDataFrame(
+        out_rows,
+        "source string, n_docs bigint, n_shingles bigint, n_new bigint, "
+        "novelty_rate double, vocab_size bigint",
+    )
 
 
 def compact_kmv_source_store(
@@ -1395,10 +1465,15 @@ def compact_kmv_source_store(
                     )
             return
         shutil.rmtree(base, ignore_errors=True)
-    folded = _kmv_per_source_bottom_k(
-        _cms_live_before(spark, store_path, epoch_id), kmv_k
-    ).localCheckpoint(eager=True)
-    folded.write.mode("overwrite").parquet(base)
+    from ..caching import CheckpointScope
+
+    with CheckpointScope() as scope:
+        folded = scope.ckpt(
+            _kmv_per_source_bottom_k(
+                _cms_live_before(spark, store_path, epoch_id), kmv_k
+            )
+        )
+        folded.write.mode("overwrite").parquet(base)
     for e in _epoch_ids(store_path):
         if e < epoch_id and e != -int(epoch_id):
             shutil.rmtree(

@@ -149,6 +149,7 @@ def pipeline_batch(
     coverage_monitor_exact: bool = False,
     semantic_threshold: float | None = None,
     timings: dict | None = None,
+    survivor_scope=None,
 ) -> DataFrame:
     """Run ONE micro-batch through the composed chain; returns the
     final survivor rows (doc_id, text, embedding). Side effects: all
@@ -159,11 +160,38 @@ def pipeline_batch(
     per-stage wall seconds for the scale probes; stages end in real
     actions (store writes / localCheckpoints), so the split is
     meaningful, with any residual laziness landing in the next stage.
-    """
+
+    Checkpoint hygiene (r14): the batch's INTERNAL localCheckpoints
+    (raw batch, per-gate survivor frames) are scope-released before
+    return — across a 20-epoch 2M-doc run they used to accumulate as
+    unreclaimable storage blocks until the ContextCleaner got to them.
+    The RETURNED survivors frame is checkpointed via
+    ``survivor_scope`` when the caller passes a
+    ``caching.CheckpointScope`` (the streaming wrapper does, releasing
+    it after the on_batch hook), else plain.
+
+    Each stage also runs under a Spark job group
+    ``pipe:e<epoch>:<stage>`` so the probes can attribute per-stage
+    input/shuffle bytes from the UI status store (r13 judge
+    directive #4)."""
+    from ..caching import CheckpointScope
     from ..queries.round7 import _merge_anchor_islands
 
     p = _paths(root)
     e = int(epoch_id)
+    scope = CheckpointScope()
+    sc = None
+    try:
+        sc = batch_docs.sparkSession.sparkContext
+    except Exception:
+        pass
+
+    def grp(name: str) -> None:
+        if sc is not None:
+            try:
+                sc.setJobGroup(f"pipe:e{e}:{name}", name, False)
+            except Exception:
+                pass
 
     def mark(name: str, t0: float) -> None:
         if timings is not None:
@@ -173,11 +201,11 @@ def pipeline_batch(
         batch_docs = batch_docs.withColumn(
             "embedding", synth_embedding(F.col("text"))
         )
-    batch = batch_docs.select("doc_id", "text", "embedding").localCheckpoint(
-        eager=True
-    )
+    grp("ingest")
+    batch = scope.ckpt(batch_docs.select("doc_id", "text", "embedding"))
 
     # --- exact gate -----------------------------------------------------
+    grp("exact")
     t0 = time.time()
     flags = bloom_gate_batch(
         batch, p["bloom"], "doc_id", "text", epoch_id=e, bits=bloom_bits
@@ -188,8 +216,8 @@ def pipeline_batch(
             flags.filter(~F.col("maybe_seen")).select("doc_id"), "doc_id"
         )
         .join(firsts.select("doc_id"), "doc_id")
-        .localCheckpoint(eager=True)
     )
+    surv1 = scope.ckpt(surv1)
     if timings is not None:
         # saturation surfaced as data (ADVICE r10): bloom_est_fp IS the
         # silent fresh-doc drop rate of this gate — the probes record
@@ -202,6 +230,7 @@ def pipeline_batch(
     mark("exact", t0)
 
     # --- ExactSubstr accounting ------------------------------------------
+    grp("substr")
     t0 = time.time()
     anchors = ingest_substr_batch(
         surv1.select("doc_id", "text"),
@@ -235,6 +264,7 @@ def pipeline_batch(
     # boilerplate drops here (v4's "empty" status). Downstream gates
     # then dedup the REBUILT text, exactly like the batch flagship.
     if with_paragraph_stage:
+        grp("paragraph")
         t0 = time.time()
         from ..queries.round9 import _para_occurrences
 
@@ -247,9 +277,7 @@ def pipeline_batch(
         # batch wall on the duplicate-heavy 2M fixture.
         pmm = match_min if para_match_min is None else para_match_min
         para_kwargs = {} if pmm is None else {"match_min": pmm}
-        occ = _para_occurrences(surv1.select("doc_id", "text")).localCheckpoint(
-            eager=True
-        )
+        occ = scope.ckpt(_para_occurrences(surv1.select("doc_id", "text")))
         kept_k = ingest_batch(
             occ.select(F.col("k").alias("doc_id"), F.col("para").alias("text")),
             p["para"],
@@ -309,12 +337,13 @@ def pipeline_batch(
                 "doc_id",
             )
             .select("doc_id", "text", "embedding")
-            .localCheckpoint(eager=True)
         )
+        surv1 = scope.ckpt(surv1)
         mark("paragraph", t0)
 
 
     # --- near-dup gate ----------------------------------------------------
+    grp("neardup")
     t0 = time.time()
     surv2_ids = ingest_batch(
         surv1.select("doc_id", "text"),
@@ -324,10 +353,11 @@ def pipeline_batch(
         retention_epochs=retention_epochs,
         **kwargs,
     ).select("doc_id")
-    surv2 = surv1.join(surv2_ids, "doc_id").localCheckpoint(eager=True)
+    surv2 = scope.ckpt(surv1.join(surv2_ids, "doc_id"))
     mark("neardup", t0)
 
     # --- semantic gate ------------------------------------------------------
+    grp("semantic")
     t0 = time.time()
     sem_kwargs = (
         {} if semantic_threshold is None
@@ -342,7 +372,12 @@ def pipeline_batch(
         per_cell_budget=per_cell_budget,
         **sem_kwargs,
     ).select(F.col("vec_id").alias("doc_id"))
-    survivors = surv2.join(kept_vecs, "doc_id").localCheckpoint(eager=True)
+    survivors = surv2.join(kept_vecs, "doc_id")
+    survivors = (
+        survivor_scope.ckpt(survivors)
+        if survivor_scope is not None
+        else survivors.localCheckpoint(eager=True)
+    )
     survivors.select("doc_id").write.mode("overwrite").parquet(
         os.path.join(p["out"], "survivors", f"epoch={e}")
     )
@@ -354,6 +389,7 @@ def pipeline_batch(
     # metadata), not recomputation; the write is replay-idempotent like
     # every other per-epoch output. n_paragraph_kept == n_exact_kept
     # when the paragraph stage is skipped.
+    grp("funnel")
     spark = batch.sparkSession
     spark.createDataFrame(
         [
@@ -372,6 +408,7 @@ def pipeline_batch(
     )
 
     # --- monitors alongside (raw batch, pre-gate corpus view) -------------
+    grp("monitors")
     t0 = time.time()
     update_hll_store(
         batch.withColumn("metric", F.lit("docs")),
@@ -421,6 +458,12 @@ def pipeline_batch(
             os.path.join(p["out"], "coverage", f"epoch={e}")
         )
     mark("monitors", t0)
+    scope.release()  # internal frames fully consumed (funnel + monitors)
+    if sc is not None:
+        try:
+            sc.setJobGroup("", "", False)
+        except Exception:
+            pass
     return survivors
 
 
@@ -500,8 +543,14 @@ def start_pipeline_ingest(
     stage_timings)`` is the probe hook."""
 
     def on_batch(batch_df: DataFrame, epoch: int) -> None:
+        from ..caching import CheckpointScope
+
         t0 = time.time()
         timings: dict = {}
+        # the wrapper never reads the returned survivors frame (it is
+        # already persisted to out/survivors), so its checkpoint
+        # blocks are released with the batch (r14 checkpoint hygiene)
+        surv_scope = CheckpointScope()
         pipeline_batch(
             batch_df,
             root,
@@ -516,7 +565,9 @@ def start_pipeline_ingest(
             coverage_monitor_exact=coverage_monitor_exact,
             semantic_threshold=semantic_threshold,
             timings=timings,
+            survivor_scope=surv_scope,
         )
+        surv_scope.release()
         if compact_every and epoch > 0 and epoch % compact_every == 0:
             t1 = time.time()
             compact_pipeline_stores(

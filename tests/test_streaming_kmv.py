@@ -336,3 +336,48 @@ def test_source_novelty_streaming_wrapper(spark, tmp_path):
         ).collect()
     }
     assert last == {s: int(v) for s, v in acc.items()}
+
+
+def test_monitor_batches_release_their_checkpoints(spark, tmp_path):
+    """r13 ADVICE closure: the KMV/coverage batch monitors (and their
+    compactors) must scope-release every localCheckpoint they take —
+    a long-running stream must not rely on the ContextCleaner to
+    reclaim per-batch blocks. Pin: the persistent-RDD registry is no
+    larger after a batch + compaction cycle than before it."""
+    from realtime_banking_cdc_pipeline_spark.streaming.metrics import (
+        compact_kmv_source_store,
+        kmv_source_novelty_batch,
+    )
+
+    def reg():
+        return {
+            int(i)
+            for i in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+
+    rows = [(r[0], "s%d" % (r[0] % 3), r[1]) for r in _doc_rows(spark, 40)]
+    kstore = str(tmp_path / "kmv")
+    xstore = str(tmp_path / "exact")
+    sstore = str(tmp_path / "src")
+    before = reg()
+    for e in range(3):
+        batch = spark.createDataFrame(
+            [(i, t) for i, _, t in rows[e * 10 : (e + 1) * 10]], SCHEMA
+        )
+        kmv_novelty_batch(batch, kstore, "doc_id", "text", epoch_id=e)
+        coverage_monitor_batch(batch, xstore, "doc_id", "text", epoch_id=e)
+        sbatch = spark.createDataFrame(
+            rows[e * 10 : (e + 1) * 10],
+            "doc_id long, source string, text string",
+        )
+        out = kmv_source_novelty_batch(
+            sbatch, sstore, "doc_id", "text", epoch_id=e
+        )
+        assert out.count() > 0  # returned frame usable after release
+    compact_kmv_novelty_store(spark, kstore, 2)
+    compact_coverage_store(spark, xstore, 2)
+    compact_kmv_source_store(spark, sstore, 2)
+    leaked = reg() - before
+    assert not leaked, f"unreleased checkpoint/persist RDDs: {leaked}"
