@@ -148,6 +148,8 @@ def pipeline_batch(
     with_coverage_monitor: bool = False,
     coverage_monitor_exact: bool = False,
     semantic_threshold: float | None = None,
+    plan_refresher_source=None,
+    plan_kmv_k: int | None = None,
     timings: dict | None = None,
     survivor_scope=None,
 ) -> DataFrame:
@@ -458,6 +460,32 @@ def pipeline_batch(
             os.path.join(p["out"], "coverage", f"epoch={e}")
         )
     mark("monitors", t0)
+
+    # --- curation-plan refresher (opt-in, r13 judge directive #1) ----------
+    # the live twin of x_curation_plan: per-source KMV novelty + exact
+    # tallies + doc-digest KMV fold into a per-epoch mix/trim plan in
+    # out/plan/epoch=<e>. Runs on the RAW batch (the batch plan's view
+    # of the corpus); `plan_refresher_source` is the source column —
+    # a name or a Column expression derived from doc_id/text for
+    # corpora that ship no source field (the curated probe).
+    if plan_refresher_source is not None:
+        grp("plan")
+        t0 = time.time()
+        from .metrics import KMV_NOV_K
+        from .plan import curation_plan_batch
+
+        src_col = (
+            F.col(plan_refresher_source)
+            if isinstance(plan_refresher_source, str)
+            else plan_refresher_source
+        )
+        curation_plan_batch(
+            batch.select("doc_id", "text").withColumn("source", src_col),
+            root,
+            epoch_id=e,
+            kmv_k=plan_kmv_k or KMV_NOV_K,
+        )
+        mark("plan", t0)
     scope.release()  # internal frames fully consumed (funnel + monitors)
     if sc is not None:
         try:
@@ -505,7 +533,13 @@ def compact_pipeline_stores(
             spark, p["semantic"], e, retention_epochs=retention_epochs
         )
     from .metrics import compact_coverage_store, compact_kmv_novelty_store
+    from .plan import _plan_paths, compact_plan_stores
 
+    if any(
+        os.path.exists(_plan_paths(root)[st])
+        for st in ("src_kmv", "doc_kmv", "tally")
+    ):
+        compact_plan_stores(spark, root, e)
     for store, fn in (
         ("hll", compact_hll_store),
         ("cms", compact_cms_store),
@@ -534,6 +568,8 @@ def start_pipeline_ingest(
     with_coverage_monitor: bool = False,
     coverage_monitor_exact: bool = False,
     semantic_threshold: float | None = None,
+    plan_refresher_source=None,
+    plan_kmv_k: int | None = None,
     on_batch_done=None,
 ):
     """File-source streaming wrapper: each discovered file is one
@@ -564,6 +600,8 @@ def start_pipeline_ingest(
             with_coverage_monitor=with_coverage_monitor,
             coverage_monitor_exact=coverage_monitor_exact,
             semantic_threshold=semantic_threshold,
+            plan_refresher_source=plan_refresher_source,
+            plan_kmv_k=plan_kmv_k,
             timings=timings,
             survivor_scope=surv_scope,
         )

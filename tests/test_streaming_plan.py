@@ -1,0 +1,241 @@
+"""Streaming curation-plan refresher (streaming/plan.py): the live
+twin of x_curation_plan. Pins:
+
+1. below-capacity parity — on a duplicate-free corpus the epoch plan's
+   per-source figures (n_occ exact, vocab/doc estimates exhaustive)
+   and the mix_ppm allocation EQUAL the batch mix frame bit-for-bit;
+2. duplicate trim — planted byte-copy duplicates of same-length docs
+   reproduce the batch plan's exact-dedup trim (and the mix) exactly
+   while still below capacity;
+3. replay idempotence — re-running the last epoch reproduces the plan
+   row set and leaves the cumulative estimates unchanged;
+4. compaction — folding the stores mid-stream changes no figure;
+5. estimation band — a tiny-kmv_k run over a stream that exceeds
+   capacity tracks the exact per-source vocabulary within the KMV
+   error bound and keeps the mix within the documented band;
+6. funnel fold — with a pipeline funnel present, keep_fp is the
+   cumulative survivor fraction and budget_tokens prices it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from realtime_banking_cdc_pipeline_spark.streaming.plan import (
+    _PLAN_S,
+    compact_plan_stores,
+    curation_plan_batch,
+    read_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = "doc_id bigint, source string, text string"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def _batch_mix(spark, rows):
+    from realtime_banking_cdc_pipeline_spark.queries.round13 import (
+        _plan_base_sh,
+        _plan_mix_from,
+    )
+
+    full = spark.createDataFrame(rows, SCHEMA)
+    base, sh = _plan_base_sh(full)
+    return {r.source: r for r in _plan_mix_from(base, sh).collect()}
+
+
+def test_plan_parity_below_capacity(spark, tmp_path):
+    rows = _docs(spark)
+    root = str(tmp_path / "root")
+    for e in range(4):
+        df = spark.createDataFrame(rows[e * 125 : (e + 1) * 125], SCHEMA)
+        curation_plan_batch(df, root, epoch_id=e)
+    stream = {r.source: r for r in read_plan(spark, root, 3).collect()}
+    batch = _batch_mix(spark, rows)
+    assert set(stream) == set(batch)
+    for s, b in batch.items():
+        r = stream[s]
+        assert r.n_docs == b.n_docs
+        assert r.n_tokens == b.tokens_total
+        assert r.n_occ == b.n_occ
+        assert r.vocab_est == b.n_distinct  # exhaustive below capacity
+        assert r.ddocs_est == b.n_docs      # duplicate-free corpus
+        assert r.dup_fp == 0
+        assert r.kept_tokens == b.kept_tokens
+        assert r.share_fp == b.share_fp
+        assert r.mix_ppm == b.mix_ppm
+    assert sum(r.mix_ppm for r in stream.values()) == _PLAN_S
+    # no funnel -> keep_fp = S, budget = total_kept
+    any_row = next(iter(stream.values()))
+    assert any_row.keep_fp == _PLAN_S
+    assert any_row.budget_tokens == any_row.total_kept
+
+
+def test_plan_dup_trim_matches_batch(spark, tmp_path):
+    """Byte-copy duplicates of same-length docs: the streaming trim
+    (docs - distinct docs, token-mass prorated) equals the batch
+    plan's exact keep-first trim, so the whole plan stays bit-exact."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "a", f"a{i}x a{i}y a{i}z a{i}w"))
+    for i in range(10, 14):
+        rows.append((i, "a", rows[i - 10][2]))  # 4 byte-copies in 'a'
+    for i in range(20, 30):
+        rows.append((i, "b", f"b{i}x b{i}y b{i}z b{i}w"))
+    root = str(tmp_path / "root")
+    for e in range(2):
+        df = spark.createDataFrame(rows[e * 12 : (e + 1) * 12], SCHEMA)
+        curation_plan_batch(df, root, epoch_id=e)
+    stream = {r.source: r for r in read_plan(spark, root, 1).collect()}
+    batch = _batch_mix(spark, rows)
+    a = stream["a"]
+    assert a.ddocs_est == 10 and a.n_docs == 14
+    assert a.dup_fp == (_PLAN_S * 4) // 14
+    for s, b in batch.items():
+        assert stream[s].kept_tokens == b.kept_tokens, s
+        assert stream[s].mix_ppm == b.mix_ppm, s
+
+
+def test_plan_replay_and_compaction(spark, tmp_path):
+    rows = _docs(spark)
+    root = str(tmp_path / "root")
+    for e in range(3):
+        df = spark.createDataFrame(rows[e * 100 : (e + 1) * 100], SCHEMA)
+        curation_plan_batch(df, root, epoch_id=e)
+    before = {
+        r.source: tuple(r) for r in read_plan(spark, root, 2).collect()
+    }
+    # replay epoch 2: every figure reproduced bit-for-bit
+    df2 = spark.createDataFrame(rows[200:300], SCHEMA)
+    replay = {
+        r.source: tuple(r)
+        for r in curation_plan_batch(df2, root, epoch_id=2).collect()
+    }
+    assert replay == before
+    # compaction folds strictly-earlier state; the next epoch's plan is
+    # identical to an uncompacted twin run
+    compact_plan_stores(spark, root, 3)
+    df3 = spark.createDataFrame(rows[300:400], SCHEMA)
+    compacted = {
+        r.source: tuple(r)
+        for r in curation_plan_batch(df3, root, epoch_id=3).collect()
+    }
+    twin = str(tmp_path / "twin")
+    for e in range(4):
+        df = spark.createDataFrame(rows[e * 100 : (e + 1) * 100], SCHEMA)
+        curation_plan_batch(df, twin, epoch_id=e)
+    uncompacted = {
+        r.source: tuple(r) for r in read_plan(spark, twin, 3).collect()
+    }
+    assert compacted == uncompacted
+
+
+def test_plan_estimation_band(spark, tmp_path):
+    """Tiny kmv_k (256) against sources engineered with 4:2:1 distinct
+    vocabulary: the per-source vocabulary estimate stays within the
+    KMV bound (4/sqrt(k) ~ 25% at k=256; typical ~5%), the mix
+    preserves the size ordering, and the ppm budget stays exact."""
+    kmv_k = 256
+    rows = []
+    did = 0
+    sizes = {"big": 2000, "mid": 1000, "small": 500}
+    for src, n in sizes.items():
+        for i in range(n):
+            rows.append(
+                (did, src, f"{src}{i}a {src}{i}b {src}{i}c {src}{i}d")
+            )
+            did += 1
+    import hashlib
+
+    rows.sort(
+        key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+    )  # interleave sources deterministically
+    root = str(tmp_path / "root")
+    per = len(rows) // 4
+    for e in range(4):
+        df = spark.createDataFrame(rows[e * per : (e + 1) * per], SCHEMA)
+        out = curation_plan_batch(df, root, epoch_id=e, kmv_k=kmv_k)
+    stream = {r.source: r for r in out.collect()}
+    batch = _batch_mix(spark, rows)
+    for s, b in batch.items():
+        r = stream[s]
+        rel = abs(r.vocab_est - b.n_distinct) / b.n_distinct
+        assert rel <= 4.0 / (kmv_k ** 0.5), (s, r.vocab_est, b.n_distinct)
+        assert abs(r.mix_ppm - b.mix_ppm) <= 100_000, (
+            s, r.mix_ppm, b.mix_ppm,
+        )
+    assert (
+        stream["big"].mix_ppm > stream["mid"].mix_ppm
+        > stream["small"].mix_ppm
+    )
+    assert sum(r.mix_ppm for r in stream.values()) == _PLAN_S
+
+
+def test_plan_funnel_fold(spark, tmp_path):
+    root = str(tmp_path / "root")
+    # a pipeline funnel: 200 in, 150 kept cumulatively
+    for e, (n_in, kept) in enumerate([(100, 80), (100, 70)]):
+        spark.createDataFrame(
+            [(n_in, kept)], "n_in bigint, n_semantic_kept bigint"
+        ).write.mode("overwrite").parquet(
+            os.path.join(root, "out", "funnel", f"epoch={e}")
+        )
+    rows = _docs(spark)[:200]
+    for e in range(2):
+        df = spark.createDataFrame(rows[e * 100 : (e + 1) * 100], SCHEMA)
+        out = curation_plan_batch(df, root, epoch_id=e)
+    row = out.first()
+    assert row.keep_fp == (_PLAN_S * 150) // 200
+    assert row.budget_tokens == (row.total_kept * row.keep_fp) // _PLAN_S
+
+
+def test_pipeline_wires_plan_refresher(spark, tmp_path):
+    """The composed pipeline runs the refresher on the RAW batch when
+    plan_refresher_source is given (here an expression over doc_id for
+    a corpus with no source field), lands the per-epoch plan in
+    out/plan, and prices the budget with the funnel's cumulative
+    survivor fraction."""
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.streaming.pipeline import (
+        pipeline_batch,
+    )
+
+    rows = _docs(spark)[:120]
+    root = str(tmp_path / "root")
+    src_expr = F.concat(
+        F.lit("s"), F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    )
+    for e in range(2):
+        df = spark.createDataFrame(rows[e * 60 : (e + 1) * 60], SCHEMA)
+        timings: dict = {}
+        pipeline_batch(
+            df.drop("source"),
+            root,
+            epoch_id=e,
+            bloom_bits=1 << 20,
+            with_paragraph_stage=False,
+            plan_refresher_source=src_expr,
+            timings=timings,
+        )
+        assert "plan" in timings
+    plan = {r.source: r for r in read_plan(spark, root, 1).collect()}
+    assert set(plan) == {"s0", "s1", "s2"}
+    assert sum(r.mix_ppm for r in plan.values()) == _PLAN_S
+    # keep_fp is the funnel's cumulative survivor fraction
+    funnel = spark.read.parquet(os.path.join(root, "out", "funnel"))
+    agg = funnel.agg(
+        {"n_in": "sum", "n_semantic_kept": "sum"}
+    ).first()
+    expect = (_PLAN_S * int(agg["sum(n_semantic_kept)"])) // int(
+        agg["sum(n_in)"]
+    )
+    assert next(iter(plan.values())).keep_fp == expect
