@@ -1079,6 +1079,7 @@ def kmv_novelty_batch(
     k: int = 3,
     kmv_k: int = KMV_NOV_K,
     compact_every: int | None = None,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-backed twin of :func:`coverage_monitor_batch`: fold one
     micro-batch's bottom-k shingle hashes into the store (own epoch
@@ -1096,7 +1097,13 @@ def kmv_novelty_batch(
     scope = CheckpointScope()
     spark = batch_df.sparkSession
     n_docs = batch_df.count()
-    hv = scope.ckpt(_kmv_batch_hashes(batch_df, id_col, text_col, k))
+    # `hashes`: a caller-owned distinct hv frame (e.g. the per-source
+    # fan-out reprojected) — same salt/width, so the estimates are
+    # identical and the batch's own fan-out is skipped.
+    if hashes is not None:
+        hv = scope.ckpt(hashes.select("hv").distinct())
+    else:
+        hv = scope.ckpt(_kmv_batch_hashes(batch_df, id_col, text_col, k))
     n_sh = hv.count()
     if os.path.exists(store_path) and _has_parquet_files(store_path):
         sample = scope.ckpt(
@@ -1299,44 +1306,26 @@ def _kmv_per_source_bottom_k(df: DataFrame, k: int) -> DataFrame:
     )
 
 
-def kmv_source_novelty_batch(
+def kmv_source_hashes(
     batch_df: DataFrame,
-    store_path: str,
-    id_col: str,
     text_col: str,
     source_col: str = "source",
-    epoch_id: int = 0,
     k: int = 3,
-    kmv_k: int = KMV_NOV_K,
-    compact_every: int | None = None,
 ) -> DataFrame:
-    """Fold one micro-batch's per-source bottom-k shingle hashes into
-    the store and return ONE ROW PER SOURCE present in the batch:
-    (source, n_docs, n_shingles, n_new, novelty_rate, vocab_size) —
-    all figures per source, estimated exactly as the corpus-level
-    monitor (exact below kmv_k per source). Entirely join/agg shaped:
-    no driver loop over sources. Checkpoint hygiene (r13 ADVICE): the
-    per-batch localCheckpoints are scope-released before return (the
-    bounded one-row-per-source result is collected and re-created
-    rather than checkpointed), so a long-running stream never waits on
-    the ContextCleaner to reclaim them."""
-    from ..caching import CheckpointScope
+    """Distinct (source, hv) 60-bit shingle hashes of one micro-batch —
+    the per-source KMV input, same salt/width as the corpus-level
+    monitor so ONE fan-out can feed both (the pipeline shares it when
+    the plan refresher and the coverage monitor are both on). Source is
+    carried THROUGH the fan-out (the x_source_novelty rule: never join
+    a doc->source map back onto multiplied shingle rows)."""
     from ..functions.similarity import _shingles_from_tokens, md5_long
     from ..functions.text import ws_tokens
-    from .corpus import _has_parquet_files
 
-    scope = CheckpointScope()
-    spark = batch_df.sparkSession
-    per_docs = batch_df.groupBy(
-        F.col(source_col).alias("source")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    # source carried THROUGH the fan-out (the x_source_novelty rule:
-    # never join a doc->source map back onto multiplied shingle rows)
     toks = batch_df.select(
         F.col(source_col).alias("source"),
         ws_tokens(F.col(text_col)).alias("__toks"),
     )
-    hv = (
+    return (
         toks.select(
             "source",
             F.explode(_shingles_from_tokens(F.col("__toks"), k)).alias(
@@ -1351,7 +1340,47 @@ def kmv_source_novelty_batch(
         )
         .distinct()
     )
-    hv = scope.ckpt(hv)
+
+
+def kmv_source_novelty_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    epoch_id: int = 0,
+    k: int = 3,
+    kmv_k: int = KMV_NOV_K,
+    compact_every: int | None = None,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Fold one micro-batch's per-source bottom-k shingle hashes into
+    the store and return ONE ROW PER SOURCE present in the batch:
+    (source, n_docs, n_shingles, n_new, novelty_rate, vocab_size) —
+    all figures per source, estimated exactly as the corpus-level
+    monitor (exact below kmv_k per source). Entirely join/agg shaped:
+    no driver loop over sources. Checkpoint hygiene (r13 ADVICE): the
+    per-batch localCheckpoints are scope-released before return (the
+    bounded one-row-per-source result is collected and re-created
+    rather than checkpointed), so a long-running stream never waits on
+    the ContextCleaner to reclaim them."""
+    from ..caching import CheckpointScope
+    from .corpus import _has_parquet_files
+
+    scope = CheckpointScope()
+    spark = batch_df.sparkSession
+    per_docs = batch_df.groupBy(
+        F.col(source_col).alias("source")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # `hashes` lets a caller that already materialized the batch's
+    # (source, hv) frame (the pipeline's shared fan-out) skip the
+    # rebuild; the caller owns its lifetime.
+    if hashes is not None:
+        hv = hashes
+    else:
+        hv = scope.ckpt(
+            kmv_source_hashes(batch_df, text_col, source_col=source_col, k=k)
+        )
     n_sh = hv.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
@@ -1364,16 +1393,25 @@ def kmv_source_novelty_batch(
         stats = sample.groupBy("source").agg(
             F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
         )
-        # region-filtered misses: below a full source's threshold, or
-        # everything for a below-capacity / unseen source
-        probe = (
+        # the theta-sketch update region: below a full source's
+        # threshold, or everything for a below-capacity / unseen
+        # source. Checkpointed — it feeds BOTH the miss count and the
+        # store write (a batch hash at or above the threshold can
+        # never enter the merged bottom-k: the store already holds k
+        # smaller values and thresholds only shrink — so the write's
+        # two-phase rank runs over this k-bounded region, not the full
+        # batch fan-out; measured 2-4 s/batch saved on the 2M probe).
+        region = scope.ckpt(
             hv.join(stats, "source", "left_outer")
             .filter(
                 F.col("m").isNull()
                 | (F.col("m") < F.lit(kmv_k))
                 | (F.col("hv") < F.col("hk"))
             )
-            .join(sample, ["source", "hv"], "left_anti")
+            .select("source", "hv")
+        )
+        probe = (
+            region.join(sample, ["source", "hv"], "left_anti")
             .groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("miss"))
         )
@@ -1391,6 +1429,7 @@ def kmv_source_novelty_batch(
             )
         )
     else:
+        region = hv
         est = n_sh.join(per_docs, "source").select(
             "source", "n_docs", "n_shingles",
             F.lit(0).cast("bigint").alias("m"),
@@ -1427,10 +1466,10 @@ def kmv_source_novelty_batch(
         ).otherwise(F.lit(0.0)).alias("novelty_rate"),
         (vocab_before + n_new).alias("vocab_size"),
     ).collect()
-    _kmv_per_source_bottom_k(hv, kmv_k).write.mode("overwrite").parquet(
+    _kmv_per_source_bottom_k(region, kmv_k).write.mode("overwrite").parquet(
         os.path.join(store_path, f"epoch={int(epoch_id)}")
     )
-    scope.release()  # hv/sample fully consumed (result rows + store write)
+    scope.release()  # hv/sample/region fully consumed (rows + store write)
     if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
         compact_kmv_source_store(spark, store_path, epoch_id, kmv_k=kmv_k)
     return spark.createDataFrame(

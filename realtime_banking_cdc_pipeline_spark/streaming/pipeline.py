@@ -199,6 +199,7 @@ def pipeline_batch(
         if timings is not None:
             timings[name] = timings.get(name, 0.0) + (time.time() - t0)
 
+    shared_hv = None  # per-source fan-out shared monitor<->refresher
     if "embedding" not in batch_docs.columns:
         batch_docs = batch_docs.withColumn(
             "embedding", synth_embedding(F.col("text"))
@@ -453,8 +454,31 @@ def pipeline_batch(
         else:
             from .metrics import kmv_novelty_batch
 
+            # shared fan-out (r14): when the plan refresher is also on,
+            # build the per-source (source, hv) frame ONCE here and
+            # feed both the corpus-level KMV monitor (reprojected) and
+            # the refresher — same salt/width, identical estimates,
+            # one shingle fan-out instead of two.
+            if plan_refresher_source is not None:
+                from .metrics import kmv_source_hashes
+
+                src_col = (
+                    F.col(plan_refresher_source)
+                    if isinstance(plan_refresher_source, str)
+                    else plan_refresher_source
+                )
+                shared_hv = scope.ckpt(
+                    kmv_source_hashes(
+                        batch.withColumn("source", src_col), "text"
+                    )
+                )
             row = kmv_novelty_batch(
-                batch, p["coverage_kmv"], "doc_id", "text", epoch_id=e
+                batch,
+                p["coverage_kmv"],
+                "doc_id",
+                "text",
+                epoch_id=e,
+                hashes=shared_hv,
             )
         row.write.mode("overwrite").parquet(
             os.path.join(p["out"], "coverage", f"epoch={e}")
@@ -484,6 +508,7 @@ def pipeline_batch(
             root,
             epoch_id=e,
             kmv_k=plan_kmv_k or KMV_NOV_K,
+            hashes=shared_hv,
         )
         mark("plan", t0)
     scope.release()  # internal frames fully consumed (funnel + monitors)

@@ -114,6 +114,7 @@ def curation_plan_batch(
     k: int = 3,
     kmv_k: int = KMV_NOV_K,
     compact_every: int | None = None,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Fold one micro-batch into the refresher stores and emit the
     epoch's plan: ONE ROW PER SOURCE ever seen, written to
@@ -121,7 +122,10 @@ def curation_plan_batch(
     identically) and returned as a bounded collected frame. Also
     lands the per-source novelty rows in
     ``out/source_novelty/epoch=<e>`` (the monitor output the plan
-    consumes — wiring the refresher gives both)."""
+    consumes — wiring the refresher gives both). ``hashes``: a
+    caller-owned distinct (source, hv) fan-out frame to reuse (the
+    pipeline shares one fan-out between this and the corpus-level
+    coverage monitor)."""
     from ..caching import CheckpointScope
     from ..queries.round13 import largest_remainder_ppm
     from .corpus import _has_parquet_files
@@ -141,6 +145,7 @@ def curation_plan_batch(
         epoch_id=e,
         k=k,
         kmv_k=kmv_k,
+        hashes=hashes,
     )
     nov.write.mode("overwrite").parquet(
         os.path.join(p["out_novelty"], f"epoch={e}")
