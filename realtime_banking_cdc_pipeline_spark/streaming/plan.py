@@ -115,6 +115,7 @@ def curation_plan_batch(
     kmv_k: int = KMV_NOV_K,
     compact_every: int | None = None,
     hashes: DataFrame | None = None,
+    drift_window: int | None = None,
 ) -> DataFrame:
     """Fold one micro-batch into the refresher stores and emit the
     epoch's plan: ONE ROW PER SOURCE ever seen, written to
@@ -125,7 +126,18 @@ def curation_plan_batch(
     consumes — wiring the refresher gives both). ``hashes``: a
     caller-owned distinct (source, hv) fan-out frame to reuse (the
     pipeline shares one fan-out between this and the corpus-level
-    coverage monitor)."""
+    coverage monitor).
+
+    ``drift_window=W`` is the live composition of the two batch
+    signals (x_curation_plan x x_source_drift, the
+    x_curation_plan_drift discipline): each source's temperature
+    weight decays by m_fp = (S + fresh_fp) div 2, where fresh_fp is
+    its recent novelty rate — (S * sum(n_new)) div sum(n_shingles)
+    over its novelty rows from the last W epochs (bounded rows,
+    already on disk; a source with NO recent batches reads fresh_fp =
+    0: it stopped arriving, the strongest staleness signal). The plan
+    rows gain (recent_new, recent_shingles, fresh_fp, drift_fp);
+    with ``drift_window=None`` the output is the undecayed schema."""
     from ..caching import CheckpointScope
     from ..queries.round13 import largest_remainder_ppm
     from .corpus import _has_parquet_files
@@ -245,19 +257,65 @@ def curation_plan_batch(
         )
     )
     tk = src.agg(F.sum("kept_tokens").cast("bigint").alias("total_kept"))
-    shares = (
-        src.crossJoin(F.broadcast(tk))
-        .withColumn(
-            "share_fp",
-            F.when(
-                F.col("total_kept") > 0,
-                F.expr(f"({_PLAN_S} * kept_tokens) div total_kept"),
-            ).otherwise(F.lit(0)).cast("bigint"),
+    shares = src.crossJoin(F.broadcast(tk)).withColumn(
+        "share_fp",
+        F.when(
+            F.col("total_kept") > 0,
+            F.expr(f"({_PLAN_S} * kept_tokens) div total_kept"),
+        ).otherwise(F.lit(0)).cast("bigint"),
+    )
+    drift_cols: list[str] = []
+    if drift_window is not None:
+        # recent per-source novelty rate from the monitor rows already
+        # on disk (bounded: sources x W rows) — the live staleness
+        # signal; the decay formula is x_curation_plan_drift's
+        recent = (
+            spark.read.parquet(p["out_novelty"])
+            .filter(
+                (F.col("epoch") > e - int(drift_window))
+                & (F.col("epoch") <= e)
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("n_new").cast("bigint").alias("recent_new"),
+                F.sum("n_shingles").cast("bigint").alias("recent_shingles"),
+            )
         )
-        .withColumn(
+        shares = (
+            shares.join(F.broadcast(recent), "source", "left_outer")
+            .select(
+                "*",
+                F.when(
+                    F.coalesce(F.col("recent_shingles"), F.lit(0)) > 0,
+                    F.expr(
+                        f"({_PLAN_S} * recent_new) div recent_shingles"
+                    ),
+                ).otherwise(F.lit(0)).cast("bigint").alias("fresh_fp"),
+            )
+            .withColumn(
+                "recent_new",
+                F.coalesce(F.col("recent_new"), F.lit(0)).cast("bigint"),
+            )
+            .withColumn(
+                "recent_shingles",
+                F.coalesce(F.col("recent_shingles"), F.lit(0)).cast("bigint"),
+            )
+            .withColumn(
+                "drift_fp",
+                F.expr(f"({_PLAN_S} + fresh_fp) div 2").cast("bigint"),
+            )
+            .withColumn(
+                "__w",
+                F.expr(
+                    f"((share_fp * share_fp) div {_PLAN_S}) * drift_fp"
+                ).cast("bigint"),
+            )
+        )
+        drift_cols = ["recent_new", "recent_shingles", "fresh_fp", "drift_fp"]
+    else:
+        shares = shares.withColumn(
             "__w", (F.col("share_fp") * F.col("share_fp")).cast("bigint")
         )
-    )
     alloc = largest_remainder_ppm(shares, "__w")
 
     # 6. funnel fold: cumulative gate survivor fraction prices the
@@ -279,7 +337,9 @@ def curation_plan_batch(
     rows = alloc.select(
         "source", "n_docs", "n_tokens", "n_occ",
         "ddocs_est", "vocab_est", "dup_fp", "ratio_fp",
-        "kept_tokens", "total_kept", "share_fp", "mix_ppm",
+        "kept_tokens", "total_kept", "share_fp",
+        *drift_cols,
+        "mix_ppm",
         F.lit(int(keep_fp)).cast("bigint").alias("keep_fp"),
         F.expr(f"(total_kept * {int(keep_fp)}) div {_PLAN_S}")
         .cast("bigint")
@@ -290,7 +350,9 @@ def curation_plan_batch(
         "source string, n_docs bigint, n_tokens bigint, n_occ bigint, "
         "ddocs_est bigint, vocab_est bigint, dup_fp bigint, "
         "ratio_fp bigint, kept_tokens bigint, total_kept bigint, "
-        "share_fp bigint, mix_ppm bigint, keep_fp bigint, "
+        "share_fp bigint, "
+        + "".join(f"{c} bigint, " for c in drift_cols)
+        + "mix_ppm bigint, keep_fp bigint, "
         "budget_tokens bigint",
     )
     out.write.mode("overwrite").parquet(

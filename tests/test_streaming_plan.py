@@ -239,3 +239,64 @@ def test_pipeline_wires_plan_refresher(spark, tmp_path):
         agg["sum(n_in)"]
     )
     assert next(iter(plan.values())).keep_fp == expect
+
+
+def test_plan_drift_window_decays_stale_sources(spark, tmp_path):
+    """drift_window=W: the live composition of the plan and the drift
+    signal (the x_curation_plan_drift discipline over the monitor's
+    recent novelty rows). A source that keeps re-sending its early
+    vocabulary decays to drift_fp = S/2 and loses mix share relative
+    to the undecayed plan; figures reconcile exactly with the novelty
+    rows on disk; replay reproduces the row set."""
+    rows = []
+    for i in range(20):
+        rows.append((i, "fresh", f"f{i}a f{i}b f{i}c f{i}d"))
+        rows.append((100 + i, "stale", f"s{i}a s{i}b s{i}c s{i}d"))
+    # epochs 1-3: fresh keeps introducing vocab, stale repeats epoch-0
+    for e in range(1, 4):
+        for i in range(20):
+            rows.append(
+                (1000 * e + i, "fresh", f"f{e}_{i}a f{e}_{i}b f{e}_{i}c f{e}_{i}d")
+            )
+            rows.append((1000 * e + 100 + i, "stale", rows[2 * i + 1][2]))
+    per = 40
+    root, twin = str(tmp_path / "root"), str(tmp_path / "twin")
+    for e in range(4):
+        df = spark.createDataFrame(rows[e * per : (e + 1) * per], SCHEMA)
+        out = curation_plan_batch(df, root, epoch_id=e, drift_window=2)
+        curation_plan_batch(df, twin, epoch_id=e)  # undecayed twin
+    drifted = {r.source: r for r in out.collect()}
+    static = {r.source: r for r in read_plan(spark, twin, 3).collect()}
+
+    # reconciliation with the monitor rows on disk (last 2 epochs)
+    import os as _os
+
+    nov = (
+        spark.read.parquet(_os.path.join(root, "out", "source_novelty"))
+        .filter("epoch > 1 and epoch <= 3")
+        .groupBy("source")
+        .agg({"n_new": "sum", "n_shingles": "sum"})
+        .collect()
+    )
+    recent = {r["source"]: (r["sum(n_new)"], r["sum(n_shingles)"]) for r in nov}
+    for s, r in drifted.items():
+        nn, ns = recent[s]
+        assert (r.recent_new, r.recent_shingles) == (nn, ns), s
+        fresh = (_PLAN_S * nn) // ns if ns else 0
+        assert r.fresh_fp == fresh and r.drift_fp == (_PLAN_S + fresh) // 2
+    # stale repeats its epoch-0 texts exactly -> zero recent novelty
+    assert drifted["stale"].fresh_fp == 0
+    assert drifted["stale"].drift_fp == _PLAN_S // 2
+    assert drifted["stale"].mix_ppm < static["stale"].mix_ppm
+    assert drifted["fresh"].mix_ppm > static["fresh"].mix_ppm
+    assert sum(r.mix_ppm for r in drifted.values()) == _PLAN_S
+
+    # replay: same epoch, same window, same rows
+    df3 = spark.createDataFrame(rows[3 * per : 4 * per], SCHEMA)
+    replay = {
+        r.source: tuple(r)
+        for r in curation_plan_batch(
+            df3, root, epoch_id=3, drift_window=2
+        ).collect()
+    }
+    assert replay == {s: tuple(r) for s, r in drifted.items()}
