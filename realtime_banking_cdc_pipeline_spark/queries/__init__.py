@@ -38,20 +38,21 @@ from . import round9  # noqa: F401,E402  (capped SemDeDup family, paragraph dedu
 from . import round10  # noqa: F401,E402  (capped mutual-kNN, composed pipelines)
 from . import round12  # noqa: F401,E402  (coverage curves, balanced sampling)
 from . import round13  # noqa: F401,E402  (curation-plan capstone)
-from . import round14  # noqa: F401,E402  (drift-aware curation mix)
+from . import round14  # noqa: F401,E402  (drift-aware curation mix + sample)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.
 # Round-14 rotation (house rule since r9 judge directive #6): all 50
 # CORRECTNESS_r13 strict passes fold into the verified set. The r14
-# window = the 1 round-14 registration (x_curation_plan_drift) + the 2
-# changed-code heads (x_curation_plan / x_curation_sample: the mix
-# frame was factored out, the per-source joins became left joins with
-# explicit zeros, and BOTH oracles changed with them — they owe fresh
-# driver proofs even though they passed in r13) + the full 27-entry
-# r09-era cohort (now the stalest driver proofs) + the first 20
-# r10-era names alphabetically. After this round no query's only-ever
-# driver proof predates r10 except the r10 tail itself.
+# window = the 2 round-14 registrations (x_curation_plan_drift /
+# x_curation_sample_drift) + the 2 changed-code heads (x_curation_plan
+# / x_curation_sample: the mix frame was factored out, the per-source
+# joins became left joins with explicit zeros, and BOTH oracles
+# changed with them — they owe fresh driver proofs even though they
+# passed in r13) + the full 27-entry r09-era cohort (now the stalest
+# driver proofs) + the first 19 r10-era names alphabetically. After
+# this round no query's only-ever driver proof predates r10 except
+# the r10 tail itself.
 # a_approx_sketches is PERMANENTLY pinned in this set (r9 judge
 # directive #2): it is the registry's sole no-oracle entry (Spark-native
 # approx_count_distinct has no DuckDB twin); its real correctness gate
@@ -86,7 +87,8 @@ _DRIVER_VERIFIED = frozenset({
     "x_clean_normalize", "x_cluster_balanced_sample", "x_cms_calibration",
     "x_cms_heavy_hitters", "x_contamination", "x_corpus_pipeline_v2",
     "x_corpus_pipeline_v4", "x_coverage_knee_sweep", "x_cross_corpus_dedup",
-    "x_curriculum_order", "x_dataset_manifest", "x_dedup_clusters",
+    "x_curriculum_order", "x_dataset_manifest", "x_ddsketch_quantiles",
+    "x_dedup_clusters",
     "x_dedup_clusters_star", "x_dedup_exact", "x_dedup_keep_best",
     "x_dedup_source_report", "x_domain_mix", "x_embedding_centroids",
     "x_embedding_outliers", "x_feature_hash_embed", "x_filter_threshold_sweep",

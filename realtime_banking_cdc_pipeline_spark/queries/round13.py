@@ -421,6 +421,56 @@ WHERE r.rk <= q.quota
 """
 
 
+def _sample_quota(plan_mix: DataFrame, k: int) -> DataFrame:
+    """(source, src_quota): exact largest-remainder split of the k-doc
+    budget over the mix frame's mix_ppm — the quota side of plan
+    execution, shared by the static and drift-aware samples. One row
+    per source throughout."""
+    q0 = plan_mix.select(
+        "source",
+        F.expr(f"({k} * mix_ppm) div {_PLAN_B}").alias("qbase"),
+        F.expr(f"({k} * mix_ppm) % {_PLAN_B}").alias("qrem"),
+    )
+    qdef = q0.agg((F.lit(k) - F.sum("qbase")).cast("bigint").alias("d"))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("qrem").desc(), F.col("source").asc())
+    )
+    return (
+        q0.crossJoin(F.broadcast(qdef))
+        .withColumn("rn", rn)
+        .select(
+            "source",
+            (
+                F.col("qbase")
+                + F.when(F.col("rn") <= F.col("d"), 1).otherwise(0)
+            ).cast("bigint").alias("src_quota"),
+        )
+    )
+
+
+def _sample_draw(base: DataFrame, quota: DataFrame) -> DataFrame:
+    """Draw each source's quota from its exact-dedup KEEPERS by
+    deterministic md5 rank (the RNG-free reservoir every sampling op
+    here uses). base = the per-doc frame from _plan_base_sh."""
+    keep = base.groupBy("g").agg(F.min("doc_id").alias("keeper"))
+    keepers = (
+        base.join(keep, "g")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        keepers.withColumn("rk", rk.cast("bigint"))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("src_quota"))
+        .select("doc_id", "source", "rk", "src_quota")
+    )
+
+
 @query(
     "x_curation_sample",
     _SAMPLE_SQL,
@@ -456,45 +506,7 @@ def x_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     base, sh = _plan_base_sh(d.select("doc_id", "source", "text"))
     plan = _plan_mix_from(base, sh).select("source", "mix_ppm")
-    q0 = plan.select(
-        "source",
-        F.expr(f"({_SAMPLE_K} * mix_ppm) div {_PLAN_B}").alias("qbase"),
-        F.expr(f"({_SAMPLE_K} * mix_ppm) % {_PLAN_B}").alias("qrem"),
-    )
-    qdef = q0.agg(
-        (F.lit(_SAMPLE_K) - F.sum("qbase")).cast("bigint").alias("d")
-    )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("qrem").desc(), F.col("source").asc())
-    )
-    quota = (
-        q0.crossJoin(F.broadcast(qdef))
-        .withColumn("rn", rn)
-        .select(
-            "source",
-            (
-                F.col("qbase")
-                + F.when(F.col("rn") <= F.col("d"), 1).otherwise(0)
-            ).cast("bigint").alias("src_quota"),
-        )
-    )
-    keep = base.groupBy("g").agg(F.min("doc_id").alias("keeper"))
-    keepers = (
-        base.join(keep, "g")
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "source")
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("source").orderBy(
-            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
-        )
-    )
-    return (
-        keepers.withColumn("rk", rk.cast("bigint"))
-        .join(F.broadcast(quota), "source")
-        .filter(F.col("rk") <= F.col("src_quota"))
-        .select("doc_id", "source", "rk", "src_quota")
-    )
+    return _sample_draw(base, _sample_quota(plan, _SAMPLE_K))
 
 
 # ---------------------------------------------------------------------------

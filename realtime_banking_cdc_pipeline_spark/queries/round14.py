@@ -21,6 +21,7 @@ from .round13 import (
     _PLAN_B,
     _PLAN_CTES,
     _PLAN_S,
+    _SAMPLE_K,
     _plan_base_sh,
     _plan_mix_from,
     largest_remainder_ppm,
@@ -35,8 +36,7 @@ from .round13 import (
 # <= 1e6, times m_fp <= 1e6 gives w <= 1e12; the ppm numerator
 # B * w <= 1e18 < 2^63.
 
-_DRIFT_MIX_SQL = f"""
-WITH {_PLAN_CTES},
+_DRIFT_CTES = f"""{_PLAN_CTES},
 dbounds AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS split
             FROM documents),
 early_vocab AS (SELECT DISTINCT shingle FROM sh, dbounds
@@ -71,18 +71,24 @@ dalloc0 AS (SELECT dww.*,
                    ({_PLAN_B} * w) % dwsum.sw AS mix_rem
             FROM dww, dwsum),
 ddef AS (SELECT {_PLAN_B} - CAST(SUM(mix_base) AS BIGINT) AS d
-         FROM dalloc0)
-SELECT a.source,
-       CAST(a.kept_tokens AS BIGINT) AS kept_tokens,
-       CAST(a.share_fp AS BIGINT) AS share_fp,
-       CAST(a.n_distinct_late AS BIGINT) AS n_distinct_late,
-       CAST(a.n_fresh_late AS BIGINT) AS n_fresh_late,
-       CAST(a.fresh_fp AS BIGINT) AS fresh_fp,
-       CAST(a.drift_fp AS BIGINT) AS drift_fp,
-       CAST(a.mix_base + CASE WHEN ROW_NUMBER()
-                OVER (ORDER BY a.mix_rem DESC, a.source ASC) <= ddef.d
-              THEN 1 ELSE 0 END AS BIGINT) AS mix_ppm
-FROM dalloc0 a, ddef
+         FROM dalloc0),
+dmix AS (SELECT a.*,
+                a.mix_base + CASE WHEN ROW_NUMBER()
+                    OVER (ORDER BY a.mix_rem DESC, a.source ASC) <= ddef.d
+                  THEN 1 ELSE 0 END AS mix_ppm
+         FROM dalloc0 a, ddef)"""
+
+_DRIFT_MIX_SQL = f"""
+WITH {_DRIFT_CTES}
+SELECT source,
+       CAST(kept_tokens AS BIGINT) AS kept_tokens,
+       CAST(share_fp AS BIGINT) AS share_fp,
+       CAST(n_distinct_late AS BIGINT) AS n_distinct_late,
+       CAST(n_fresh_late AS BIGINT) AS n_fresh_late,
+       CAST(fresh_fp AS BIGINT) AS fresh_fp,
+       CAST(drift_fp AS BIGINT) AS drift_fp,
+       CAST(mix_ppm AS BIGINT) AS mix_ppm
+FROM dmix
 """
 
 
@@ -111,12 +117,23 @@ FROM dalloc0 a, ddef
     ),
 )
 def x_curation_plan_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import track_persist
-
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     base, sh = _plan_base_sh(d)
+    return _drift_mix_frame(base, sh).select(
+        "source", "kept_tokens", "share_fp",
+        "n_distinct_late", "n_fresh_late", "fresh_fp", "drift_fp",
+        "mix_ppm",
+    )
+
+
+def _drift_mix_frame(base: DataFrame, sh: DataFrame) -> DataFrame:
+    """The drift-decayed allocation frame (the ``dmix`` CTE) from the
+    shared persisted (base, sh) pair — consumed by the mix query and
+    the drift-aware sample."""
+    from ..caching import track_persist
+
     shares = _plan_mix_from(base, sh).select(
         "source", "kept_tokens", "share_fp"
     )
@@ -178,8 +195,63 @@ def x_curation_plan_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
-    return largest_remainder_ppm(dw, "__w").select(
-        "source", "kept_tokens", "share_fp",
-        "n_distinct_late", "n_fresh_late", "fresh_fp", "drift_fp",
-        "mix_ppm",
+    return largest_remainder_ppm(dw, "__w")
+
+
+# ---------------------------------------------------------------------------
+# x_curation_sample_drift — execute the drift-aware plan
+# ---------------------------------------------------------------------------
+
+_DRIFT_SAMPLE_SQL = f"""
+WITH {_DRIFT_CTES},
+q0 AS (SELECT source, ({_SAMPLE_K} * mix_ppm) // {_PLAN_B} AS qbase,
+              ({_SAMPLE_K} * mix_ppm) % {_PLAN_B} AS qrem
+       FROM dmix),
+qdef AS (SELECT {_SAMPLE_K} - CAST(SUM(qbase) AS BIGINT) AS d FROM q0),
+quota AS (SELECT source,
+                 qbase + CASE WHEN ROW_NUMBER()
+                     OVER (ORDER BY qrem DESC, source ASC) <= qdef.d
+                   THEN 1 ELSE 0 END AS quota
+          FROM q0, qdef),
+keepers AS (SELECT b.doc_id, b.source
+            FROM base b JOIN keep k USING (g)
+            WHERE b.doc_id = k.keeper),
+ranked AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                              doc_id ASC) AS rk
+           FROM keepers)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk,
+       CAST(q.quota AS BIGINT) AS src_quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
+@query(
+    "x_curation_sample_drift",
+    _DRIFT_SAMPLE_SQL,
+    doc=(
+        "Drift-aware plan EXECUTION: the x_curation_sample draw "
+        f"({_SAMPLE_K}-doc budget, exact largest-remainder quotas, "
+        "per-source deterministic md5 rank over exact-dedup keepers) "
+        "over x_curation_plan_drift's decayed mixture instead of the "
+        "static one — the sample a curation run takes once staleness "
+        "is priced in. Shares the factored helpers with the static "
+        "sample (_sample_quota/_sample_draw), so the plan shape is "
+        "identical apart from the drift frame: one persisted fan-out, "
+        "per-source rank window, broadcast quota join, no knee "
+        "subtree. Property pin: per-source delivery equals the static "
+        "sample's law min(quota, keepers) with the drift quotas "
+        "(tests/test_round14_properties.py)."
+    ),
+)
+def x_curation_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round13 import _SAMPLE_K, _sample_draw, _sample_quota
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
+    base, sh = _plan_base_sh(d)
+    mix = _drift_mix_frame(base, sh).select("source", "mix_ppm")
+    return _sample_draw(base, _sample_quota(mix, _SAMPLE_K))

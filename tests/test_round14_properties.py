@@ -109,3 +109,54 @@ def test_drift_mix_decays_stale_sources(spark, tmp_path):
     assert (
         drifted["stale"].mix_ppm + drifted["fresh"].mix_ppm == _PLAN_B
     )
+
+
+def test_drift_sample_executes_the_drift_plan(spark):
+    """x_curation_sample_drift delivers the drift mixture: quotas are
+    the exact largest-remainder split of the budget over
+    x_curation_plan_drift's mix_ppm, each source delivers
+    min(quota, keepers) in deterministic md5 rank order, and where the
+    drift mix moved share between sources the drawn quotas move with
+    it."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.queries.round13 import (
+        _SAMPLE_K,
+    )
+
+    sample = QUERIES["x_curation_sample_drift"].spark(spark, SF).collect()
+    dm = {
+        r.source: r
+        for r in QUERIES["x_curation_plan_drift"].spark(spark, SF).collect()
+    }
+    quotas = {r.source: r.src_quota for r in sample}
+    assert sum(quotas.values()) == _SAMPLE_K
+    q0 = {s: (_SAMPLE_K * p.mix_ppm) // _PLAN_B for s, p in dm.items()}
+    rem = {s: (_SAMPLE_K * p.mix_ppm) % _PLAN_B for s, p in dm.items()}
+    d = _SAMPLE_K - sum(q0.values())
+    bump = {
+        s for s, _ in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:d]
+    }
+    for s, q in quotas.items():
+        assert q == q0[s] + (1 if s in bump else 0), s
+
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select(
+            "doc_id", "source",
+            F.md5(F.col("text").cast("binary")).alias("g"),
+        )
+        .collect()
+    )
+    keeper_of: dict = {}
+    for r in docs:
+        if r.g not in keeper_of or r.doc_id < keeper_of[r.g]:
+            keeper_of[r.g] = r.doc_id
+    keepers_by_src = Counter(
+        r.source for r in docs if keeper_of[r.g] == r.doc_id
+    )
+    got_by_src = Counter(r.source for r in sample)
+    for s, q in quotas.items():
+        assert got_by_src[s] == min(q, keepers_by_src[s]), s
