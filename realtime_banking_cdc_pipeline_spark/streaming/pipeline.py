@@ -150,6 +150,7 @@ def pipeline_batch(
     semantic_threshold: float | None = None,
     plan_refresher_source=None,
     plan_kmv_k: int | None = None,
+    plan_sample_per_epoch: int | None = None,
     timings: dict | None = None,
     survivor_scope=None,
 ) -> DataFrame:
@@ -503,7 +504,7 @@ def pipeline_batch(
             if isinstance(plan_refresher_source, str)
             else plan_refresher_source
         )
-        curation_plan_batch(
+        plan_rows = curation_plan_batch(
             batch.select("doc_id", "text").withColumn("source", src_col),
             root,
             epoch_id=e,
@@ -511,6 +512,21 @@ def pipeline_batch(
             hashes=shared_hv,
         )
         mark("plan", t0)
+        if plan_sample_per_epoch:
+            # execute the epoch plan on the epoch's survivors — the
+            # per-epoch training feed (out/sample/epoch=<e>)
+            grp("sample")
+            t0 = time.time()
+            from .plan import sample_epoch_batch
+
+            sample_epoch_batch(
+                survivors.withColumn("source", src_col),
+                plan_rows,
+                root,
+                epoch_id=e,
+                n=int(plan_sample_per_epoch),
+            )
+            mark("sample", t0)
     scope.release()  # internal frames fully consumed (funnel + monitors)
     if sc is not None:
         try:
@@ -595,6 +611,7 @@ def start_pipeline_ingest(
     semantic_threshold: float | None = None,
     plan_refresher_source=None,
     plan_kmv_k: int | None = None,
+    plan_sample_per_epoch: int | None = None,
     on_batch_done=None,
 ):
     """File-source streaming wrapper: each discovered file is one
@@ -627,6 +644,7 @@ def start_pipeline_ingest(
             semantic_threshold=semantic_threshold,
             plan_refresher_source=plan_refresher_source,
             plan_kmv_k=plan_kmv_k,
+            plan_sample_per_epoch=plan_sample_per_epoch,
             timings=timings,
             survivor_scope=surv_scope,
         )

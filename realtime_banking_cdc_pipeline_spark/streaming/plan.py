@@ -440,3 +440,46 @@ def read_plan(spark: SparkSession, root: str, epoch_id: int) -> DataFrame:
     return spark.read.parquet(
         os.path.join(_plan_paths(root)["out_plan"], f"epoch={int(epoch_id)}")
     )
+
+
+def sample_epoch_batch(
+    survivors: DataFrame,
+    plan: DataFrame,
+    root: str,
+    epoch_id: int,
+    n: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Execute the epoch's plan on the epoch's SURVIVORS: apportion the
+    ``n``-doc per-epoch budget across sources by exact largest
+    remainder over the plan's mix_ppm (the x_curation_sample quota
+    law), then draw each source's quota from the batch's gate
+    survivors by deterministic md5 rank — the per-epoch training feed,
+    landed in ``out/sample/epoch=<e>`` (overwrite; survivors and plan
+    are batch-determined, so a replay rewrites it identically).
+    Sources whose quota exceeds their survivor count under-deliver
+    honestly (the min(quota, available) law every sampler here pins).
+    Bounded work: the quota side is one row per source; the draw is
+    one rank window partitioned on source over the survivor batch."""
+    from pyspark.sql import Window
+
+    from ..queries.round13 import _sample_quota
+
+    quota = _sample_quota(
+        plan.select(F.col(source_col).alias("source"), "mix_ppm"), int(n)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    picked = (
+        survivors.withColumn("rk", rk.cast("bigint"))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("src_quota"))
+        .select("doc_id", "source", "rk", "src_quota")
+    )
+    picked.write.mode("overwrite").parquet(
+        os.path.join(root, "out", "sample", f"epoch={int(epoch_id)}")
+    )
+    return picked

@@ -300,3 +300,88 @@ def test_plan_drift_window_decays_stale_sources(spark, tmp_path):
         ).collect()
     }
     assert replay == {s: tuple(r) for s, r in drifted.items()}
+
+
+def test_pipeline_epoch_sample_executes_the_plan(spark, tmp_path):
+    """plan_sample_per_epoch=N: each epoch's plan is executed on that
+    epoch's gate SURVIVORS — quotas are the exact largest-remainder
+    split of N over the epoch plan's mix_ppm, each source delivers
+    min(quota, its survivors) by deterministic md5 rank, and the draw
+    is replay-idempotent."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from realtime_banking_cdc_pipeline_spark.streaming.pipeline import (
+        pipeline_batch,
+    )
+
+    rows = _docs(spark)[:120]
+    root = str(tmp_path / "root")
+    src_expr = F.concat(
+        F.lit("s"), F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    )
+    N = 30
+    # semantic_threshold near 1: the sf0.001 corpus's synthetic 8-dim
+    # embeddings collide heavily at the default threshold (1 survivor
+    # per epoch — correct gating, useless for exercising the draw)
+    for e in range(2):
+        df = spark.createDataFrame(rows[e * 60 : (e + 1) * 60], SCHEMA)
+        timings: dict = {}
+        pipeline_batch(
+            df.drop("source"),
+            root,
+            epoch_id=e,
+            bloom_bits=1 << 20,
+            with_paragraph_stage=False,
+            semantic_threshold=0.9999,
+            plan_refresher_source=src_expr,
+            plan_sample_per_epoch=N,
+            timings=timings,
+        )
+        assert "sample" in timings
+    plan = {r.source: r for r in read_plan(spark, root, 1).collect()}
+    sample = spark.read.parquet(
+        os.path.join(root, "out", "sample", "epoch=1")
+    ).collect()
+    # the quota law, recomputed from the epoch plan over ALL sources
+    q0 = {s: (N * p.mix_ppm) // _PLAN_S for s, p in plan.items()}
+    rem = {s: (N * p.mix_ppm) % _PLAN_S for s, p in plan.items()}
+    d = N - sum(q0.values())
+    bump = {
+        s for s, _ in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:d]
+    }
+    quota = {s: q0[s] + (1 if s in bump else 0) for s in plan}
+    assert sum(quota.values()) == N
+    for r in sample:
+        assert r.src_quota == quota[r.source]
+    # delivery = min(quota, the epoch's survivors of that source)
+    surv = (
+        spark.read.parquet(os.path.join(root, "out", "survivors", "epoch=1"))
+        .select(src_expr.alias("source"))
+        .collect()
+    )
+    by_src = Counter(r.source for r in surv)
+    got = Counter(r.source for r in sample)
+    assert sum(by_src.values()) > N  # gate must leave enough to draw from
+    for s, q in quota.items():
+        assert got[s] == min(q, by_src[s]), s
+    # replay: the same epoch rewrites the identical sample
+    df1 = spark.createDataFrame(rows[60:120], SCHEMA)
+    pipeline_batch(
+        df1.drop("source"),
+        root,
+        epoch_id=1,
+        bloom_bits=1 << 20,
+        with_paragraph_stage=False,
+        semantic_threshold=0.9999,
+        plan_refresher_source=src_expr,
+        plan_sample_per_epoch=N,
+    )
+    again = {
+        (r.doc_id, r.source, r.rk)
+        for r in spark.read.parquet(
+            os.path.join(root, "out", "sample", "epoch=1")
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.source, r.rk) for r in sample}
