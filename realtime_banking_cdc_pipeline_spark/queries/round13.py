@@ -72,13 +72,23 @@ src AS (
   FROM rep LEFT JOIN per_src USING (source) LEFT JOIN owned USING (source)
 ),
 tk AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS total_kept FROM src),
-shares AS (SELECT src.*, ({_PLAN_S} * kept_tokens) // tk.total_kept
-                    AS share_fp
+shares AS (SELECT src.*,
+                  CASE WHEN tk.total_kept > 0
+                       THEN ({_PLAN_S} * kept_tokens) // tk.total_kept
+                       ELSE 0 END AS share_fp
            FROM src, tk),
-wsum AS (SELECT CAST(SUM(share_fp * share_fp) AS BIGINT) AS sw FROM shares),
+wsum AS (SELECT CAST(SUM(share_fp * share_fp) AS BIGINT) AS sw,
+                CAST(COUNT(*) AS BIGINT) AS nsrc
+         FROM shares),
 alloc0 AS (SELECT shares.*,
-                  ({_PLAN_B} * share_fp * share_fp) // wsum.sw AS mix_base,
-                  ({_PLAN_B} * share_fp * share_fp) % wsum.sw AS mix_rem
+                  ({_PLAN_B} * CASE WHEN wsum.sw > 0
+                                    THEN share_fp * share_fp ELSE 1 END)
+                    // (CASE WHEN wsum.sw > 0 THEN wsum.sw
+                             ELSE wsum.nsrc END) AS mix_base,
+                  ({_PLAN_B} * CASE WHEN wsum.sw > 0
+                                    THEN share_fp * share_fp ELSE 1 END)
+                    % (CASE WHEN wsum.sw > 0 THEN wsum.sw
+                            ELSE wsum.nsrc END) AS mix_rem
            FROM shares, wsum),
 deficit AS (SELECT {_PLAN_B} - CAST(SUM(mix_base) AS BIGINT) AS d
             FROM alloc0),
@@ -155,14 +165,26 @@ def largest_remainder_ppm(
     mix_base / mix_rem / mix_ppm with SUM(mix_ppm) == budget
     bit-exactly. The remainder rank is the only window — partitioned
     over the bounded per-source frame, deterministic tiebreak on
-    source."""
+    source.
+
+    Zero-weight guard (r15, r14 ADVICE): when SUM(weight) == 0 — every
+    source's weight floored to zero, reachable in the drift path when
+    >~1000 near-equal sources push share_fp below the 0.1% fixed-point
+    floor — the allocation falls back to an EQUAL split (weight 1 per
+    source) instead of a div-by-zero (NULL mix under Spark's non-ANSI
+    div, an error under the DuckDB oracle). The SQL CTEs mirror the
+    same CASE, so both engines stay bit-equal in the degenerate case
+    and SUM(mix_ppm) == budget always holds."""
     wsum = weighted.agg(
-        F.sum(F.col(weight_col)).cast("bigint").alias("sw")
+        F.sum(F.col(weight_col)).cast("bigint").alias("sw"),
+        F.count(F.lit(1)).cast("bigint").alias("nsrc"),
     )
+    weff = f"(CASE WHEN sw > 0 THEN {weight_col} ELSE 1 END)"
+    sweff = "(CASE WHEN sw > 0 THEN sw ELSE nsrc END)"
     alloc0 = weighted.crossJoin(F.broadcast(wsum)).select(
         "*",
-        F.expr(f"({budget} * {weight_col}) div sw").alias("mix_base"),
-        F.expr(f"({budget} * {weight_col}) % sw").alias("mix_rem"),
+        F.expr(f"({budget} * {weff}) div {sweff}").alias("mix_base"),
+        F.expr(f"({budget} * {weff}) % {sweff}").alias("mix_rem"),
     )
     deficit = alloc0.agg(
         (F.lit(budget) - F.sum("mix_base")).cast("bigint").alias("d")
@@ -238,9 +260,17 @@ def _plan_mix_from(base: DataFrame, sh: DataFrame) -> DataFrame:
         )
     )
     tk = src.agg(F.sum("kept_tokens").cast("bigint").alias("total_kept"))
+    # total_kept == 0 (every source fully trimmed) is the same
+    # zero-denominator family as the all-zero-weight allocation — the
+    # guard keeps share_fp at 0 instead of NULL (Spark) / error
+    # (DuckDB oracle); the shares CTE mirrors it.
     shares = src.crossJoin(F.broadcast(tk)).withColumn(
         "share_fp",
-        F.expr(f"({_PLAN_S} * kept_tokens) div total_kept"),
+        F.expr(
+            f"CASE WHEN total_kept > 0 "
+            f"THEN ({_PLAN_S} * kept_tokens) div total_kept "
+            f"ELSE 0 END"
+        ),
     )
     # temperature T=1/2 weight = share^2 (x_temperature_mix), exact
     shares = shares.withColumn(

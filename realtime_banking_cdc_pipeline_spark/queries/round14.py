@@ -35,6 +35,21 @@ from .round13 import (
 # path rational. Overflow bound: share_fp <= 1e6 so share_fp^2 div S
 # <= 1e6, times m_fp <= 1e6 gives w <= 1e12; the ppm numerator
 # B * w <= 1e18 < 2^63.
+#
+# SMALL-SOURCE FLOOR (r14 ADVICE, documented limitation): the weight's
+# operation order — (share_fp^2 div S) FIRST, then * drift_fp — keeps
+# the product under 2^63 but floors share_fp^2 div S to 0 for any
+# source with share_fp < 1000 (share below 0.1%). Such a source gets
+# exactly 0 mix_ppm in the DRIFT mix even when fully fresh, a harder
+# cutoff than the static plan's share_fp^2 weight (tiny but nonzero).
+# This is an accepted quantization of the fixed-point path, mirrored
+# bit-for-bit by the SQL oracle; deployments mixing >~1000 near-equal
+# sources should raise _PLAN_S rather than reorder the product (the
+# reorder overflows at share_fp^2 * drift_fp ~ 1e18 only just under
+# 2^63 — no headroom for a larger budget). When EVERY source floors
+# to 0 the allocation falls back to an equal split (the r15
+# zero-weight guard in largest_remainder_ppm / the dalloc0 CASE) —
+# degenerate corpora yield a uniform mix, never NULLs.
 
 _DRIFT_CTES = f"""{_PLAN_CTES},
 dbounds AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS split
@@ -65,10 +80,16 @@ dww AS (SELECT dw.*,
                ((share_fp * share_fp) // {_PLAN_S})
                  * (({_PLAN_S} + fresh_fp) // 2) AS w
         FROM dw),
-dwsum AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM dww),
+dwsum AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
+                 CAST(COUNT(*) AS BIGINT) AS nsrc
+          FROM dww),
 dalloc0 AS (SELECT dww.*,
-                   ({_PLAN_B} * w) // dwsum.sw AS mix_base,
-                   ({_PLAN_B} * w) % dwsum.sw AS mix_rem
+                   ({_PLAN_B} * CASE WHEN dwsum.sw > 0 THEN w ELSE 1 END)
+                     // (CASE WHEN dwsum.sw > 0 THEN dwsum.sw
+                              ELSE dwsum.nsrc END) AS mix_base,
+                   ({_PLAN_B} * CASE WHEN dwsum.sw > 0 THEN w ELSE 1 END)
+                     % (CASE WHEN dwsum.sw > 0 THEN dwsum.sw
+                             ELSE dwsum.nsrc END) AS mix_rem
             FROM dww, dwsum),
 ddef AS (SELECT {_PLAN_B} - CAST(SUM(mix_base) AS BIGINT) AS d
          FROM dalloc0),

@@ -160,3 +160,68 @@ def test_drift_sample_executes_the_drift_plan(spark):
     got_by_src = Counter(r.source for r in sample)
     for s, q in quotas.items():
         assert got_by_src[s] == min(q, keepers_by_src[s]), s
+
+
+def test_allocation_zero_weight_fallback(spark):
+    """r14 ADVICE / r15 guard: an all-zero weight frame (every drift
+    weight floored to 0) must fall back to an EQUAL split that still
+    sums to the budget bit-exactly — never NULL mix_ppm."""
+    from realtime_banking_cdc_pipeline_spark.queries.round13 import (
+        largest_remainder_ppm,
+    )
+
+    weighted = spark.createDataFrame(
+        [(f"s{i:03d}", 0) for i in range(7)], "source string, __w bigint"
+    )
+    rows = largest_remainder_ppm(weighted, "__w").collect()
+    assert all(r.mix_ppm is not None for r in rows)
+    assert sum(r.mix_ppm for r in rows) == _PLAN_B
+    # equal split: every source gets B div n, the first B % n
+    # alphabetically get one more
+    base, extra = divmod(_PLAN_B, 7)
+    bump = {f"s{i:03d}" for i in range(extra)}
+    for r in rows:
+        assert r.mix_ppm == base + (1 if r.source in bump else 0), r.source
+
+
+def test_drift_mix_many_small_sources(spark, tmp_path):
+    """r14 ADVICE: >~1000 near-equal sources floor every drift weight
+    (share_fp < 1000 -> share_fp^2 div S == 0) — the guarded
+    allocation must yield the equal-split fallback with
+    SUM(mix_ppm) == B and no NULLs, and the DuckDB oracle must agree
+    row-for-row (Spark's non-ANSI div used to return NULLs here while
+    the oracle errored)."""
+    import duckdb
+
+    n = 1100
+    docs = spark.createDataFrame(
+        [(i, f"src{i:04d}", f"w{i}a w{i}b w{i}c w{i}d w{i}e")
+         for i in range(n)],
+        "doc_id bigint, source string, text string",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(pq)
+
+    got = {
+        r.source: r
+        for r in QUERIES["x_curation_plan_drift"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(got) == n
+    assert all(r.mix_ppm is not None for r in got.values())
+    assert sum(r.mix_ppm for r in got.values()) == _PLAN_B
+    # every weight floored to zero -> equal split
+    assert all(
+        (r.share_fp * r.share_fp) // _PLAN_S * r.drift_fp == 0
+        for r in got.values()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = con.execute(QUERIES["x_curation_plan_drift"].oracle).df()
+    assert len(oracle) == n
+    assert int(oracle["mix_ppm"].sum()) == _PLAN_B
+    om = dict(zip(oracle["source"], oracle["mix_ppm"]))
+    for s, r in got.items():
+        assert int(om[s]) == r.mix_ppm, s
