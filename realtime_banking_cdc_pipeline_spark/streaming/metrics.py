@@ -1342,6 +1342,57 @@ def kmv_source_hashes(
     )
 
 
+def kmv_doc_stats(
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """ONE tokenize+shingle+hash pass over the batch text feeding every
+    plan-leg consumer (r14 judge directive #1 — these used to be three
+    separate passes per epoch): per-doc rows
+
+        (doc_id, source, n_tokens, hvs, doc_hv)
+
+    where ``hvs`` is the doc's DISTINCT shingle-hash array (same
+    ``kmvnov:`` salt/width as :func:`kmv_source_hashes`, so estimates
+    derived from it are bit-identical) and ``doc_hv`` the doc-text
+    digest (the ``plandoc:`` salt of the doc-digest KMV store). From a
+    checkpointed instance of this frame:
+
+    - the plan tally is ``groupBy(source).agg(count, sum(n_tokens),
+      sum(size(hvs)))`` — size(hvs) IS the doc's per-doc-distinct
+      occurrence contribution;
+    - the per-source KMV fan-out is ``select(source, explode(hvs))
+      .distinct()`` (== :func:`kmv_source_hashes`);
+    - the doc-digest KMV input is ``select(source, doc_hv).distinct()``.
+    """
+    from ..functions.similarity import _shingles_from_tokens, md5_long
+    from ..functions.text import ws_tokens
+
+    toks = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        ws_tokens(F.col(text_col)).alias("__toks"),
+        md5_long(
+            F.concat(F.lit("plandoc:"), F.col(text_col)), _KMV_NOV_HEX
+        ).alias("doc_hv"),
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.transform(
+            _shingles_from_tokens(F.col("__toks"), k),
+            lambda s: md5_long(
+                F.concat(F.lit("kmvnov:"), s), _KMV_NOV_HEX
+            ),
+        ).alias("hvs"),
+        "doc_hv",
+    )
+
+
 def kmv_source_novelty_batch(
     batch_df: DataFrame,
     store_path: str,
