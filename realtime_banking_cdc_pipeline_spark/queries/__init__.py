@@ -39,6 +39,7 @@ from . import round10  # noqa: F401,E402  (capped mutual-kNN, composed pipelines
 from . import round12  # noqa: F401,E402  (coverage curves, balanced sampling)
 from . import round13  # noqa: F401,E402  (curation-plan capstone)
 from . import round14  # noqa: F401,E402  (drift-aware curation mix + sample)
+from . import round15  # noqa: F401,E402  (plan-driven admission feedback)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.
