@@ -111,16 +111,31 @@ def main() -> None:
     # independent end-to-end runs is the standard steady-state estimator
     # (each pass still rebuilds the plan and re-materializes every row).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # Canaries get extra passes and report their full spread (r14 judge
+    # directive #8): sub-second "regressions" on untouched code were
+    # costing a verdict paragraph per round to dismiss as box drift —
+    # min/med/max across 5 independent runs makes drift separable from
+    # real movement inside the artifact itself.
+    canary_passes = int(os.environ.get("SPARK_GRAFT_CANARY_PASSES", "5"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(passes):
+        n_pass = max(passes, canary_passes) if name in CANARIES else passes
+        runs: list[float] = []
+        for _ in range(n_pass):
             t0 = time.perf_counter()
             df = QUERIES[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             release_caches()  # operator-persisted frames don't leak across queries
-        timings[name] = round(best, 4)
+        timings[name] = round(min(runs), 4)
+        if name in CANARIES:
+            runs.sort()
+            spread[name] = {
+                "min": round(runs[0], 4),
+                "med": round(runs[len(runs) // 2], 4),
+                "max": round(runs[-1], 4),
+            }
 
     out = {
         "metric": "headline_query_wall_time_sf" + str(sf),
@@ -133,6 +148,7 @@ def main() -> None:
         "stat": "min",
     }
     out.update(canary_fields(timings))
+    out["canary_spread"] = spread
     out.update(bench_streaming(spark))
     # The driver keeps only the LAST 2000 chars of stdout as the bench
     # artifact tail (BENCH_r13.json measured the full line at ~2350
@@ -143,7 +159,7 @@ def main() -> None:
     # raw "queries" map wins and the derived/canary extras drop first.
     out.pop("queries_canary_ratio", None)
     line = json.dumps(out)
-    for spare in ("canaries", "canary_geomean_sec"):
+    for spare in ("canaries", "canary_spread", "canary_geomean_sec"):
         if len(line) <= 1950:
             break
         out.pop(spare, None)

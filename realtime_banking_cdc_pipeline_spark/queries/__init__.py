@@ -43,17 +43,17 @@ from . import round15  # noqa: F401,E402  (plan-driven admission feedback)
 
 
 # The driver's correctness gate executes the FIRST 50 registry entries.
-# Round-14 rotation (house rule since r9 judge directive #6): all 50
-# CORRECTNESS_r13 strict passes fold into the verified set. The r14
-# window = the 2 round-14 registrations (x_curation_plan_drift /
-# x_curation_sample_drift) + the 2 changed-code heads (x_curation_plan
-# / x_curation_sample: the mix frame was factored out, the per-source
-# joins became left joins with explicit zeros, and BOTH oracles
-# changed with them — they owe fresh driver proofs even though they
-# passed in r13) + the full 27-entry r09-era cohort (now the stalest
-# driver proofs) + the first 19 r10-era names alphabetically. After
-# this round no query's only-ever driver proof predates r10 except
-# the r10 tail itself.
+# Round-15 rotation (house rule since r9 judge directive #6): all 50
+# CORRECTNESS_r14 strict passes fold into the verified set. The r15
+# window = the 2 round-15 registrations (x_curation_admission /
+# x_plan_feedback_sim) + the 4 changed-code heads (x_curation_plan /
+# x_curation_sample / x_curation_plan_drift / x_curation_sample_drift:
+# the zero-weight allocation guard changed both the Spark path and
+# every oracle CTE, so all four owe fresh driver proofs) + the 44
+# stalest driver proofs: the ENTIRE remaining r10-era cohort (22
+# names) and the first 22 r11-era names in staleness-then-alphabetical
+# order. After this round no query's only-ever driver proof predates
+# r11 except the r11 tail itself.
 # a_approx_sketches is PERMANENTLY pinned in this set (r9 judge
 # directive #2): it is the registry's sole no-oracle entry (Spark-native
 # approx_count_distinct has no DuckDB twin); its real correctness gate
@@ -64,61 +64,61 @@ from . import round15  # noqa: F401,E402  (plan-driven admission feedback)
 _DRIVER_VERIFIED = frozenset({
     "a1_having_probe", "a2_table_counts", "a3_high_water_mark",
     "a4_reconciliation", "a4b_reconciliation_decimal", "a5_zscore_anomalies",
-    "a6_argmax_latest", "a_approx_sketches", "a_benford",
+    "a6_argmax_latest", "a_approx_sketches", "a_cohort_retention",
     "a_distinct_users", "a_dormant_reactivation", "a_duplicate_payments",
-    "a_event_transitions", "a_mad_anomalies", "a_mode_per_group",
-    "a_pareto_share", "a_percentiles", "a_rfm_segments",
-    "a_structuring_screen", "a_time_weighted_balance", "a_top_paths",
-    "a_value_histogram", "agg_cube_status_priority", "agg_grouping_sets",
-    "agg_pivot_event_types", "agg_rollup_region_nation", "agg_unpivot_metrics",
-    "asof_last_view_before_purchase", "c1_scd2_replay", "c1b_scd2_apply",
-    "c8_asof_snapshot", "o1b_trailing_window_top", "q02_min_cost_supplier",
-    "q05_local_supplier_volume", "q07_volume_shipping", "q08_market_share",
+    "a_funnel_stages", "a_percentiles", "a_sliding_distinct",
+    "a_structuring_screen", "a_top_paths", "agg_grouping_sets",
+    "agg_pivot_event_types", "agg_rollup_region_nation", "asof_last_view_before_purchase",
+    "c1_scd2_replay", "c1b_scd2_apply", "c3_incremental_merge",
+    "c6_incremental_rollup", "c7_late_events", "c8_asof_snapshot",
+    "j1_fact_dim_join", "j2_two_hop_join", "j3_anti_orphans",
+    "j5_self_join", "j6_interval_join", "j7_range_band_join",
+    "o1_top10_orders", "p1_json_extract", "p_scalar_suite",
+    "p_subqueries", "q01_pricing_summary", "q02_min_cost_supplier",
+    "q03_shipping_priority", "q04_order_priority", "q05_local_supplier_volume",
+    "q06_revenue_forecast", "q07_volume_shipping", "q08_market_share",
     "q09_product_profit", "q10_returned_items", "q11_revenue_concentration",
     "q12_late_shipments", "q13_customer_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity_revenue",
     "q18_large_volume_orders", "q19_disjunctive_predicates", "q20_heavy_shippers",
-    "q21_suppliers_kept_waiting", "q22_dormant_rich_customers", "t_event_type_drift",
-    "t_freshness_skew", "t_profile_table", "w_event_rate_spike",
-    "w_gap_islands", "w_range_frame", "w_rolling_median",
-    "x_ann_cosine_topk", "x_ann_ivf_multiprobe", "x_ann_ivf_topk",
-    "x_ann_lsh_buckets", "x_ann_lsh_cosine_pairs", "x_audio_decode",
-    "x_bfs_layers", "x_bigram_likelihood", "x_bm25_search",
+    "q21_suppliers_kept_waiting", "q22_dormant_rich_customers", "s_tumbling_window_agg",
+    "set_ops_cohorts", "t_event_type_drift", "t_freshness_skew",
+    "t_quality_checks", "w1_dedup_latest", "w_distribution_ranks",
+    "w_event_rate_spike", "w_locf_gapfill", "w_running_totals",
+    "w_sessionize", "w_topk_per_group", "x_ann_ivf_multiprobe",
+    "x_ann_ivf_topk", "x_ann_ivf_trained", "x_ann_ivf_trained_mp",
+    "x_ann_ivfpq_topk", "x_ann_pq_adc", "x_ann_recall_eval",
+    "x_ann_sq8", "x_ann_sq8_rescore", "x_audio_decode",
+    "x_audio_mulaw_stats", "x_bfs_layers", "x_bigram_likelihood",
+    "x_bloom_decontaminate", "x_bloom_skip_index", "x_bm25_search",
     "x_bpe_apply", "x_bpe_merges", "x_chunk_documents",
-    "x_clean_normalize", "x_cluster_balanced_sample", "x_cms_calibration",
-    "x_cms_heavy_hitters", "x_contamination", "x_corpus_pipeline_v2",
-    "x_corpus_pipeline_v4", "x_coverage_knee_sweep", "x_cross_corpus_dedup",
-    "x_curriculum_order", "x_dataset_manifest", "x_ddsketch_quantiles",
-    "x_dedup_clusters",
-    "x_dedup_clusters_star", "x_dedup_exact", "x_dedup_keep_best",
-    "x_dedup_source_report", "x_domain_mix", "x_embedding_centroids",
-    "x_embedding_outliers", "x_feature_hash_embed", "x_filter_threshold_sweep",
-    "x_fingerprint", "x_fuzzy_pairs", "x_heldout_likelihood",
-    "x_hll_overlap", "x_image_decode", "x_image_gif_stats",
-    "x_image_png_stats", "x_image_resize", "x_importance_sample",
-    "x_kcore", "x_kmv_distinct", "x_kmv_jaccard",
-    "x_knn_classify", "x_label_centroids", "x_label_propagation",
-    "x_lang_id", "x_langid_eval", "x_length_bucket_batching",
-    "x_length_trim", "x_lsh_dedup_eval", "x_minhash_calibration",
+    "x_cluster_balanced_sample", "x_cms_heavy_hitters", "x_containment_pairs",
+    "x_contamination", "x_corpus_pipeline_v2", "x_corpus_pipeline_v3",
+    "x_coverage_knee_sweep", "x_cross_corpus_dedup", "x_curriculum_order",
+    "x_dataset_card", "x_dataset_manifest", "x_dedup_clusters",
+    "x_dedup_clusters_star", "x_dedup_keep_best", "x_dedup_source_report",
+    "x_domain_mix", "x_embedding_outliers", "x_filter_threshold_sweep",
+    "x_fingerprint", "x_gopher_rules", "x_hll_distinct",
+    "x_image_decode", "x_kcore", "x_label_propagation",
+    "x_lang_id", "x_length_bucket_batching", "x_minhash_calibration",
     "x_minhash_lsh_pairs", "x_minhash_signature", "x_multimodal_features",
     "x_mutual_knn_capped", "x_mutual_knn_clusters", "x_mutual_knn_recall_eval",
-    "x_ngram_counts", "x_ngram_coverage_curve", "x_ngram_jaccard_pairs",
-    "x_ngram_novelty", "x_pack_sequences", "x_pagerank",
-    "x_paragraph_dedup", "x_paragraph_profile", "x_pii_redact",
-    "x_pmi_cooccurrence", "x_pq_codes", "x_quality_classifier",
-    "x_quality_score", "x_quality_stratified_trim", "x_rank_fusion_rrf",
-    "x_repetition", "x_reservoir_sample", "x_semdedup",
-    "x_semdedup_capped", "x_semdedup_diverse", "x_semdedup_diverse_capped",
-    "x_semdedup_keep_best", "x_semdedup_keep_best_capped", "x_semdedup_recall_eval",
-    "x_semdedup_refined", "x_semdedup_refined_capped", "x_simhash",
-    "x_simhash_dedup_pairs", "x_snapshot_diff", "x_source_diversity",
-    "x_source_drift", "x_source_novelty", "x_source_reputation",
-    "x_span_dedup", "x_split_assign", "x_substring_dedup",
-    "x_substring_keep_first", "x_substring_rewrite", "x_temperature_mix",
+    "x_ngram_coverage_curve", "x_ngram_jaccard_pairs", "x_ngram_novelty",
+    "x_pack_sequences", "x_paragraph_dedup", "x_paragraph_profile",
+    "x_pii_redact", "x_pmi_cooccurrence", "x_pq_codes",
+    "x_quality_classifier", "x_quality_score", "x_quality_stratified_trim",
+    "x_rank_fusion_rrf", "x_repetition", "x_reservoir_sample",
+    "x_semdedup", "x_semdedup_capped", "x_semdedup_diverse",
+    "x_semdedup_diverse_capped", "x_semdedup_keep_best", "x_semdedup_keep_best_capped",
+    "x_semdedup_recall_eval", "x_semdedup_refined", "x_semdedup_refined_capped",
+    "x_simhash", "x_simhash_dedup_pairs", "x_snapshot_diff",
+    "x_source_diversity", "x_source_drift", "x_source_novelty",
+    "x_source_reputation", "x_span_dedup", "x_split_assign",
+    "x_substring_dedup", "x_substring_keep_first", "x_temperature_mix",
     "x_tfidf_cosine_pairs", "x_tfidf_topk_terms", "x_token_stats",
     "x_top_terms", "x_training_data_prep", "x_triangle_count",
     "x_unigram_likelihood", "x_video_framesample", "x_vocab_coverage",
-    "x_zorder_layout", "x_zorder_pruning_eval",
+    "x_winnowing", "x_winnowing_matches",
 })
 
 _ordered = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}
