@@ -180,6 +180,8 @@ q = start_pipeline_ingest(
     with_coverage_monitor=True,   # r12: record vocabulary-novelty decay
     semantic_threshold=0.999,
     plan_refresher_source=SRC_EXPR,   # r14: live curation-plan refresher
+    plan_sample_per_epoch=10_000,     # r15: per-epoch training feed ON
+    stagger_compaction=True,          # r15: one store group per epoch
     on_batch_done=done,
 )
 q.awaitTermination()
@@ -248,6 +250,10 @@ checks = {
     "near_dup_kill_in_band": 0.60
     <= 1 - got.get("near_dup", 0) / totals["near_dup"]
     <= 0.92,
+    # r14 judge directive #2: with staggered compaction no single
+    # batch should carry the whole fold cost
+    "worst_batch_le_1.6x_median": max(b["sec"] for b in batches)
+    <= 1.6 * sorted(b["sec"] for b in batches)[len(batches) // 2],
 }
 cov = sorted(
     (
@@ -324,6 +330,22 @@ result = {
     "all_checks_pass": all(checks.values()),
     "batch1_sec": batches[0]["sec"],
     "worst_batch_sec": max(b["sec"] for b in batches),
+    # r15 plan-leg accounting: planprep (the shared fan-out the
+    # monitors also consume) + plan arithmetic + epoch sample
+    "plan_leg_sec_per_epoch": sorted(
+        round(
+            b["stages"].get("planprep", 0)
+            + b["stages"].get("plan", 0)
+            + b["stages"].get("sample", 0),
+            1,
+        )
+        for b in batches
+    )[len(batches) // 2],
+    "worst_over_median_batch": round(
+        max(b["sec"] for b in batches)
+        / sorted(b["sec"] for b in batches)[len(batches) // 2],
+        2,
+    ),
     "coverage_epochs": [
         {"epoch": e, "n_new": n, "novelty": nv, "vocab": v}
         for e, n, nv, v in cov
