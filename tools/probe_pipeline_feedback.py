@@ -131,7 +131,10 @@ for e in range(1, last_e + 1):
         continue
     prev = {r.source: r for r in read_plan(spark, ROOT, e - 1).collect()}
     for r in spark.read.parquet(part).collect():
-        want = rate_law(prev[r.source].share_fp, prev[r.source].mix_ppm)
+        pr = prev.get(r.source)
+        # never-planned sources admit everything (pipeline does a
+        # left_outer join + coalesce(rate_fp, S)); mirror that here
+        want = _PLAN_S if pr is None else rate_law(pr.share_fp, pr.mix_ppm)
         if r.rate_fp != want:
             law_ok = False
         expect = r.n_seen * r.rate_fp / _PLAN_S
