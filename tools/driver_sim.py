@@ -45,9 +45,16 @@ def main() -> int:
     # accumulated localCheckpoint blocks; caching.track_local_checkpoint
     # now registers those RDDs so the per-query release_caches() frees
     # them — the full 212-query sweep must fit the default driver heap.
+    # The two extra confs are LOGGING-side only (no query-semantics
+    # change, so the run stays faithful to the driver): the r15 full
+    # sweep OOM'd in QueryExecution.explainString while rendering a
+    # huge AQE plan tree for the UI/event log — cap the rendered
+    # string and drop the UI's retained-execution history.
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
+        .config("spark.sql.maxPlanStringLength", "100000")
+        .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
