@@ -610,3 +610,68 @@ def test_pipeline_drift_window_sample(spark, tmp_path):
     got = Counter(r.source for r in sample)
     for s, q in quota.items():
         assert got[s] == min(q, surv[s]), s
+
+
+def test_pipeline_feedback_admits_never_planned_source_fully(spark, tmp_path):
+    """A source that first appears at epoch e >= 1 is absent from every
+    committed plan before e, so the admission gate has no rate row for
+    it — the pipeline's left_outer join + coalesce(rate_fp, S) must
+    admit ALL of it (steering is decay of known-over-target sources,
+    never a gate on the unknown). Pins the exact stats row the gate
+    writes and the source's entry into the NEXT plan. (The r15
+    feedback probe tripped on exactly this case: its pure-python
+    recheck indexed the previous plan directly and KeyError'd on the
+    new source while the pipeline behaved correctly.)"""
+    from realtime_banking_cdc_pipeline_spark.streaming.pipeline import (
+        _paths,
+        pipeline_batch,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    root = str(tmp_path / "root")
+    kw = dict(
+        bloom_bits=1 << 20,
+        with_paragraph_stage=False,
+        semantic_threshold=0.9999,
+        plan_refresher_source="source",
+        plan_feedback=True,
+    )
+
+    def mk(eid, base, specs):
+        rows = []
+        for src, n in specs:
+            for i in range(n):
+                rows.append(
+                    (base + len(rows),
+                     src,
+                     f"{src}{eid}_{i}a {src}{eid}_{i}b {src}{eid}_{i}c {src}{eid}_{i}d")
+                )
+        return rows
+
+    pipeline_batch(
+        spark.createDataFrame(mk(0, 0, [("big", 90), ("small", 30)]), schema),
+        root, epoch_id=0, **kw,
+    )
+    assert {r.source for r in read_plan(spark, root, 0).collect()} == {
+        "big", "small"
+    }
+
+    pipeline_batch(
+        spark.createDataFrame(
+            mk(1, 2000, [("big", 90), ("small", 30), ("brandnew", 20)]), schema
+        ),
+        root, epoch_id=1, **kw,
+    )
+    adm = {
+        r.source: r
+        for r in spark.read.parquet(
+            os.path.join(_paths(root)["out"], "admission", "epoch=1")
+        ).collect()
+    }
+    assert adm["brandnew"].rate_fp == _PLAN_S
+    assert adm["brandnew"].n_seen == 20
+    assert adm["brandnew"].n_admitted == 20
+    # and the refresher saw it on the raw leg: it joins the next plan
+    plan1 = {r.source: r for r in read_plan(spark, root, 1).collect()}
+    assert plan1["brandnew"].n_docs == 20
+    assert sum(r.mix_ppm for r in plan1.values()) == _PLAN_S
