@@ -246,21 +246,32 @@ def pipeline_batch(
     # read ONLY the latest committed plan partition strictly before
     # this epoch, and the draw is keyed on doc_id alone.
     gate_in = batch
+    n_admitted = None  # set iff the admission gate actually filtered
     if plan_feedback and src_col is not None:
-        grp("admission")
-        t0 = time.time()
         from .plan import (
             _PLAN_S,
-            _latest_plan_before,
+            _latest_plan_rows_before,
             _plan_paths,
             admission_draw,
             admission_rates,
         )
 
-        prev_plan = _latest_plan_before(
-            batch.sparkSession, _plan_paths(root)["out_plan"], e
+        # the latest committed plan strictly before this epoch, read
+        # driver-side (bounded one row per source) and recreated — no
+        # Spark read job inside the gate's join
+        prev_rows = _latest_plan_rows_before(
+            _plan_paths(root)["out_plan"], e
         )
-        if prev_plan is not None:
+        if prev_rows is not None:
+            grp("admission")
+            t0 = time.time()
+            prev_plan = batch.sparkSession.createDataFrame(
+                [
+                    (r["source"], int(r["share_fp"]), int(r["mix_ppm"]))
+                    for r in prev_rows
+                ],
+                "source string, share_fp bigint, mix_ppm bigint",
+            )
             adm = scope.ckpt(
                 batch.withColumn("source", src_col)
                 .join(
@@ -294,7 +305,8 @@ def pipeline_batch(
             gate_in = adm.filter(F.col("__admit")).select(
                 "doc_id", "text", "embedding", *extra_cols
             )
-        mark("admission", t0)
+            n_admitted = gate_in.count()  # cheap scan over the adm ckpt
+            mark("admission", t0)
 
     # --- exact gate -----------------------------------------------------
     grp("exact")
@@ -478,25 +490,42 @@ def pipeline_batch(
     # --- per-epoch funnel record (r12 observability) -----------------------
     # one tiny row per epoch: how many docs each gate kept. Every frame
     # here is already localCheckpointed, so these counts are O(partition
-    # metadata), not recomputation; the write is replay-idempotent like
-    # every other per-epoch output. n_paragraph_kept == n_exact_kept
-    # when the paragraph stage is skipped.
+    # metadata), not recomputation; the row itself is written driver-side
+    # (pyarrow — no Spark job for one-row bookkeeping, r16) and is
+    # replay-idempotent like every other per-epoch output.
+    # n_paragraph_kept == n_exact_kept when the paragraph stage is
+    # skipped. n_admitted == n_in when the admission gate did not run,
+    # so per-gate attribution stays clean under plan_feedback (r15
+    # ADVICE: admission rejects used to be silently attributed to the
+    # exact gate); keep_fp stays n_semantic_kept/n_in — with feedback
+    # on, the budget price deliberately includes admission decay (the
+    # survivor stream the budget forecasts IS post-admission).
     grp("funnel")
     spark = batch.sparkSession
-    spark.createDataFrame(
+    n_in = int(batch.count())
+    import pyarrow as _pa
+
+    from .plan import _pya_write_epoch
+
+    _pya_write_epoch(
+        os.path.join(p["out"], "funnel"), e,
         [
-            (
-                int(batch.count()),
-                int(n_exact_kept),
-                int(surv1.count()),
-                int(surv2.count()),
-                int(survivors.count()),
-            )
+            ("n_in", _pa.int64()), ("n_admitted", _pa.int64()),
+            ("n_exact_kept", _pa.int64()), ("n_paragraph_kept", _pa.int64()),
+            ("n_neardup_kept", _pa.int64()), ("n_semantic_kept", _pa.int64()),
         ],
-        "n_in bigint, n_exact_kept bigint, n_paragraph_kept bigint, "
-        "n_neardup_kept bigint, n_semantic_kept bigint",
-    ).write.mode("overwrite").parquet(
-        os.path.join(p["out"], "funnel", f"epoch={e}")
+        [
+            {
+                "n_in": n_in,
+                "n_admitted": int(
+                    n_in if n_admitted is None else n_admitted
+                ),
+                "n_exact_kept": int(n_exact_kept),
+                "n_paragraph_kept": int(surv1.count()),
+                "n_neardup_kept": int(surv2.count()),
+                "n_semantic_kept": int(survivors.count()),
+            }
+        ],
     )
 
     # --- shared plan-prep fan-out (r15, r14 judge directive #1) -----------
