@@ -94,6 +94,16 @@ def minhash_signature(
     shuffle on the doc id.
     """
     sh = exploded_shingles(docs, id_col, text_col, k)
+    return minhash_signature_from_shingles(sh, id_col, num_perm)
+
+
+def minhash_signature_from_shingles(
+    sh: DataFrame, id_col: str, num_perm: int = MINHASH_PERMS
+) -> DataFrame:
+    """Minhash signature over an existing (id, shingle) frame — lets a
+    caller that also needs the exploded shingles (e.g. exact-Jaccard
+    verification) tokenize/shingle ONCE, persist that frame, and derive
+    the signature from it instead of re-running the fan-out."""
     h = md5_long(F.col("shingle"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"sig_{j}")

@@ -55,20 +55,25 @@ def connected_components(
         nbr = sym.join(labels.withColumnRenamed("id", "b"), "b").select(
             F.col("a").alias("id"), "label"
         )
+        # The node's previous label rides the same union/groupBy
+        # exchange as the min (own rows carry old=label, neighbor rows
+        # old=NULL; min ignores NULLs and every id has exactly one own
+        # row), so the convergence probe below is a limit(1) scan of
+        # the checkpointed frame — no second join + shuffle per round.
         new = (
-            labels.unionByName(nbr)
+            labels.withColumn("old", F.col("label"))
+            .unionByName(
+                nbr.withColumn(
+                    "old", F.lit(None).cast(dict(labels.dtypes)["label"])
+                )
+            )
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .transform(track_local_checkpoint)
         )
-        improved = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        improved = new.filter(F.col("label") < F.col("old")).limit(1).count()
         labels.unpersist()
-        labels = new
+        labels = new.select("id", "label")
         if improved == 0:
             break
     else:
@@ -79,7 +84,7 @@ def connected_components(
 
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({improved} labels still improving); component diameter "
+            "(labels still improving); component diameter "
             "exceeds max_iter — raise max_iter or use "
             "connected_components_star for adversarially long chains",
             RuntimeWarning,

@@ -611,7 +611,7 @@ FROM l{iters}
     ),
 )
 def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint, track_persist
     from .round7b import x_winnowing_matches
 
     d = read_table(spark, sf_dir, "documents")
@@ -641,7 +641,15 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("id", F.col("lbl").alias("new_lbl"))
         )
-        labels = track_persist(
+        # Eager checkpoint, not persist: each round references the
+        # previous labels twice (votes join + carry-forward join), so a
+        # persist-only loop doubles the LOGICAL plan per round — 2^4
+        # copies of the winnowing subtree, a 1.3 MB formatted plan that
+        # Catalyst re-analyzes on every run (~2 s driver time at sf0.1,
+        # plans/r16/x_label_propagation_*.txt). Checkpointing truncates
+        # lineage so the plan stays linear in rounds; row values are
+        # identical.
+        labels = track_local_checkpoint(
             labels.join(best, "id", "left_outer").select(
                 "id",
                 F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),

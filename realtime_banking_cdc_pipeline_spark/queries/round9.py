@@ -576,7 +576,7 @@ def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
     from ..functions.similarity import (
         banded_keys,
         exploded_shingles,
-        minhash_signature,
+        minhash_signature_from_shingles,
     )
 
     occ = track_persist(_para_occurrences(d))
@@ -585,7 +585,14 @@ def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
             F.min("k").alias("first_k"), F.min("para").alias("para")
         )
     )
-    sig = minhash_signature(dist, "dg", "para", k=_PARA_SHINGLE_K)
+    # One tokenize/shingle fan-out feeds BOTH the minhash signature and
+    # the exact-Jaccard verification: sh is persisted below and the
+    # signature aggregates from it (previously minhash_signature re-ran
+    # the whole tokenize+shingle+explode pipeline a second time).
+    sh = track_persist(
+        exploded_shingles(dist, "dg", "para", _PARA_SHINGLE_K)
+    )
+    sig = minhash_signature_from_shingles(sh, "dg")
     banded = banded_keys(sig, "dg")
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (
@@ -593,9 +600,6 @@ def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
         .filter(F.col("a.dg") < F.col("b.dg"))
         .select(F.col("a.dg").alias("da"), F.col("b.dg").alias("db"))
         .dropDuplicates(["da", "db"])
-    )
-    sh = track_persist(
-        exploded_shingles(dist, "dg", "para", _PARA_SHINGLE_K)
     )
     sizes = sh.groupBy("dg").agg(F.count(F.lit(1)).alias("n"))
     inter = (
