@@ -164,29 +164,41 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
     from ..functions.similarity import MINHASH_PERMS, lsh_band_pairs, minhash_signature
     from ..functions.text import clean_text, ws_token_count
     from .llmdata import _PACK_BUDGET, _PACK_SHARDS, _PREP_MATCH_MIN, _docs
     from .round9 import paragraph_dedup_frame
 
     d = _docs(spark, sf_dir)
-    cleaned = track_persist(d.select("doc_id", clean_text("text").alias("ct")))
-    canon = cleaned.groupBy("ct").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id"
+    # Eager checkpoints (not lazy persists) for every frame the final
+    # status join consumes: that join launches its broadcast-subquery
+    # jobs CONCURRENTLY, and on a cold cache each job recomputed the
+    # shared clean/canon/paragraph subtrees in parallel (measured: the
+    # doc-scan + clean + canon-groupBy stage ran 4x per pass). Eager
+    # materialization runs each stage once and collapses the 2.1 MB
+    # formatted plan to checkpoint scans.
+    cleaned = track_local_checkpoint(
+        d.select("doc_id", clean_text("text").alias("ct"))
+    )
+    canon = track_local_checkpoint(
+        cleaned.groupBy("ct").agg(F.min("doc_id").alias("doc_id")).select(
+            "doc_id"
+        )
     )
     surv_docs = cleaned.join(canon, "doc_id").select(
         "doc_id", F.col("ct").alias("text")
     )
-    par = track_persist(paragraph_dedup_frame(surv_docs))
+    par = track_local_checkpoint(paragraph_dedup_frame(surv_docs))
     pdocs = par.filter(F.col("clean_text") != "").select(
         "doc_id", F.col("clean_text").alias("text")
     )
     sig = minhash_signature(pdocs, "doc_id", "text", k=3)
-    # persisted: the band-join subtree feeds BOTH the survivor anti-join
-    # and the final status join — unpersisted, Catalyst evaluates the
-    # full signature pipeline twice (measured ~2x the stage cost)
-    near_removed = track_persist(
+    # checkpointed: the band-join subtree feeds BOTH the survivor
+    # anti-join and the final status join — unmaterialized, Catalyst
+    # evaluates the full signature pipeline twice (measured ~2x the
+    # stage cost)
+    near_removed = track_local_checkpoint(
         lsh_band_pairs(sig, "doc_id", MINHASH_PERMS, bands=4)
         .filter(F.col("n_matching") >= _PREP_MATCH_MIN)
         .select(F.col("id_b").alias("doc_id"))

@@ -572,24 +572,33 @@ def paragraph_dedup_frame(d: DataFrame) -> DataFrame:
     frame — the x_paragraph_dedup machinery, reusable as a pipeline
     stage (x_corpus_pipeline_v4 runs it on exact-dedup survivors).
     Returns (doc_id, clean_text, n_removed, n_paras)."""
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
     from ..functions.similarity import (
         banded_keys,
         exploded_shingles,
         minhash_signature_from_shingles,
     )
 
-    occ = track_persist(_para_occurrences(d))
-    dist = track_persist(
+    # Eager checkpoints, not lazy persists: the multi-consumer frames
+    # below (occ feeds counts + kept, dist feeds sig/shingles/nf/kept,
+    # sh feeds sizes + both sides of the verification join) are pulled
+    # by SEPARATE concurrently-launched broadcast-subquery jobs in the
+    # final join — on a cold cache every one of those jobs recomputed
+    # the shared subtree in parallel (measured: the doc scan +
+    # tokenize/block stages ran 2-4x per pass). Checkpointing runs each
+    # subtree exactly once, and the downstream plan shrinks from the
+    # full text-pipeline lineage to a scan of the checkpoint.
+    occ = track_local_checkpoint(_para_occurrences(d))
+    dist = track_local_checkpoint(
         occ.groupBy("dg").agg(
             F.min("k").alias("first_k"), F.min("para").alias("para")
         )
     )
     # One tokenize/shingle fan-out feeds BOTH the minhash signature and
-    # the exact-Jaccard verification: sh is persisted below and the
+    # the exact-Jaccard verification: sh is checkpointed below and the
     # signature aggregates from it (previously minhash_signature re-ran
     # the whole tokenize+shingle+explode pipeline a second time).
-    sh = track_persist(
+    sh = track_local_checkpoint(
         exploded_shingles(dist, "dg", "para", _PARA_SHINGLE_K)
     )
     sig = minhash_signature_from_shingles(sh, "dg")
