@@ -129,23 +129,40 @@ def _plan_base_sh(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the per-source profile and the first-introducer contraction).
     Source is carried THROUGH the fan-out (x_source_novelty
     convention: never join a doc->source map onto multiplied rows)."""
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
     from ..functions.similarity import _shingles_from_tokens
     from ..functions.text import ws_tokens
 
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.col("text").cast("binary")).alias("g"),
-        ws_tokens("text").alias("__toks"),
+    # The documents parquet at bench scale is a single split (one row
+    # group under maxPartitionBytes) — without a rebalance the tokenize
+    # + shingle fan-out runs in ONE task while 31 cores idle (the
+    # _two_level_cells lesson, SCALE.md semdedup_cell_scaling). Derive
+    # the target from the session, not a constant; well-partitioned
+    # inputs skip the shuffle.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    # One eager tokenize pass shared by base and sh. Checkpoints, not
+    # lazy persists: base/sh are each read by several concurrently-
+    # launched subquery jobs downstream (ownership join, per-source
+    # profile, early/late drift split, knee base) — on a cold cache
+    # those jobs recomputed the fan-out in parallel (profiled: the
+    # scan+explode stage ran 5x per x_curation_plan_drift pass).
+    t = track_local_checkpoint(
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("g"),
+            ws_tokens("text").alias("__toks"),
+        )
     )
-    base = track_persist(
+    base = track_local_checkpoint(
         t.select(
             "doc_id", "source", "g",
             F.size("__toks").cast("bigint").alias("n_tokens"),
         )
     )
-    sh = track_persist(
+    sh = track_local_checkpoint(
         t.select(
             "doc_id",
             "source",
@@ -313,12 +330,14 @@ def _plan_mix_from(base: DataFrame, sh: DataFrame) -> DataFrame:
     ),
 )
 def x_curation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
 
     d = read_table(spark, sf_dir, "documents")
     base, sh = _plan_base_sh(d.select("doc_id", "source", "text"))
     alloc = _plan_mix_from(base, sh)
-    first = track_persist(
+    # checkpointed: vocab/owned/intro pull `first` from concurrent
+    # subquery jobs — lazy persist recomputed the shingle groupBy 3x
+    first = track_local_checkpoint(
         sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
     )
     vocab = first.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
@@ -332,7 +351,7 @@ def x_curation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     intro = first.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new")
     )
-    kb = track_persist(
+    kb = track_local_checkpoint(
         base.select("doc_id")
         .join(intro, "doc_id", "left_outer")
         .select(

@@ -153,7 +153,7 @@ def _drift_mix_frame(base: DataFrame, sh: DataFrame) -> DataFrame:
     """The drift-decayed allocation frame (the ``dmix`` CTE) from the
     shared persisted (base, sh) pair — consumed by the mix query and
     the drift-aware sample."""
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
 
     shares = _plan_mix_from(base, sh).select(
         "source", "kept_tokens", "share_fp"
@@ -167,7 +167,9 @@ def _drift_mix_frame(base: DataFrame, sh: DataFrame) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    late = track_persist(
+    # checkpointed: freshlate and late_counts pull this from separate
+    # concurrent subquery jobs (cold-cache double-compute otherwise)
+    late = track_local_checkpoint(
         shb.filter(F.col("doc_id") >= F.col("split"))
         .select("source", "shingle")
         .distinct()
