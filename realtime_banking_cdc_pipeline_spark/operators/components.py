@@ -38,11 +38,14 @@ def connected_components(
     isolated vertices (component = own id); otherwise only edge
     endpoints appear.
     """
-    sym = (
+    # Eager checkpoint: every iteration's plan re-embeds sym's lineage
+    # (for near-dup callers that is the whole MinHash/LSH candidate
+    # pipeline), so a lazy persist left Catalyst re-analyzing the full
+    # tree each round; the checkpoint truncates it to a scan.
+    sym = track_local_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
     ids = sym.select(F.col("a").alias("id"))
     if nodes is not None:
@@ -90,7 +93,11 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    sym.unpersist()
+    # sym is a tracked localCheckpoint now — released by the host's
+    # release_caches() after the result is consumed (a checkpoint
+    # cannot recompute, so freeing it here would break the labels
+    # frame only if labels ever re-derived from it; labels is itself
+    # checkpointed, so nothing downstream reads sym again).
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -572,14 +572,23 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct text) the uncontracted postings join did not finish in
     500 s; contracted it is seconds, and the contraction factor grows
     with duplication."""
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
 
     d = read_table(spark, sf_dir, "documents")
     keyed = d.select("doc_id", F.md5("text").alias("rep"), "text")
-    members = track_persist(keyed.select("rep", "doc_id"))
+    # checkpointed, not lazily persisted: members/w/norms are each read
+    # by several concurrently-launched subquery jobs below (postings
+    # a/b sides, norm joins, membership expansion) — on a cold cache
+    # those jobs recomputed the shared subtree in parallel.
+    members = track_local_checkpoint(keyed.select("rep", "doc_id"))
     reps = keyed.groupBy("rep").agg(
         F.min("text").alias("text"), F.count(F.lit(1)).alias("mult")
     )
+    # Rebalance before the 4-gram fan-out: AQE coalesces the small
+    # contracted agg output to one partition, which would run the
+    # tokenize+explode multiplier single-task (measured 1.2 s serial).
+    par = spark.sparkContext.defaultParallelism
+    reps = reps.repartition(par)
     toks = reps.select(
         "rep", "mult", F.transform(ws_tokens("text"), F.lower).alias("t")
     )
@@ -598,7 +607,7 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.sum("mult").alias("df"))
     nn = d.agg(F.count(F.lit(1)).alias("n"))
-    w = track_persist(
+    w = track_local_checkpoint(
         tf.join(df_, "term")
         .crossJoin(F.broadcast(nn))
         .select(
@@ -614,7 +623,7 @@ def x_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps Σw² exact to 10^38 (headroom past n=10^9 distinct docs);
     # cosine remains one double division at the end.
     w2 = F.col("w").cast("decimal(19,0)")
-    norms = track_persist(
+    norms = track_local_checkpoint(
         w.groupBy("rep").agg(F.sum(w2 * w2).cast("decimal(38,0)").alias("nrm"))
     )
     # Exact candidate generation over prefix postings only: any pair
