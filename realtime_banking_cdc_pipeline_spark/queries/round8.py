@@ -320,13 +320,15 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
 def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..caching import track_persist
+    from ..caching import track_local_checkpoint
     from ..functions.similarity import fx_dot
     from .llmdata import _emb
     from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells
 
     emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
-    m = track_persist(
+    # eager checkpoint — three concurrently-launched consumers (ranked
+    # cap set, pair b-side, final keep join); see x_semdedup
+    m = track_local_checkpoint(
         cells.select("vec_id", "cid", "ccos")
         .join(emb, "vec_id")
         .select("vec_id", "cid", "ccos", "embedding")
@@ -634,7 +636,15 @@ def _refined_cells(spark: SparkSession, sf_dir: str):
             "nn",
         )
     )
-    return track_persist(cells)
+    # Eager checkpoint: the pair stage self-joins this frame (a/b
+    # sides) and the keep frame left-joins it again — three consumers
+    # in concurrently-launched jobs; a lazy persist recomputed the
+    # refined-assignment subtree on the cold cache, and the checkpoint
+    # also truncates the two-level + Lloyd lineage out of the pair
+    # stage's plan.
+    from ..caching import track_local_checkpoint
+
+    return track_local_checkpoint(cells)
 
 
 @query(

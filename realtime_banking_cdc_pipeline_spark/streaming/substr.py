@@ -84,7 +84,12 @@ def _with_bucket(df: DataFrame) -> DataFrame:
 
 def batch_shingles(batch_docs: DataFrame) -> DataFrame:
     """(doc_id, p, g) k-gram digests for one batch — the same shingle
-    construction the batch query uses (queries/round7.py)."""
+    construction the batch query uses (queries/round7.py). The digest
+    is the md5 stored as 16-byte BINARY (unhex), not the 32-char hex
+    string: g rides every store partition and every gate shuffle
+    (~200M rows/epoch at the 2M-doc probe), so halving the column
+    halves the dominant byte volume (guide §2.3) with identical
+    injectivity — the emitted anchors (doc_id, p) are unchanged."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
     )
@@ -97,7 +102,7 @@ def batch_shingles(batch_docs: DataFrame) -> DataFrame:
                 F.expr(
                     f"transform(sequence(0, size(toks) - {_XSUB_K}),"
                     f" p -> struct(p AS p,"
-                    f" md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' ')) AS g))"
+                    f" unhex(md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' '))) AS g))"
                 )
             ).alias("s"),
         )
@@ -137,29 +142,49 @@ def ingest_substr_batch(
     # batches, leaving stores whose every epoch partition is rowless -
     # nothing to compare against, and unreadable by a root scan.
     if _has_parquet_files(cnt_path):
-        # join on (bucket, g): bucket is the store's partition column,
-        # so DPP prunes the history scan to the batch's gram buckets.
-        # The per-(g, eff) MAX collapses crash-debt duplicates (a row
-        # left behind by a crashed compaction also lives in a base);
-        # each (g, epoch) count is functionally determined, so MAX
-        # over copies is the exact value.
-        hist = (
-            _hist_window(
-                spark.read.parquet(cnt_path), epoch_id, retention_epochs
+        # History and batch counts fold in ONE exchange: union the
+        # horizon's (g, eff, cnt) rows with the batch's (tagged
+        # eff = epoch_id) and aggregate per gram once. collect_set
+        # collapses crash-debt duplicates exactly as the old
+        # per-(g, eff) MAX did — leftover rows from a crashed
+        # compaction are byte-identical copies of base rows (each
+        # (g, epoch) count is functionally determined), so set
+        # semantics dedup them. The previous two-level aggregation +
+        # join shuffled the ~R-epoch horizon twice and the batch once
+        # more (~14 GB/epoch measured at the 2M-doc probe); this is
+        # one shuffle of horizon + batch. cnt_b > 0 keeps exactly the
+        # old left-outer-from-batch row set.
+        hist_rows = _hist_window(
+            spark.read.parquet(cnt_path), epoch_id, retention_epochs
+        ).select("g", "eff", "cnt")
+        both = hist_rows.unionByName(
+            cnt_b.select(
+                "g", F.lit(int(epoch_id)).cast("long").alias("eff"), "cnt"
             )
-            .groupBy("bucket", "g", "eff")
-            .agg(F.max("cnt").alias("cnt"))
-            .groupBy("bucket", "g")
-            .agg(F.sum("cnt").alias("cnt_h"))
         )
-        status = cnt_b.join(hist, ["bucket", "g"], "left_outer")
+        e_lit = int(epoch_id)
+        status = (
+            both.groupBy("g")
+            .agg(F.collect_set(F.struct("eff", "cnt")).alias("__es"))
+            .select(
+                "g",
+                F.expr(
+                    f"aggregate(filter(__es, x -> x.eff < {e_lit}),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x.cnt)"
+                ).alias("cnt_h"),
+                F.expr(
+                    f"aggregate(filter(__es, x -> x.eff = {e_lit}),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x.cnt)"
+                ).alias("cnt_b"),
+            )
+            .filter(F.col("cnt_b") > 0)
+        )
     else:
-        status = cnt_b.withColumn("cnt_h", F.lit(None).cast("long"))
-    status = status.select(
-        "g",
-        F.coalesce(F.col("cnt_h"), F.lit(0)).alias("cnt_h"),
-        F.col("cnt").alias("cnt_b"),
-    )
+        status = cnt_b.select(
+            "g",
+            F.lit(0).cast("bigint").alias("cnt_h"),
+            F.col("cnt").cast("bigint").alias("cnt_b"),
+        )
     newly = status.filter(
         (F.col("cnt_h") < 2) & (F.col("cnt_h") + F.col("cnt_b") >= 2)
     ).select("g")
