@@ -76,20 +76,29 @@ from .corpus import _compact_store, _effective_epoch, _has_parquet_files
 _GRAM_BUCKETS = 64
 
 
+# The gram digest is md5 split into TWO LONGS (g1 = first 15 hex
+# digits, g2 = next 15; 120 bits total — collision-free at any
+# realistic corpus). Fixed-width long keys keep hash aggregation and
+# joins on Spark's fast unsafe-row path AND halve the column bytes vs
+# the 32-char hex string (guide §2.3): measured at 6.5M rows/2M keys,
+# groupBy on the hex string 3.2 s, on BINARY 7.7 s (binary group keys
+# miss the fast hash map), on (g1, g2) longs 0.8 s. g rides every
+# store partition and every gate shuffle (~200M rows/epoch at the
+# 2M-doc probe), so this is the dominant byte+CPU column. Emitted
+# anchors (doc_id, p) are unchanged.
+_G_COLS = ["g1", "g2"]
+
+
 def _with_bucket(df: DataFrame) -> DataFrame:
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64("g"), F.lit(_GRAM_BUCKETS))
+        "bucket", F.pmod(F.xxhash64("g1", "g2"), F.lit(_GRAM_BUCKETS))
     )
 
 
 def batch_shingles(batch_docs: DataFrame) -> DataFrame:
-    """(doc_id, p, g) k-gram digests for one batch — the same shingle
-    construction the batch query uses (queries/round7.py). The digest
-    is the md5 stored as 16-byte BINARY (unhex), not the 32-char hex
-    string: g rides every store partition and every gate shuffle
-    (~200M rows/epoch at the 2M-doc probe), so halving the column
-    halves the dominant byte volume (guide §2.3) with identical
-    injectivity — the emitted anchors (doc_id, p) are unchanged."""
+    """(doc_id, p, g1, g2) k-gram digests for one batch — the same
+    shingle construction the batch query uses (queries/round7.py),
+    digest encoding per the module note above."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
     )
@@ -102,11 +111,20 @@ def batch_shingles(batch_docs: DataFrame) -> DataFrame:
                 F.expr(
                     f"transform(sequence(0, size(toks) - {_XSUB_K}),"
                     f" p -> struct(p AS p,"
-                    f" unhex(md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' '))) AS g))"
+                    f" md5(array_join(slice(toks, p + 1, {_XSUB_K}), ' ')) AS gh))"
                 )
             ).alias("s"),
         )
-        .select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+        .select(
+            "doc_id",
+            F.col("s.p").alias("p"),
+            F.conv(F.substring("s.gh", 1, 15), 16, 10)
+            .cast("long")
+            .alias("g1"),
+            F.conv(F.substring("s.gh", 16, 15), 16, 10)
+            .cast("long")
+            .alias("g2"),
+        )
     )
 
 
@@ -134,7 +152,9 @@ def ingest_substr_batch(
     DataFrame logic; epoch partitions make replays idempotent."""
     spark = batch_docs.sparkSession
     ng = batch_shingles(batch_docs).localCheckpoint(eager=True)
-    cnt_b = _with_bucket(ng.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")))
+    cnt_b = _with_bucket(
+        ng.groupBy(*_G_COLS).agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
     cnt_path = os.path.join(store_path, "counts")
     pos_path = os.path.join(store_path, "positions")
@@ -156,18 +176,20 @@ def ingest_substr_batch(
         # old left-outer-from-batch row set.
         hist_rows = _hist_window(
             spark.read.parquet(cnt_path), epoch_id, retention_epochs
-        ).select("g", "eff", "cnt")
+        ).select(*_G_COLS, "eff", "cnt")
         both = hist_rows.unionByName(
             cnt_b.select(
-                "g", F.lit(int(epoch_id)).cast("long").alias("eff"), "cnt"
+                *_G_COLS,
+                F.lit(int(epoch_id)).cast("long").alias("eff"),
+                "cnt",
             )
         )
         e_lit = int(epoch_id)
         status = (
-            both.groupBy("g")
+            both.groupBy(*_G_COLS)
             .agg(F.collect_set(F.struct("eff", "cnt")).alias("__es"))
             .select(
-                "g",
+                *_G_COLS,
                 F.expr(
                     f"aggregate(filter(__es, x -> x.eff < {e_lit}),"
                     " CAST(0 AS BIGINT), (acc, x) -> acc + x.cnt)"
@@ -181,16 +203,16 @@ def ingest_substr_batch(
         )
     else:
         status = cnt_b.select(
-            "g",
+            *_G_COLS,
             F.lit(0).cast("bigint").alias("cnt_h"),
             F.col("cnt").cast("bigint").alias("cnt_b"),
         )
     newly = status.filter(
         (F.col("cnt_h") < 2) & (F.col("cnt_h") + F.col("cnt_b") >= 2)
-    ).select("g")
-    already = status.filter(F.col("cnt_h") >= 2).select("g")
+    ).select(*_G_COLS)
+    already = status.filter(F.col("cnt_h") >= 2).select(*_G_COLS)
 
-    emitted = ng.join(newly.unionByName(already).distinct(), "g").select(
+    emitted = ng.join(newly.unionByName(already).distinct(), _G_COLS).select(
         "doc_id", "p"
     )
     if _has_parquet_files(pos_path):
@@ -198,7 +220,7 @@ def ingest_substr_batch(
             spark.read.parquet(pos_path), epoch_id, retention_epochs
         )
         emitted = emitted.unionByName(
-            hist_pos.join(_with_bucket(newly), ["bucket", "g"])
+            hist_pos.join(_with_bucket(newly), ["bucket", *_G_COLS])
             .select("doc_id", "p")
             .dropDuplicates(["doc_id", "p"])  # crash-debt copies
         )
@@ -217,7 +239,7 @@ def ingest_substr_batch(
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(cnt_path, f"epoch={int(epoch_id)}")
     )
-    _with_bucket(ng.select("g", "doc_id", "p")).repartition(
+    _with_bucket(ng.select(*_G_COLS, "doc_id", "p")).repartition(
         "bucket"
     ).withColumn(
         "src_epoch", F.lit(int(epoch_id))
@@ -287,18 +309,18 @@ def compact_substr_store(
     if _has_parquet_files(pos_path):
         repeated = (
             _hist_window(spark.read.parquet(cnt_path), epoch_id, None)
-            .groupBy("bucket", "g", "eff")
+            .groupBy("bucket", *_G_COLS, "eff")
             .agg(F.max("cnt").alias("cnt"))
-            .groupBy("bucket", "g")
+            .groupBy("bucket", *_G_COLS)
             .agg(F.sum("cnt").alias("cnt_h"))
             .filter(F.col("cnt_h") >= 2)
-            .select("bucket", "g")
+            .select("bucket", *_G_COLS)
         )
         _compact_store(
             spark, pos_path, epoch_id, "bucket", None,
             incremental=incremental, max_bases=max_bases,
             fold_transform=lambda fold: fold.join(
-                repeated, ["bucket", "g"], "left_anti"
+                repeated, ["bucket", *_G_COLS], "left_anti"
             ),
         )
 

@@ -331,9 +331,15 @@ def test_incremental_substr_anchors_match_batch(spark, tmp_path):
         "doc_id", "text"
     )
     ng = batch_shingles(docs)
-    rep = ng.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    rep = (
+        ng.groupBy("g1", "g2")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("g1", "g2")
+    )
     batch_anchors = {
-        (r.doc_id, r.p) for r in ng.join(rep, "g").select("doc_id", "p").collect()
+        (r.doc_id, r.p)
+        for r in ng.join(rep, ["g1", "g2"]).select("doc_id", "p").collect()
     }
     assert batch_anchors, "fixture must have repeated grams"
 

@@ -37,8 +37,13 @@ def _anchors(df):
 
 def _batch_truth(spark):
     ng = batch_shingles(_docs(spark))
-    rep = ng.groupBy("g").count().filter(F.col("count") >= 2).select("g")
-    return _anchors(ng.join(rep, "g"))
+    rep = (
+        ng.groupBy("g1", "g2")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("g1", "g2")
+    )
+    return _anchors(ng.join(rep, ["g1", "g2"]))
 
 
 def test_compaction_preserves_emissions(spark, tmp_path):
