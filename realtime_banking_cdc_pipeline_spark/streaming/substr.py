@@ -164,19 +164,34 @@ def ingest_substr_batch(
     if _has_parquet_files(cnt_path):
         # History and batch counts fold in ONE exchange: union the
         # horizon's (g, eff, cnt) rows with the batch's (tagged
-        # eff = epoch_id) and aggregate per gram once. collect_set
-        # collapses crash-debt duplicates exactly as the old
-        # per-(g, eff) MAX did — leftover rows from a crashed
-        # compaction are byte-identical copies of base rows (each
-        # (g, epoch) count is functionally determined), so set
-        # semantics dedup them. The previous two-level aggregation +
+        # eff = epoch_id) and aggregate per gram once with plain
+        # conditional SUMs — declarative aggregates stay on the
+        # fixed-width fast hash map (a collect_set variant measured
+        # here fell back to object/sort-based aggregation past 128
+        # keys per partition and GREW with the horizon: 13→56 s/epoch
+        # at the 2M-doc probe). The previous two-level aggregation +
         # join shuffled the ~R-epoch horizon twice and the batch once
-        # more (~14 GB/epoch measured at the 2M-doc probe); this is
-        # one shuffle of horizon + batch. cnt_b > 0 keeps exactly the
-        # old left-outer-from-batch row set.
-        hist_rows = _hist_window(
+        # more (~14 GB/epoch measured); this is one shuffle of
+        # horizon + batch. cnt_b > 0 keeps exactly the old
+        # left-outer-from-batch row set.
+        #
+        # Crash-debt handling: in RETENTION mode maintenance is
+        # retire-only (compact_substr_store deletes whole expired
+        # epoch dirs, never writes a base), so every (g, eff) occurs
+        # at most once and no dedup is needed — the plain sum IS the
+        # exact count. In unbounded/compaction mode a crashed
+        # compaction can leave a base row and its source epoch row
+        # alive simultaneously, so that path keeps the per-(g, eff)
+        # MAX collapse before summing.
+        hist = _hist_window(
             spark.read.parquet(cnt_path), epoch_id, retention_epochs
-        ).select(*_G_COLS, "eff", "cnt")
+        )
+        if retention_epochs is None:
+            hist = (
+                hist.groupBy(*_G_COLS, "eff")
+                .agg(F.max("cnt").alias("cnt"))
+            )
+        hist_rows = hist.select(*_G_COLS, "eff", "cnt")
         both = hist_rows.unionByName(
             cnt_b.select(
                 *_G_COLS,
@@ -187,17 +202,17 @@ def ingest_substr_batch(
         e_lit = int(epoch_id)
         status = (
             both.groupBy(*_G_COLS)
-            .agg(F.collect_set(F.struct("eff", "cnt")).alias("__es"))
-            .select(
-                *_G_COLS,
-                F.expr(
-                    f"aggregate(filter(__es, x -> x.eff < {e_lit}),"
-                    " CAST(0 AS BIGINT), (acc, x) -> acc + x.cnt)"
-                ).alias("cnt_h"),
-                F.expr(
-                    f"aggregate(filter(__es, x -> x.eff = {e_lit}),"
-                    " CAST(0 AS BIGINT), (acc, x) -> acc + x.cnt)"
-                ).alias("cnt_b"),
+            .agg(
+                F.sum(
+                    F.when(F.col("eff") < e_lit, F.col("cnt")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("cnt_h"),
+                F.sum(
+                    F.when(F.col("eff") == e_lit, F.col("cnt")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("cnt_b"),
             )
             .filter(F.col("cnt_b") > 0)
         )
