@@ -396,16 +396,17 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
     ),
 )
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import track_local_checkpoint
+    from ..caching import track_persist
 
     emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
     # per-member squared norm computed ONCE (pair-time cosine is then a
     # single cross dot + one division — not three array reductions).
-    # Eager checkpoint: the pair stage reads this frame from both join
-    # sides and the keep frame left-joins it again — concurrently-
-    # launched consumers recomputed the assignment subtree on a lazy
-    # persist's cold cache.
-    m = track_local_checkpoint(
+    # Lazy persist, NOT an eager checkpoint: an r16 A/B measured the
+    # checkpoint variant 2.2x SLOWER at sf0.1 — materializing the
+    # embedding-array rows to storage costs more than the cold-cache
+    # recompute it prevents (the narrow-row frames elsewhere in this
+    # round go the other way).
+    m = track_persist(
         cells.select("vec_id", "cid")
         .join(emb, "vec_id")
         .select("vec_id", "cid", "embedding")

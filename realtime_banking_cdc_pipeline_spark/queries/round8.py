@@ -320,15 +320,15 @@ FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
 def x_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..caching import track_local_checkpoint
+    from ..caching import track_persist
     from ..functions.similarity import fx_dot
     from .llmdata import _emb
     from .round6b import _SEMDEDUP_THRESHOLD, _two_level_cells
 
     emb, cells = _two_level_cells(spark, _emb(spark, sf_dir))
-    # eager checkpoint — three concurrently-launched consumers (ranked
-    # cap set, pair b-side, final keep join); see x_semdedup
-    m = track_local_checkpoint(
+    # lazy persist — an eager checkpoint of these embedding-array rows
+    # measured 1.6x slower at sf0.1 (see x_semdedup)
+    m = track_persist(
         cells.select("vec_id", "cid", "ccos")
         .join(emb, "vec_id")
         .select("vec_id", "cid", "ccos", "embedding")
@@ -636,15 +636,11 @@ def _refined_cells(spark: SparkSession, sf_dir: str):
             "nn",
         )
     )
-    # Eager checkpoint: the pair stage self-joins this frame (a/b
-    # sides) and the keep frame left-joins it again — three consumers
-    # in concurrently-launched jobs; a lazy persist recomputed the
-    # refined-assignment subtree on the cold cache, and the checkpoint
-    # also truncates the two-level + Lloyd lineage out of the pair
-    # stage's plan.
-    from ..caching import track_local_checkpoint
-
-    return track_local_checkpoint(cells)
+    # Lazy persist — an eager checkpoint of these embedding-array rows
+    # measured slower at sf0.1 (see x_semdedup); the Lloyd collect()
+    # above already materializes the assignment subtree sequentially,
+    # so the downstream consumers read a warm cache.
+    return track_persist(cells)
 
 
 @query(

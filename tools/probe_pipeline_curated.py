@@ -267,8 +267,11 @@ checks = {
         b["stages"].get("compaction", 0.0) <= 0.20 * b["sec"]
         for b in batches
     ),
-    "worst_batch_le_2.5x_median": max(b["sec"] for b in batches)
-    <= 2.5 * sorted(b["sec"] for b in batches)[len(batches) // 2],
+    # r15 verdict flagged the 2.5x relaxation as a quiet goalpost move;
+    # the r16 substr-gate shuffle cuts brought the clean run to 1.48x,
+    # so the ORIGINAL 1.6x bar is restored (the r14 directive's value).
+    "worst_batch_le_1.6x_median": max(b["sec"] for b in batches)
+    <= 1.6 * sorted(b["sec"] for b in batches)[len(batches) // 2],
 }
 cov = sorted(
     (
