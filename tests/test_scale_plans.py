@@ -744,7 +744,14 @@ def test_round10_plan_shapes(spark):
 
     v4 = _formatted_plan(QUERIES["x_corpus_pipeline_v4"].spark(spark, SF))
     assert "CartesianProduct" not in v4
-    assert "InMemoryTableScan" in v4, "cleaned/par frames not persisted"
+    # r16: the shared cleaned/par/near_removed frames are EAGER
+    # checkpoints now (ExistingRDD scans), which satisfies the same
+    # no-lineage-recompute invariant this assertion pinned for lazy
+    # persists (InMemoryTableScan) — and more strongly: the subtree
+    # cannot race-recompute under concurrent subquery jobs.
+    assert ("InMemoryTableScan" in v4) or ("ExistingRDD" in v4), (
+        "cleaned/par frames not materialized"
+    )
     assert "hashpartitioning(shard" in v4, (
         "packing running-sum must be shard-partitioned, not a global sort"
     )
@@ -776,7 +783,12 @@ def test_curation_plan_shapes(spark):
     df = QUERIES["x_curation_plan"].spark(spark, SF)
     plan = _formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan, "shared frames not persisted"
+    # r16: the shared shingle fan-out is an EAGER checkpoint
+    # (ExistingRDD scan) — same no-lineage-recompute invariant as the
+    # old lazy persist (InMemoryTableScan), race-proof besides.
+    assert ("InMemoryTableScan" in plan) or ("ExistingRDD" in plan), (
+        "shared frames not materialized"
+    )
     specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
     assert specs <= {"__shard", "mix_rem"}, specs
     assert shuffle_count(df) <= 6
@@ -804,6 +816,8 @@ def test_round13_late_batch_plan_shapes(spark):
         df = QUERIES[name].spark(spark, SF)
         plan = _formatted_plan(df)
         assert "CartesianProduct" not in plan, name
-        assert "InMemoryTableScan" in plan, f"{name}: shared frames not persisted"
+        assert ("InMemoryTableScan" in plan) or ("ExistingRDD" in plan), (
+            f"{name}: shared frames not materialized"
+        )
         specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
         assert specs <= keys, (name, specs)
