@@ -8,6 +8,12 @@ when the CALLER finally executes it. Left alone, every invocation in a
 long-lived session (a driver looping over 65 queries, a notebook, a
 scheduled job) leaks cached blocks into executor storage memory.
 
+Failure tolerance: localCheckpoint blocks cannot be recomputed — on a
+real cluster an executor loss mid-query fails the query. SCALE.md
+"localCheckpoint is not failure-tolerant" documents the per-operator
+cluster remedies (reliable `spark.checkpoint.dir` checkpoints for the
+iterative loops, replicated persists for shared frames).
+
 ``track_persist`` is the persist() those operators use: it registers
 the frame in a module-level list so hosts can bulk-release between
 queries with ``release_caches()`` — bench.py does this between timed
@@ -104,6 +110,19 @@ class CheckpointScope:
 
     def __exit__(self, *exc) -> None:
         self.release()
+
+
+def promote_scope(scope: CheckpointScope) -> None:
+    """Move a scope's checkpoints into the global registry — for frames
+    that OUTLIVE the scope (e.g. an iterative loop's final round, which
+    the caller's returned DataFrame still reads). The host's
+    ``release_caches()`` frees them between queries as usual. Iterative
+    operators use per-round scopes + this promotion so that retired
+    round-(i-1) checkpoints are freed INSIDE the loop (O(1) live
+    checkpoints in rounds) instead of accumulating O(rounds × |V|)
+    executor storage until the host releases (r16 verdict #2)."""
+    _TRACKED_RDDS.extend(scope._rdds)
+    scope._rdds.clear()
 
 
 def _release_rdds(rdds: list) -> int:

@@ -38,7 +38,7 @@ from ..functions.text import (
     ws_tokens,
 )
 from ..sources.parquet_io import read_table
-from ..caching import track_persist
+from ..caching import track_local_checkpoint, track_persist
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1391,25 +1391,38 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     feats = quality_features("text")
-    # persisted: the regex-heavy feature subtree feeds four join branches
-    # below (qual/surv/near_removed/final) — without it Catalyst re-runs
-    # the scoring once per branch
-    scored = d.select(
-        "doc_id",
-        "text",
-        feats["n_tokens"].alias("n_tokens"),
-        (F.lit(0.5) * feats["stopword_ratio"] + F.lit(0.5) * feats["alpha_ratio"]).alias(
-            "quality_score"
-        ),
+    # Eager NARROW checkpoint (r17, the r16 race-kill class): the
+    # regex-heavy feature subtree feeds four join branches below
+    # (qual/surv/near_removed/final) that the final join launches as
+    # CONCURRENT broadcast-subquery jobs — a lazy persist is not yet
+    # materialized when they start, so each job re-ran the scoring in
+    # parallel. The checkpoint deliberately DROPS text (the r16
+    # semdedup lesson: materialize narrow/multiplied frames, never
+    # wide payload rows); the one consumer that needs text (qual_docs)
+    # re-joins the raw scan, which costs a doc_id join instead of a
+    # second regex pass.
+    scored = track_local_checkpoint(
+        d.select(
+            "doc_id",
+            feats["n_tokens"].alias("n_tokens"),
+            (
+                F.lit(0.5) * feats["stopword_ratio"]
+                + F.lit(0.5) * feats["alpha_ratio"]
+            ).alias("quality_score"),
+        )
     )
-    scored = track_persist(scored)
-    qual = scored.filter(
+    qual_ids = scored.filter(
         (F.col("quality_score") >= _PREP_QUALITY_MIN)
         & (F.col("n_tokens") >= _PREP_TOKENS_MIN)
-    ).select("doc_id", "text")
+    ).select("doc_id")
+    qual = d.join(qual_ids, "doc_id").select("doc_id", "text")
     # canonical survivor per text = min doc_id (groupBy beats a window
     # here: partial min map-side, no per-group sort on long text keys)
-    surv = qual.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # — checkpointed (narrow ids): read by surv_docs' join AND the
+    # final join's concurrent __s branch
+    surv = track_local_checkpoint(
+        qual.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
     surv_docs = d.join(surv, "doc_id").select("doc_id", "text")
 
     sig = minhash_signature(surv_docs, "doc_id", "text", k=3)
@@ -1424,7 +1437,7 @@ def x_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         scored.select("doc_id")
-        .join(qual.select("doc_id", F.lit(True).alias("__q")), "doc_id", "left")
+        .join(qual_ids.select("doc_id", F.lit(True).alias("__q")), "doc_id", "left")
         .join(surv.select("doc_id", F.lit(True).alias("__s")), "doc_id", "left")
         .join(near_removed.select("doc_id", F.lit(True).alias("__n")), "doc_id", "left")
         .select(

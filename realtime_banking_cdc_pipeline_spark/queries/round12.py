@@ -611,7 +611,7 @@ FROM l{iters}
     ),
 )
 def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import track_local_checkpoint, track_persist
+    from ..caching import CheckpointScope, promote_scope, track_persist
     from .round7b import x_winnowing_matches
 
     d = read_table(spark, sf_dir, "documents")
@@ -628,6 +628,13 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("id").orderBy(
         F.col("c").desc(), F.col("lbl").asc()
     )
+    # Per-round CheckpointScope (r17, r16 verdict #2): once round i's
+    # frame materializes, round i-1's checkpoint has no reader left —
+    # free it inside the loop so live executor storage stays O(|V|),
+    # not O(rounds × |V|). The final round's checkpoint backs the
+    # returned frame, so it is promoted to the global registry for the
+    # host's release_caches().
+    cur = CheckpointScope()
     for _ in range(_LPA_ITERS):
         votes = (
             edges.join(
@@ -649,12 +656,16 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plans/r16/x_label_propagation_*.txt). Checkpointing truncates
         # lineage so the plan stays linear in rounds; row values are
         # identical.
-        labels = track_local_checkpoint(
+        nxt = CheckpointScope()
+        labels = nxt.ckpt(
             labels.join(best, "id", "left_outer").select(
                 "id",
                 F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
             )
         )
+        cur.release()  # round i-1's checkpoint: this round materialized
+        cur = nxt
+    promote_scope(cur)  # round-4 labels back the returned frame
     # Community sizes via groupBy + equi-join (the a6_argmax_latest
     # convention), NOT count().over(Window.partitionBy("lbl")): a giant
     # near-dup community would flow through ONE task under a label

@@ -85,6 +85,7 @@ def _two_level_cells(
     emb: DataFrame,
     fine_probes: int | None = None,
     k_override: int | None = None,
+    n_rows: int | None = None,
 ):
     """Two-level (coarse→fine) quantizer assignment for the SemDeDup
     family: ``(emb, cells)`` where cells = (vec_id, cid, ccos) — each
@@ -118,7 +119,10 @@ def _two_level_cells(
     starves local[32] on the assignment map stage — SCALE.md
     `semdedup_cell_scaling`); well-partitioned inputs skip the shuffle.
     """
-    n = emb.count()
+    # ``n_rows`` lets a caller that already holds the corpus count skip
+    # the count job (the capped-mknn second-quantizer call — one fewer
+    # eager driver action per build, guide §2.4 fewer actions)
+    n = emb.count() if n_rows is None else int(n_rows)
     # ``k_override`` replaces the adaptive vec_id THRESHOLD (centroids
     # are rows with vec_id < k, so k's magnitude is a threshold, not an
     # exact count — callers compensate for sparse id ranges themselves)

@@ -1137,8 +1137,20 @@ def _capped_pair_cos(
         )
     )
     # the over-cap gate is one driver scalar (the HWM collect pattern)
-    # — identical to the oracle's 1-row ``ov`` CTE
-    has_overflow = ranked.filter(F.col("rn") > cap).limit(1).count() > 0
+    # — identical to the oracle's 1-row ``ov`` CTE. Probed via a
+    # map-side-combinable per-cell COUNT (a cell has a row with
+    # rn > cap iff it has > cap rows), not the row_number window: the
+    # probe job then skips the per-cell sort entirely (guide §2.4) —
+    # the window still evaluates lazily inside hp where its top-cap
+    # output is actually needed.
+    has_overflow = (
+        m.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .limit(1)
+        .count()
+        > 0
+    )
     if has_overflow:
         row = reps.agg(
             F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")
@@ -1158,7 +1170,7 @@ def _capped_pair_cos(
             has_overflow = False
     if has_overflow:
         _, cells2, probes2 = _two_level_cells(
-            spark, reps, fine_probes=nprobe, k_override=t2
+            spark, reps, fine_probes=nprobe, k_override=t2, n_rows=n
         )
         m2 = cells2.select(
             "vec_id", F.col("cid").alias("cid2"), F.col("ccos").alias("ccos2")

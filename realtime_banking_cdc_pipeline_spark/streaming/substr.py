@@ -50,17 +50,25 @@ judge's directive #8):
 - **Crash-debt immunity**: a crash between a base commit and source
   deletion leaves duplicate rows on disk. Count reads collapse them
   with a per-(g, epoch) MAX before summing (each (g, epoch) count is
-  functionally determined, so MAX over duplicates is exact), and
-  emitted positions pass through a dropDuplicates — verdicts are
-  exactly-once even inside the crash window; the next compaction
-  deletes the debt.
+  functionally determined, so MAX over duplicates is exact) whenever
+  any base generation exists on disk — i.e. always in
+  unbounded/compaction mode, and in retention mode only when the
+  store carries leftover bases from an earlier unbounded life (a
+  pure retire-only store has no bases and no debt, so it keeps the
+  cheaper plain conditional SUM). Emitted positions pass through a
+  dropDuplicates — verdicts are exactly-once even inside the crash
+  window; the next compaction deletes the debt.
 
 At 100 TB: both stores are gram-keyed and land in
-``bucket=pmod(xxhash64(g), 64)`` parquet partitions (the corpus.py
-band-store layout); the per-batch joins carry the redundant bucket
-equi-key so dynamic partition pruning bounds every history scan by the
-batch's gram footprint. Counts contract to the distinct grams of the
-batch (map-side combinable) before touching history.
+``bucket=pmod(xxhash64(g1, g2), 64)`` parquet partitions (the
+corpus.py band-store layout). Since r16 the counts gate is ONE
+exchange — the horizon's (g, eff, cnt) rows union the batch's tagged
+rows and aggregate per gram with conditional SUMs (no history join at
+all), so bucket-keyed dynamic partition pruning now applies only to
+the POSITIONS join (newly-repeated grams × historical positions),
+where it still bounds the scan by the trigger grams' bucket
+footprint. Counts contract to the distinct grams of the batch
+(map-side combinable) before the union.
 """
 
 from __future__ import annotations
@@ -71,7 +79,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.round7 import _XSUB_K
-from .corpus import _compact_store, _effective_epoch, _has_parquet_files
+from .corpus import (
+    _compact_store,
+    _effective_epoch,
+    _epoch_ids,
+    _has_parquet_files,
+)
 
 _GRAM_BUCKETS = 64
 
@@ -182,11 +195,19 @@ def ingest_substr_batch(
         # exact count. In unbounded/compaction mode a crashed
         # compaction can leave a base row and its source epoch row
         # alive simultaneously, so that path keeps the per-(g, eff)
-        # MAX collapse before summing.
+        # MAX collapse before summing. A retention-mode store that
+        # PREVIOUSLY ran unbounded compaction can still hold base
+        # generations (epoch=-e dirs) with exactly that crash debt —
+        # the plain sum would double-count them (r16 ADVICE), so the
+        # MAX collapse also applies whenever any base partition is on
+        # disk; the pure-retention store (no bases ever) keeps the
+        # cheap plain-sum path.
         hist = _hist_window(
             spark.read.parquet(cnt_path), epoch_id, retention_epochs
         )
-        if retention_epochs is None:
+        if retention_epochs is None or any(
+            e < 0 for e in _epoch_ids(cnt_path)
+        ):
             hist = (
                 hist.groupBy(*_G_COLS, "eff")
                 .agg(F.max("cnt").alias("cnt"))
@@ -303,8 +324,6 @@ def compact_substr_store(
     pos_path = os.path.join(store_path, "positions")
     if retention_epochs is not None:
         import shutil
-
-        from .corpus import _epoch_ids
 
         for path in (cnt_path, pos_path):
             if not os.path.exists(path):

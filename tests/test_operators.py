@@ -490,3 +490,32 @@ def test_track_local_checkpoint_release(spark):
     assert freed >= 1
     assert jsc.getPersistentRDDs().size() == base, "checkpoint blocks not freed"
     assert not caching._TRACKED_RDDS
+
+
+def test_connected_components_live_checkpoints_o1_in_rounds(spark):
+    """r17 (r16 verdict #2): the iterative loop frees the retired
+    round-(i-1) localCheckpoint INSIDE the loop via CheckpointScope —
+    live checkpoint blocks stay O(1) in rounds instead of
+    O(rounds x |V|). After the build, only the edge checkpoint and the
+    final round's labels (promoted to the global registry) remain;
+    release_caches() then frees those too."""
+    from realtime_banking_cdc_pipeline_spark import caching
+    from realtime_banking_cdc_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    caching.release_caches()  # clean slate
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    # 40-node chain: needs several propagation rounds even with the
+    # pointer-jump acceleration, so a leak would show as >> 2 RDDs
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    got = connected_components(edges)
+    live = jsc.getPersistentRDDs().size() - base
+    # sym + final labels only (each localCheckpoint registers one RDD)
+    assert live <= 2, f"per-round checkpoints leaked: {live} live RDDs"
+    assert {r["component"] for r in got.collect()} == {0}
+    caching.release_caches()
+    assert jsc.getPersistentRDDs().size() == base

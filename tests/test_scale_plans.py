@@ -749,8 +749,13 @@ def test_round10_plan_shapes(spark):
     # no-lineage-recompute invariant this assertion pinned for lazy
     # persists (InMemoryTableScan) — and more strongly: the subtree
     # cannot race-recompute under concurrent subquery jobs.
-    assert ("InMemoryTableScan" in v4) or ("ExistingRDD" in v4), (
-        "cleaned/par frames not materialized"
+    # r17 (r16 ADVICE): a MINIMUM marker count, not mere presence — the
+    # four shared frames (cleaned/canon/par/near_removed) are each
+    # scanned at several sites of the final status join (measured 15
+    # ExistingRDD markers at sf0.01); dropping any one frame's
+    # materialization removes its >=2 scan sites and fails this floor.
+    assert (v4.count("InMemoryTableScan") + v4.count("ExistingRDD")) >= 10, (
+        "cleaned/canon/par/near_removed frames not all materialized"
     )
     assert "hashpartitioning(shard" in v4, (
         "packing running-sum must be shard-partitioned, not a global sort"
@@ -786,9 +791,12 @@ def test_curation_plan_shapes(spark):
     # r16: the shared shingle fan-out is an EAGER checkpoint
     # (ExistingRDD scan) — same no-lineage-recompute invariant as the
     # old lazy persist (InMemoryTableScan), race-proof besides.
-    assert ("InMemoryTableScan" in plan) or ("ExistingRDD" in plan), (
-        "shared frames not materialized"
-    )
+    # minimum marker count (r16 ADVICE): base/sh/first/kb are each
+    # scanned at many sites (measured 93 markers at sf0.01) — a single
+    # frame losing its materialization drops well below this floor
+    assert (
+        plan.count("InMemoryTableScan") + plan.count("ExistingRDD")
+    ) >= 50, "shared tokenize/shingle frames not all materialized"
     specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
     assert specs <= {"__shard", "mix_rem"}, specs
     assert shuffle_count(df) <= 6
@@ -816,8 +824,14 @@ def test_round13_late_batch_plan_shapes(spark):
         df = QUERIES[name].spark(spark, SF)
         plan = _formatted_plan(df)
         assert "CartesianProduct" not in plan, name
-        assert ("InMemoryTableScan" in plan) or ("ExistingRDD" in plan), (
-            f"{name}: shared frames not materialized"
-        )
+        # minimum marker counts (r16 ADVICE; measured at sf0.01:
+        # sample 150 ExistingRDD, drift 9 InMemoryTableScan, sweep 15
+        # combined) — presence-only would pass with a single leftover
+        # checkpoint after a shared frame lost its materialization
+        floor = {"x_curation_sample": 50, "x_source_drift": 6,
+                 "x_coverage_knee_sweep": 8}[name]
+        assert (
+            plan.count("InMemoryTableScan") + plan.count("ExistingRDD")
+        ) >= floor, f"{name}: shared frames not all materialized"
         specs = set(re.findall(r"windowspecdefinition\((\w+)", plan))
         assert specs <= keys, (name, specs)

@@ -1,10 +1,14 @@
-"""Capture .explain("formatted") for bench queries into plans/r16/.
+"""Capture .explain("formatted") for bench queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r17).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: e.g. "before" or "after" -> plans/r16/<query>_<suffix>.txt
+  suffix: e.g. "before" or "after" -> plans/<round>/<query>_<suffix>.txt
 
-Plans only — no execution. Warm-up-free, so safe to run alongside
-nothing; it builds each DataFrame and dumps the formatted plan.
+NOT execution-free (r16 ADVICE): building many of these queries runs
+their EAGER actions — localCheckpoints, adaptive-parameter counts,
+iterative loops — so capturing plans executes those subtrees. Do not
+run it concurrently with benchmarks or other timing work (the repo's
+measurement-discipline rule).
 """
 from __future__ import annotations
 
@@ -25,7 +29,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
