@@ -71,15 +71,15 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import (
     MINHASH_PERMS,
-    banded_keys,
     minhash_signature,
 )
 
 _MATCH_MIN_DEFAULT = 8  # of 16 components => est. jaccard >= 0.5
 
 # Band-partitioned store layout: banded key rows land in
-# bucket=pmod(xxhash64(band_key), _BAND_BUCKETS) parquet partitions, so
-# the per-batch candidate probe joins on (bucket, band_idx, band_key)
+# bucket=pmod(xxhash64(bk_*), _BAND_BUCKETS) parquet partitions, so
+# the per-batch candidate probe joins on (bucket, band_idx, bk_*) —
+# band keys are packed longs since r17 (see _packed_band_entries) —
 # and Spark's dynamic partition pruning reads ONLY the store buckets the
 # incoming batch's band keys hash into — the store scan is bounded by
 # the batch's key footprint, not the store's history. (xxhash64 is
@@ -116,36 +116,132 @@ def _has_parquet_files(part_dir: str) -> bool:
     return False
 
 
+def _bk_cols(num_perm: int, bands: int) -> list[str]:
+    """Names of the packed band-key long columns (see
+    :func:`_packed_band_entries`)."""
+    r = num_perm // bands
+    return [f"bk_{j}" for j in range((r + 1) // 2)]
+
+
+def _packed_band_entries(num_perm: int, bands: int):
+    """Array of (band_idx, bk_0..bk_{nk-1}) structs where each ``bk``
+    packs TWO adjacent signature components of the band into one long
+    (``s_even * 2^31 + s_odd``; every MinHash component is < 2^31-1,
+    so the pair fits 62 bits). The packing is a BIJECTION of the
+    component tuple — band-key equality is EXACTLY component-tuple
+    equality, so candidate sets (and therefore survivors) are
+    bit-identical to the former ``concat_ws('-')`` string keys, unlike
+    a lossy single-int64 hash (which would admit band-collision false
+    candidates — the r16 reason this stayed a string). Two fixed-width
+    longs vs a ~40-char string: narrower store rows, narrower probe
+    shuffles, and the join keys stay on Spark's unsafe-row fast hash
+    path (the r16 substr-gate digest lesson, guide §2.3)."""
+    r = num_perm // bands
+    entries = []
+    for b in range(bands):
+        fields = [F.lit(b).alias("band_idx")]
+        for j in range((r + 1) // 2):
+            lo = F.col(f"sig_{b * r + 2 * j}").cast("long")
+            if 2 * j + 1 < r:
+                packed = F.shiftleft(lo, 31) + F.col(
+                    f"sig_{b * r + 2 * j + 1}"
+                ).cast("long")
+            else:  # odd tail component packs alone
+                packed = lo
+            fields.append(packed.alias(f"bk_{j}"))
+        entries.append(F.struct(*fields))
+    return F.array(*entries)
+
+
+def _sp_cols(num_perm: int) -> list[str]:
+    """Names of the packed signature-pair long columns."""
+    return [f"sp_{j}" for j in range((num_perm + 1) // 2)]
+
+
+def _packed_sig_exprs(num_perm: int, prefix: str = "sig_") -> list:
+    """Pack the ``num_perm`` signature components into ceil(n/2) longs
+    (``s_even * 2^31 + s_odd`` — the same bijective pairing as the band
+    keys). The banded store carries THESE inline instead of the 16
+    separate sig longs: an UnsafeRow field costs 8 bytes regardless of
+    value, so halving the column COUNT halves the dominant payload of
+    every probe-join shuffle and store scan (guide §2.3 narrower
+    types; the r16 probe measured the paragraph leg at 2.28 GB/epoch
+    with 16-column rows)."""
+    out = []
+    for j in range((num_perm + 1) // 2):
+        lo = F.col(f"{prefix}{2 * j}").cast("long")
+        if 2 * j + 1 < num_perm:
+            packed = F.shiftleft(lo, 31) + F.col(
+                f"{prefix}{2 * j + 1}"
+            ).cast("long")
+        else:
+            packed = lo
+        out.append(packed.alias(f"sp_{j}"))
+    return out
+
+
+def _packed_match_count(num_perm: int, a_prefix: str, b_prefix: str):
+    """Number of EQUAL signature components recovered exactly from the
+    packed pairs: the high half compares via shiftright(·, 31), the low
+    half via a 31-bit mask — bit-identical to comparing the unpacked
+    sig columns (the packing is a bijection with no carry into bit 31,
+    every component being < 2^31 - 1)."""
+    mask = (1 << 31) - 1
+    terms = []
+    for j in range((num_perm + 1) // 2):
+        a = F.col(f"{a_prefix}{j}")
+        b = F.col(f"{b_prefix}{j}")
+        if 2 * j + 1 < num_perm:
+            terms.append(
+                (F.shiftright(a, 31) == F.shiftright(b, 31)).cast("int")
+            )
+            terms.append(
+                (a.bitwiseAND(F.lit(mask)) == b.bitwiseAND(F.lit(mask)))
+                .cast("int")
+            )
+        else:
+            terms.append((a == b).cast("int"))
+    return sum(terms)
+
+
+def _banded_key_longs(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, bk_*) rows — the narrow packed-long banded
+    representation for probe sides (the long twin of
+    similarity.banded_keys, which keeps the oracle-visible string
+    form for the batch queries)."""
+    bks = _bk_cols(num_perm, bands)
+    return sig.select(
+        F.col(id_col), F.explode(_packed_band_entries(num_perm, bands)).alias("band")
+    ).select(
+        F.col(id_col),
+        F.col("band.band_idx").alias("band_idx"),
+        *[F.col(f"band.{c}").alias(c) for c in bks],
+    )
+
+
 def _banded_with_sigs(
     sig: DataFrame, num_perm: int, bands: int
 ) -> DataFrame:
-    """(doc_id, band_idx, band_key, sig_0..sig_{n-1}, bucket) rows — the
-    self-contained banded representation: one probe join both GENERATES
-    candidates (band key equality) and REFINES them (inline signature
-    columns), so gating never re-reads the flat signature store."""
-    r = num_perm // bands
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "-", *[F.col(f"sig_{b * r + i}") for i in range(r)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    """(doc_id, band_idx, bk_*, sp_*, bucket) rows — the self-contained
+    banded representation: one probe join both GENERATES candidates
+    (packed band-key equality) and REFINES them (inline PACKED
+    signature pairs, see _packed_sig_exprs), so gating never re-reads
+    the flat signature store."""
+    bks = _bk_cols(num_perm, bands)
     return sig.select(
-        "doc_id", F.explode(band_entries).alias("band"),
-        *[f"sig_{j}" for j in range(num_perm)],
+        "doc_id", F.explode(_packed_band_entries(num_perm, bands)).alias("band"),
+        *_packed_sig_exprs(num_perm),
     ).select(
         "doc_id",
         F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_key").alias("band_key"),
-        *[f"sig_{j}" for j in range(num_perm)],
-        F.pmod(F.xxhash64("band.band_key"), F.lit(_BAND_BUCKETS)).alias(
-            "bucket"
-        ),
+        *[F.col(f"band.{c}").alias(c) for c in bks],
+        *_sp_cols(num_perm),
+        F.pmod(
+            F.xxhash64(*[F.col(f"band.{c}") for c in bks]),
+            F.lit(_BAND_BUCKETS),
+        ).alias("bucket"),
     )
 
 
@@ -181,33 +277,36 @@ def _match_pairs(
 ) -> DataFrame:
     """(id_a from left, id_b from right) pairs whose signatures agree on
     >= match_min components, found via one band-bucket equi-join over
-    the banded representation. ``left_banded`` supplies a pre-banded
-    (id_a, band_idx, band_key[, bucket][, sig_*]) frame — the
-    band-partitioned store path — in place of banding ``left_sig``;
-    when it carries inline signature columns the refinement needs no
-    flat-store join at all (``left_sig`` may then be None)."""
-    rb = banded_keys(
+    the packed-long banded representation (see _packed_band_entries).
+    ``left_banded`` supplies a pre-banded (id_a, band_idx, bk_*
+    [, bucket][, sig_*]) frame — the band-partitioned store path — in
+    place of banding ``left_sig``; when it carries inline signature
+    columns the refinement needs no flat-store join at all
+    (``left_sig`` may then be None)."""
+    bks = _bk_cols(num_perm, bands)
+    sps = _sp_cols(num_perm)
+    rb = _banded_key_longs(
         right_sig.select(F.col("doc_id").alias("id_b"), "*").drop("doc_id"),
         "id_b", num_perm, bands,
     )
     sig_b = right_sig.select(
         F.col("doc_id").alias("id_b"),
-        *[F.col(f"sig_{j}").alias(f"b_sig_{j}") for j in range(num_perm)],
+        *[
+            e.alias(f"b_{c}")
+            for e, c in zip(_packed_sig_exprs(num_perm), sps)
+        ],
     )
-    matches = sum(
-        (F.col(f"a_sig_{j}") == F.col(f"b_sig_{j}")).cast("int")
-        for j in range(num_perm)
-    )
-    if left_banded is not None and "sig_0" in left_banded.columns:
+    matches = _packed_match_count(num_perm, "a_sp_", "b_sp_")
+    if left_banded is not None and "sp_0" in left_banded.columns:
         rb = rb.withColumn(
-            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(_BAND_BUCKETS))
+            "bucket",
+            F.pmod(F.xxhash64(*bks), F.lit(_BAND_BUCKETS)),
         )
         cand = (
-            left_banded.join(rb, ["bucket", "band_idx", "band_key"])
+            left_banded.join(rb, ["bucket", "band_idx", *bks])
             .select(
                 "id_a", "id_b",
-                *[F.col(f"sig_{j}").alias(f"a_sig_{j}")
-                  for j in range(num_perm)],
+                *[F.col(c).alias(f"a_{c}") for c in sps],
             )
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -219,19 +318,20 @@ def _match_pairs(
     la = (
         left_banded
         if left_banded is not None
-        else banded_keys(
+        else _banded_key_longs(
             left_sig.select(F.col("doc_id").alias("id_a"), "*").drop("doc_id"),
             "id_a", num_perm, bands,
         )
     )
-    join_keys = ["band_idx", "band_key"]
+    join_keys = ["band_idx", *bks]
     if "bucket" in la.columns:
         # redundant equi-key on the partition column activates dynamic
         # partition pruning against the bucket-partitioned store scan
         rb = rb.withColumn(
-            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(_BAND_BUCKETS))
+            "bucket",
+            F.pmod(F.xxhash64(*bks), F.lit(_BAND_BUCKETS)),
         )
-        join_keys = ["bucket", "band_idx", "band_key"]
+        join_keys = ["bucket", "band_idx", *bks]
     pairs = (
         la.join(rb, join_keys)
         .select("id_a", "id_b")
@@ -239,7 +339,10 @@ def _match_pairs(
     )
     sig_a = left_sig.select(
         F.col("doc_id").alias("id_a"),
-        *[F.col(f"sig_{j}").alias(f"a_sig_{j}") for j in range(num_perm)],
+        *[
+            e.alias(f"a_{c}")
+            for e, c in zip(_packed_sig_exprs(num_perm), sps)
+        ],
     )
     return (
         pairs.join(sig_a, "id_a")
@@ -279,9 +382,10 @@ def ingest_batch(
 
     ``banded_store_path`` maintains the BAND-PARTITIONED key store
     alongside the signature store: the batch's rows land in
-    ``bucket=pmod(xxhash64(band_key), 64)`` parquet partitions WITH the
-    signature columns inline, so candidate generation against history
-    is a single probe join on (bucket, band_idx, band_key) — dynamic
+    ``bucket=pmod(xxhash64(bk_*), 64)`` parquet partitions WITH the
+    signature columns inline (band keys = packed longs, r17), so
+    candidate generation against history
+    is a single probe join on (bucket, band_idx, bk_*) — dynamic
     partition pruning bounds the store scan by the batch's key
     footprint, and refinement uses the inline signatures (the flat
     signature store is not read at all unless the two stores' epoch
@@ -293,9 +397,23 @@ def ingest_batch(
     from the last N epochs gate new arrivals (and compaction drops
     older rows permanently) — the constant-state deployment mode.
     """
+    from ..caching import CheckpointScope
+
     spark = batch_docs.sparkSession
-    sigs = minhash_signature(batch_docs, "doc_id", "text", k, num_perm)
-    sigs.persist()
+    # Eager checkpoint, not lazy persist (r17, the r16 race-kill
+    # class): the survivor verdict's single action launches its
+    # broadcast-subquery jobs concurrently, and a lazy persist is not
+    # yet materialized when they start — the tokenize+shingle+minhash
+    # subtree re-ran once per concurrent consumer on a cold cache. The
+    # frame is narrow (id + num_perm longs), the safe side of the r16
+    # wide-payload counter-case. Scope-released before return: the
+    # verdict and both store writes are materialized by then
+    # (DataFrame.unpersist on a checkpoint is a no-op, so the old
+    # sigs.unpersist() would leak the blocks until GC).
+    scope = CheckpointScope()
+    sigs = scope.ckpt(
+        minhash_signature(batch_docs, "doc_id", "text", k, num_perm)
+    )
     dropped_within = (
         _match_pairs(sigs, sigs, num_perm, bands, match_min)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -316,6 +434,14 @@ def ingest_batch(
                 spark.read.parquet(banded_store_path),
                 epoch_id, retention_epochs,
             )
+            if "sp_0" not in store_banded.columns:
+                # legacy layout (pre-r17 string band keys / unpacked
+                # sig columns, or the pre-r8 narrow rows): gate via the
+                # flat re-band path below — correct, just without the
+                # banded pruning — until the store is rebuilt in the
+                # packed-long layout
+                store_banded = None
+        if store_banded is not None:
             # Divergence repair: epochs ingested into the signature
             # store while the banded store was absent (toggled on
             # mid-stream, crash between the two compaction writes) are
@@ -331,35 +457,15 @@ def ingest_batch(
                         epoch_id, retention_epochs,
                     )
                 miss_banded = _banded_with_sigs(miss, num_perm, bands)
-                if "sig_0" in store_banded.columns:
-                    sig_cols = [f"sig_{j}" for j in range(num_perm)]
-                    store_banded = store_banded.select(
-                        "doc_id", "band_idx", "band_key", *sig_cols, "bucket"
-                    ).unionByName(miss_banded)
-                else:
-                    store_banded = store_banded.select(
-                        "doc_id", "band_idx", "band_key", "bucket"
-                    ).unionByName(
-                        miss_banded.select(
-                            "doc_id", "band_idx", "band_key", "bucket"
-                        )
-                    )
+                store_banded = store_banded.select(
+                    "doc_id", "band_idx", *_bk_cols(num_perm, bands),
+                    *_sp_cols(num_perm), "bucket"
+                ).unionByName(miss_banded)
             store_banded = store_banded.withColumnRenamed("doc_id", "id_a")
-            if "sig_0" in store_banded.columns:
-                dropped_vs_store = _match_pairs(
-                    None, sigs, num_perm, bands, match_min,
-                    left_banded=store_banded,
-                )
-            else:
-                # legacy narrow banded store: refinement joins the flat
-                # signature store
-                store = _horizon_filter(
-                    spark.read.parquet(store_path), epoch_id, retention_epochs
-                )
-                dropped_vs_store = _match_pairs(
-                    store, sigs, num_perm, bands, match_min,
-                    left_banded=store_banded,
-                )
+            dropped_vs_store = _match_pairs(
+                None, sigs, num_perm, bands, match_min,
+                left_banded=store_banded,
+            )
         else:
             store = _horizon_filter(
                 spark.read.parquet(store_path), epoch_id, retention_epochs
@@ -375,15 +481,17 @@ def ingest_batch(
     # it): eager localCheckpoint cuts the lineage executor-side — the
     # verdict never flows through the driver.
     survivors = survivors.localCheckpoint(eager=True)
-    out_sigs = sigs
-    if epoch_id is not None:
-        out_sigs = sigs.withColumn("src_epoch", F.lit(int(epoch_id)))
-        out_sigs.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"epoch={int(epoch_id)}")
-        )
-    else:
-        sigs.write.mode("append").parquet(store_path)
-    if banded_store_path is not None:
+    def _write_sigs() -> None:
+        if epoch_id is not None:
+            sigs.withColumn(
+                "src_epoch", F.lit(int(epoch_id))
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_path, f"epoch={int(epoch_id)}")
+            )
+        else:
+            sigs.write.mode("append").parquet(store_path)
+
+    def _write_banded() -> None:
         # repartition ON the partition column first: partitionBy from an
         # arbitrarily-partitioned frame writes one file per (task ×
         # bucket) — thousands of tiny files whose footer overhead
@@ -393,17 +501,50 @@ def ingest_batch(
             "bucket"
         )
         if epoch_id is not None:
-            batch_banded = batch_banded.withColumn(
+            batch_banded.withColumn(
                 "src_epoch", F.lit(int(epoch_id))
-            )
-            batch_banded.write.mode("overwrite").partitionBy("bucket").parquet(
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(banded_store_path, f"epoch={int(epoch_id)}")
             )
         else:
             batch_banded.write.mode("append").partitionBy("bucket").parquet(
                 banded_store_path
             )
-    sigs.unpersist()
+
+    if banded_store_path is not None:
+        # the two store writes read the same sigs checkpoint and write
+        # disjoint paths — run them as concurrent jobs so the banded
+        # write back-fills the sig write's task tail (guide §2.6). Job
+        # group is thread-local: re-pin it inside each worker so the
+        # probes' per-stage attribution stays correct (plan.py's
+        # _with_group pattern).
+        group = None
+        try:
+            group = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+        except Exception:
+            pass
+
+        def _grouped(fn):
+            def run():
+                if group is not None:
+                    try:
+                        spark.sparkContext.setJobGroup(group, group, False)
+                    except Exception:
+                        pass
+                fn()
+
+            return run
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(_grouped(_write_sigs))
+            f2 = pool.submit(_grouped(_write_banded))
+            f1.result()
+            f2.result()
+    else:
+        _write_sigs()
+    scope.release()  # sigs checkpoint: verdict + both writes are durable
     return survivors
 
 

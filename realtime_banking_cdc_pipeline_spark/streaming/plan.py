@@ -397,20 +397,39 @@ def curation_plan_batch(
             out = out.unionByName(q)
         return out
 
-    def _region(live: DataFrame | None) -> DataFrame:
-        """The theta-restricted update region: below a full source's
-        threshold, or everything for a below-capacity / unseen source
-        (a batch hash at or above the threshold can never enter the
-        merged bottom-k — the store already holds k smaller values
-        and thresholds only shrink)."""
-        if live is None:
-            return hv_all
-        stats = (
-            _bottom_k_tagged(live, kmv_k)
-            .groupBy("fam", "source")
-            .agg(F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk"))
+    # The store bottom-k (``sample``) is needed by BOTH per-epoch jobs
+    # (estimate collect + store write). r16 ran them as two concurrent
+    # jobs that each recomputed the full store scan + the two-phase
+    # bottom-k windows — the exact cold-cache duplication the r16
+    # checkpoint findings killed elsewhere. r17: materialize sample
+    # (≤ kmv_k rows per (fam, source) — bounded) ONCE, sequentially on
+    # the driver thread (the scope registry requires sequential
+    # ckpts); both consumers then run concurrently against it, each in
+    # ONE pass over the batch's hv_all. Region rule unchanged: below a
+    # full source's threshold, or everything for a below-capacity /
+    # unseen source (a batch hash at or above the threshold can never
+    # enter the merged bottom-k — the store already holds k smaller
+    # values and thresholds only shrink).
+    live = _live_tagged()
+    if live is None:
+        sample = None
+        stats = None
+        region = hv_all  # derived from checkpointed doc_stats/hashes
+    else:
+        sample = scope.ckpt(_bottom_k_tagged(live, kmv_k))
+        stats = sample.groupBy("fam", "source").agg(
+            F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
         )
-        return (
+        # region checkpointed too: it feeds the estimate's miss
+        # anti-join AND the store write concurrently, and it is small
+        # (the update region contracts to ~the novelty mass). A
+        # one-pass estimate that instead joined the full hv_all
+        # against the sample on (fam, source, hv) was MEASURED SLOWER
+        # (plan leg 5.7 → 7.5 s/epoch on the 6-epoch mini-probe): it
+        # trades a map-side-combinable n_sh aggregation plus a tiny
+        # anti-join for a 7.9M-row 3-key shuffle join. Kept the
+        # two-cheap-passes form.
+        region = scope.ckpt(
             hv_all.join(stats, ["fam", "source"], "left_outer")
             .filter(
                 F.col("m").isNull()
@@ -441,12 +460,14 @@ def curation_plan_batch(
 
     def _estimate_job() -> list:
         """One fused collect: per-(fam, source) KMV figures + the
-        exact per-source tally — every row bounded."""
-        live = _live_tagged()
+        exact per-source tally — every row bounded. Reads the shared
+        sample/region checkpoints (no store re-scan); n_sh stays a
+        map-side-combinable aggregation over hv_all and miss a tiny
+        anti-join over the region checkpoint."""
         n_sh = hv_all.groupBy("fam", "source").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sh")
         )
-        if live is None:
+        if sample is None:
             est = n_sh.select(
                 "fam", "source", "n_sh",
                 F.lit(0).cast("bigint").alias("m"),
@@ -454,19 +475,6 @@ def curation_plan_batch(
                 F.col("n_sh").alias("miss"),
             )
         else:
-            sample = _bottom_k_tagged(live, kmv_k)
-            stats = sample.groupBy("fam", "source").agg(
-                F.count(F.lit(1)).alias("m"), F.max("hv").alias("hk")
-            )
-            region = (
-                hv_all.join(stats, ["fam", "source"], "left_outer")
-                .filter(
-                    F.col("m").isNull()
-                    | (F.col("m") < F.lit(kmv_k))
-                    | (F.col("hv") < F.col("hk"))
-                )
-                .select("fam", "source", "hv")
-            )
             miss = (
                 region.join(sample, ["fam", "source", "hv"], "left_anti")
                 .groupBy("fam", "source")
@@ -513,7 +521,7 @@ def curation_plan_batch(
         epoch for both KMV stores (r16, judge directive #1)."""
         staging = os.path.join(root, f"_plan_kmv_staging_e{e}")
         shutil.rmtree(staging, ignore_errors=True)
-        _bottom_k_tagged(_region(_live_tagged()), kmv_k).write.mode(
+        _bottom_k_tagged(region, kmv_k).write.mode(
             "overwrite"
         ).partitionBy("fam").parquet(staging)
         for fam, store in (("sh", p["src_kmv"]), ("doc", p["doc_kmv"])):
@@ -947,10 +955,28 @@ def sample_epoch_batch(
     one rank window partitioned on source over the survivor batch."""
     from pyspark.sql import Window
 
-    from ..queries.round13 import _sample_quota
-
-    quota = _sample_quota(
-        plan.select(F.col(source_col).alias("source"), "mix_ppm"), int(n)
+    # quota = exact largest-remainder split of n over mix_ppm — the
+    # round13._sample_quota law computed DRIVER-SIDE (r17): the plan is
+    # one bounded row per source (this module's invariant), so the
+    # former Spark quota subtree (crossJoin of a 1-row deficit agg +
+    # remainder-rank window) was per-epoch job overhead for arithmetic
+    # on a handful of rows (§4 driver boundary — the batch query keeps
+    # the relational form for its oracle; this law is pinned by the
+    # stream-vs-batch sample tests). Same integer ops, same
+    # (qrem DESC, source ASC) tiebreak.
+    n = int(n)
+    prows = plan.select(F.col(source_col).alias("source"), "mix_ppm").collect()
+    qrows = [
+        (r["source"], (n * int(r["mix_ppm"])) // _PLAN_S,
+         (n * int(r["mix_ppm"])) % _PLAN_S)
+        for r in prows
+    ]
+    d = n - sum(q[1] for q in qrows)
+    order = sorted(qrows, key=lambda q: (-q[2], q[0]))
+    bump = {q[0] for q in order[:d]}
+    quota = plan.sparkSession.createDataFrame(
+        [(s, qb + (1 if s in bump else 0)) for s, qb, _ in qrows],
+        "source string, src_quota bigint",
     )
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(

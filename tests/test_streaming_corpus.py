@@ -127,8 +127,9 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
 
 
 def test_banded_store_path_matches_flat_path(spark, tmp_path):
-    """The band-partitioned key store (bucket=pmod(xxhash64(band_key),64)
-    parquet partitions, probed on (bucket, band_idx, band_key)) must
+    """The band-partitioned key store (bucket=pmod(xxhash64(bk_*),64)
+    parquet partitions, probed on (bucket, band_idx, bk_*) — packed
+    LONG band keys since r17, a bijection of the component tuple) must
     yield the identical survivor set as the flat re-band-on-read path,
     and must actually lay bucket directories on disk."""
     docs = _docs_with_neardups(spark).cache()
@@ -156,7 +157,7 @@ def test_banded_store_path_matches_flat_path(spark, tmp_path):
     ]
     assert len(buckets) > 1, "banded store must be bucket-partitioned"
     row = spark.read.parquet(banded).limit(1)
-    assert {"doc_id", "band_idx", "band_key", "bucket", "epoch"} <= set(
+    assert {"doc_id", "band_idx", "bk_0", "bk_1", "bucket", "epoch"} <= set(
         row.columns
     )
     docs.unpersist()
@@ -643,3 +644,44 @@ def test_consolidating_compaction_tolerates_all_rowless_store(
     )  # must not raise
     eps = [d for d in os.listdir(store) if d.startswith("epoch=")]
     assert eps == []
+
+
+def test_legacy_string_banded_store_falls_back_to_flat(spark, tmp_path):
+    """A banded store written by pre-r17 code carries string band_key
+    columns; the r17 packed-long probe cannot union with it, so the
+    gate must IGNORE it and fall back to the flat re-band path — same
+    survivors, never a schema error or a silently skipped candidate."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = _docs_with_neardups(spark).cache()
+    first = docs.filter(F.col("doc_id") < 20)
+    second = docs.filter(F.col("doc_id") >= 20)
+
+    flat = str(tmp_path / "flat")
+    ingest_batch(first, flat, epoch_id=0)
+    expected = _survivor_ids(ingest_batch(second, flat, epoch_id=1))
+
+    store = str(tmp_path / "store")
+    banded = str(tmp_path / "banded")
+    ingest_batch(first, store, epoch_id=0, banded_store_path=banded)
+    # rewrite epoch 0 of the banded store in the legacy narrow string
+    # layout (pre-r17: band_key string, no packed bk_*/sp_* columns)
+    legacy = (
+        spark.read.parquet(_os.path.join(banded, "epoch=0"))
+        .select(
+            "doc_id", "band_idx",
+            F.concat_ws("-", "bk_0", "bk_1").alias("band_key"),
+            "bucket",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(_os.path.join(banded, "epoch=0"))
+    legacy.write.mode("overwrite").partitionBy("bucket").parquet(
+        _os.path.join(banded, "epoch=0")
+    )
+    got = _survivor_ids(
+        ingest_batch(second, store, epoch_id=1, banded_store_path=banded)
+    )
+    assert got == expected
+    docs.unpersist()
