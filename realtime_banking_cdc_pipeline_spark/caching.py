@@ -60,27 +60,21 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
 
 
 def _checkpoint_and_record(df: DataFrame, sink: list) -> DataFrame:
-    """Eager localCheckpoint; append the new checkpoint RDD ids (the
-    getPersistentRDDs before/after diff) to ``sink`` as
-    (SparkContext, rdd_id) pairs. The diff assumes driver-side
-    SEQUENTIAL builds — the registry is process-global, so a
-    concurrent persist/checkpoint on another thread would be captured
-    here (and later freed by the wrong releaser). Query sweeps and
-    foreachBatch streams each run their builds sequentially on one
-    driver thread, which is the supported regime. The sparkContext
-    access itself sits inside the try: on Spark Connect (no
-    sparkContext attribute) or a stopped session the whole tracking
-    path degrades to a plain localCheckpoint instead of raising."""
-    try:
-        sc = df.sparkSession.sparkContext
-        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-    except Exception:
-        return df.localCheckpoint(eager=True)  # registry unavailable (Connect)
+    """Eager localCheckpoint; append the checkpoint's RDD id to
+    ``sink`` as a (SparkContext, rdd_id) pair. The id is read DIRECTLY
+    off the returned frame's LogicalRDD plan node (r17) — exact and
+    THREAD-SAFE, unlike the former getPersistentRDDs before/after
+    diff, which assumed strictly sequential driver-side builds and
+    would attribute a concurrent thread's checkpoint to the wrong
+    releaser (the reason monitors/store writes could not previously
+    overlap). On Spark Connect (no sparkContext / _jdf) or a stopped
+    session the tracking degrades to a plain untracked localCheckpoint
+    instead of raising."""
     out = df.localCheckpoint(eager=True)
     try:
-        for i in sc._jsc.getPersistentRDDs().keySet().toArray():
-            if int(i) not in before:
-                sink.append((sc, int(i)))
+        sc = df.sparkSession.sparkContext
+        rid = int(out._jdf.queryExecution().logical().rdd().id())
+        sink.append((sc, rid))
     except Exception:
         pass
     return out
@@ -93,8 +87,10 @@ class CheckpointScope:
     derived from them has been consumed. Unlike the module-level
     ``release_caches`` registry this frees ONLY its own checkpoints, so
     a streaming foreachBatch can clean up after itself without touching
-    frames a concurrent query sweep still needs. Same single-driver-
-    thread-per-scope assumption as ``track_local_checkpoint``."""
+    frames a concurrent query sweep still needs. Tracking reads the
+    checkpoint RDD id off the frame's own plan (r17), so scopes on
+    concurrent driver threads no longer interfere — release() still
+    belongs to whichever code owns the scope."""
 
     def __init__(self) -> None:
         self._rdds: list = []

@@ -554,32 +554,48 @@ def pipeline_batch(
         mark("planprep", t0)
 
     # --- monitors alongside (raw batch, pre-gate corpus view) -------------
+    # The four sketch monitors are independent store updates over the
+    # checkpointed raw batch (disjoint store paths, no shared lazy
+    # subtree — the one shared frame, shared_hv, is an eager
+    # checkpoint). r17: run them as CONCURRENT jobs (guide §2.6) — each
+    # is dominated by per-job fixed overhead on small sketch state, so
+    # overlapping them cuts the leg to ~the slowest monitor. Safe since
+    # caching.py's checkpoint tracking became thread-exact (the scope
+    # registry no longer diffs the global RDD registry). Job group is
+    # thread-local — re-pin it per worker for the probes' attribution.
     grp("monitors")
     t0 = time.time()
-    update_hll_store(
-        batch.withColumn("metric", F.lit("docs")),
-        p["hll"],
-        "metric",
-        "text",
-        epoch_id=e,
-    )
-    update_cms_store(
-        batch.select(
-            F.element_at(F.split(F.trim("text"), " +"), 1).alias("term")
-        ),
-        p["cms"],
-        "term",
-        epoch_id=e,
-    )
-    update_dds_store(
-        batch.select(
-            F.size(F.split(F.trim("text"), " +")).cast("long").alias("v")
-        ),
-        p["dds"],
-        "v",
-        epoch_id=e,
-    )
-    if with_coverage_monitor:
+
+    def _mon_hll() -> None:
+        update_hll_store(
+            batch.withColumn("metric", F.lit("docs")),
+            p["hll"],
+            "metric",
+            "text",
+            epoch_id=e,
+        )
+
+    def _mon_cms() -> None:
+        update_cms_store(
+            batch.select(
+                F.element_at(F.split(F.trim("text"), " +"), 1).alias("term")
+            ),
+            p["cms"],
+            "term",
+            epoch_id=e,
+        )
+
+    def _mon_dds() -> None:
+        update_dds_store(
+            batch.select(
+                F.size(F.split(F.trim("text"), " +")).cast("long").alias("v")
+            ),
+            p["dds"],
+            "v",
+            epoch_id=e,
+        )
+
+    def _mon_coverage() -> None:
         # vocabulary-novelty monitor: per-batch fraction of never-seen
         # 3-gram shingles over the RAW batch — the crawl-value decay
         # signal; summary row lands in out/coverage. DEFAULT is the
@@ -612,6 +628,33 @@ def pipeline_batch(
         row.write.mode("overwrite").parquet(
             os.path.join(p["out"], "coverage", f"epoch={e}")
         )
+
+    monitors = [_mon_hll, _mon_cms, _mon_dds]
+    if with_coverage_monitor:
+        monitors.append(_mon_coverage)
+    group = None
+    if sc is not None:
+        try:
+            group = sc.getLocalProperty("spark.jobGroup.id")
+        except Exception:
+            pass
+
+    def _grouped(fn):
+        def run():
+            if sc is not None and group is not None:
+                try:
+                    sc.setJobGroup(group, group, False)
+                except Exception:
+                    pass
+            fn()
+
+        return run
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(monitors)) as pool:
+        for f in [pool.submit(_grouped(m)) for m in monitors]:
+            f.result()
     mark("monitors", t0)
 
     # --- curation-plan refresher (opt-in, r13 judge directive #1) ----------
