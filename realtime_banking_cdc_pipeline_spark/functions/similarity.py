@@ -200,6 +200,13 @@ def simhash32(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one groupBy with 32 sum aggregates (±1 per bit), recombine. All
     JVM-side integer arithmetic.
     """
+    # rebalance an under-split scan before the tokenize+explode fan-out
+    # (guide §2.5 — the sf0.1 documents file is one split, so the
+    # 32-aggregate map side ran on one core); adaptive, skipped by
+    # well-partitioned inputs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(ws_tokens(text_col))).alias("tok"),
@@ -465,7 +472,17 @@ def simhash_hamming_pairs(
     """
     if fp_bits > 63:
         raise ValueError("fp_bits must fit a non-negative signed long (<= 63)")
-    sig = track_persist(sig.select(F.col(id_col), F.col(fp_col).alias("__fp")))
+    # Eager checkpoint, not lazy persist (r17, the r16 race-kill
+    # class): the final union's single action launches its subquery
+    # jobs concurrently, and FIVE consumers read this frame (fps
+    # distinct, ma/mb membership, s1/s2 within-join) — on a cold cache
+    # each re-ran the 32-aggregate simhash groupBy. Narrow frame (id +
+    # one long), the safe side of the r16 wide-payload counter-case.
+    from ..caching import track_local_checkpoint
+
+    sig = track_local_checkpoint(
+        sig.select(F.col(id_col), F.col(fp_col).alias("__fp"))
+    )
     pieces = max_hamming + 1
     width = fp_bits // pieces
     fps = sig.select("__fp").distinct()

@@ -118,9 +118,18 @@ def _shingle_frame(
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
     )
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", toks.alias("toks")
-    )
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Rebalance an under-split scan BEFORE the tokenize+shingle fan-out
+    # (r17; the r16 _plan_base_sh fix class, guide §2.5): the sf0.1
+    # documents file is one ~9 MB split, so the md5-per-position explode
+    # ran as ONE task starving the other cores (profiled: the two
+    # heaviest stages of x_substring_rewrite were single-task). Derived
+    # from defaultParallelism — a well-partitioned 100 TB input skips
+    # the shuffle.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    d = d.select("doc_id", toks.alias("toks"))
     return (
         d.filter(F.size("toks") >= k)
         .select(
@@ -372,9 +381,14 @@ def x_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " +"), lambda t: t != ""
     )
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", toks.alias("toks")
-    )
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # rebalance the single-split scan before the per-token span-filter
+    # transform (same §2.5 fix as _shingle_frame: the rebuild ran as
+    # one 0.85 s task on the one-split sf0.1 file)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    d = d.select("doc_id", toks.alias("toks"))
     j = d.join(spans, "doc_id", "left")
     kept = F.expr(
         "filter(transform(toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)),"

@@ -639,7 +639,12 @@ def _refined_cells(spark: SparkSession, sf_dir: str):
     # Lazy persist — an eager checkpoint of these embedding-array rows
     # measured slower at sf0.1 (see x_semdedup); the Lloyd collect()
     # above already materializes the assignment subtree sequentially,
-    # so the downstream consumers read a warm cache.
+    # so the downstream consumers read a warm cache. RE-MEASURED r17:
+    # checkpointing this frame (fixed-point vector arrays) was again a
+    # net LOSS — x_semdedup_refined 5.17 → 6.02 s, refined_capped
+    # 4.91 → 6.94 s (plan_cost totals, same box A/B) — materializing
+    # the 64-long arrays to executor storage costs more than the
+    # cold-cache race it prevents. The r16 wide-payload rule stands.
     return track_persist(cells)
 
 

@@ -26,12 +26,14 @@ store, and the store's partition count must not grow forever. Three
 mechanisms deliver that:
 
 - **Self-contained banded store.** The band-partitioned key store
-  carries the full signature columns inline, so candidate generation
-  AND refinement complete inside the bucket-pruned probe join — the
-  flat signature store is never rescanned during gating. (The round-7
-  layout kept the banded rows narrow and re-joined the whole flat
-  store for refinement; the 2M-doc probe measured that as linear
-  per-batch growth, 16→~40 s.)
+  carries the signature inline — since r17 as PACKED pairs (two
+  components per long; band keys likewise, see _packed_band_entries)
+  so the probe rows are half as many columns — and candidate
+  generation AND refinement complete inside the bucket-pruned probe
+  join: the flat signature store is never rescanned during gating.
+  (The round-7 layout kept the banded rows narrow and re-joined the
+  whole flat store for refinement; the 2M-doc probe measured that as
+  linear per-batch growth, 16→~40 s.)
 - **Tiered compaction (r9).** Every ``compact_every`` batches the
   accumulated BATCH partitions fold into a fresh base partition
   ``epoch=-<e>`` (never a source of the fold, so history stays on

@@ -32,22 +32,21 @@ percent. The duplicate-trim estimator additionally assumes duplicate
 docs have roughly average token length (exact when duplicates are
 byte-copies of same-length docs, as dedup families usually are).
 
-Per-epoch cost (r16, r15 judge directive #1 — the leg's residual
-seconds were FLAT in batch size: per-epoch driver actions, not IO).
-The leg now runs exactly TWO Spark jobs per epoch in steady state,
-submitted CONCURRENTLY (independent reads of strictly-earlier store
-state):
+Per-epoch cost (r16 two-concurrent-jobs; r17 shared checkpoints — the
+r16 form had each concurrent job re-scan the live stores and re-rank
+the bottom-k). Steady state now runs:
 
-- the ESTIMATE job: one fused collect over the tagged union of both
-  KMV families (``fam`` = shingle / doc-digest) joined with the batch
-  tally aggregates — per-source bottom-k of the live store, the
-  theta-restricted update region, the miss counts, and the exact
-  tally figures, all in one action returning one bounded row per
-  (fam, source);
-- the STORE job: the merged per-(fam, source) bottom-k of the update
-  region written once, ``partitionBy(fam)`` into a staging directory,
-  then renamed into each store's ``epoch=<e>`` partition (one
-  partitioned commit instead of two store writes + a tally write).
+- the shared SAMPLE checkpoint: ONE scan of both live KMV stores
+  (``fam`` = shingle / doc-digest) ranked to the per-(fam, source)
+  bottom-k — bounded rows, materialized once;
+- the shared REGION checkpoint: one pass over the batch's tagged hash
+  union filtered by the sample's thresholds (batch-bounded);
+- then TWO CONCURRENT consumers of those checkpoints:
+  the ESTIMATE job (one fused collect: per-source counts, the miss
+  counts via a tiny anti-join over region, and the exact tally —
+  one bounded row per (fam, source)) and the STORE job (bottom-k of
+  region written once, ``partitionBy(fam)`` into staging, renamed
+  into each store's ``epoch=<e>`` partition).
 
 Everything downstream of the collect is bounded one-row-per-source
 data, so it runs DRIVER-SIDE in exact integer / IEEE-double
